@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's recurring relational verbs as reusable DataFrame
+  * combinators (SURVEY.md §2 / §7.1.2). Each is declarative — a lazy plan
+  * fragment Catalyst can push down, prune, and reorder — rather than the
+  * reference's eager pandas steps.
+  */
+object Relational {
+
+  /** Year-to-month running total (W1). The reference sorts then cumsums per
+    * group in 9 different jobs (reference: jobs/raw_to_staging.py:172-178,
+    * 311-318, 420-427, 535-542, 806-815, 893-900; jobs/staging_cal.py:275-279).
+    * Expressed as a window running sum: one shuffle on the partition keys,
+    * no global sort. Deterministic when `orderCol` is unique per partition
+    * (month within year always is).
+    */
+  def ytm(df: DataFrame, partitionCols: Seq[String], orderCol: String,
+          amountCol: String, as: String = "ytm_amount"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, sum(col(amountCol)).over(w))
+  }
+
+  /** Share-of-group (W2): each row's fraction of its group total. The
+    * reference computes `transform('sum')` then divides (reference:
+    * jobs/source_to_raw/fem_ratio.py:16-19, fem_ratio_solar.py:21-24;
+    * Model/Factory_elect_simulator_update.py:309-312). A whole-partition
+    * window sum avoids a join back onto the detail rows.
+    */
+  def shareOfGroup(df: DataFrame, partitionCols: Seq[String],
+                   valueCol: String, as: String = "ratio"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+    df.withColumn(as,
+      when(sum(col(valueCol)).over(w) =!= lit(0),
+        col(valueCol).cast("double") / sum(col(valueCol)).over(w).cast("double")))
+  }
+
+  /** Manual rollup via union (A9): aggregate at detail grain, re-aggregate at
+    * a coarser grain with the collapsed key replaced by the literal "ALL", and
+    * union — exactly the reference's `cal_bo_site` / `cal_site` idiom
+    * (reference: jobs/raw_to_staging.py:14-59,61-86;
+    * jobs/renew_green_energy.py:305-317).
+    *
+    * Kept as union-of-aggregates (not `rollup()`) to reproduce the reference's
+    * exact row set — it collapses only the listed column, not every prefix.
+    * Both branches share one scan; Catalyst reuses the exchange under AQE.
+    *
+    * @param detailKeys  grouping keys kept at both grains
+    * @param allKey      the key collapsed to "ALL" in the rollup branch
+    * @param aggs        aggregate columns (must be re-aggregable: sum/count/min/max)
+    */
+  def allRollup(df: DataFrame, detailKeys: Seq[String], allKey: String,
+                aggs: Seq[Column]): DataFrame = {
+    val detail = df.groupBy((detailKeys :+ allKey).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val rolled = df.groupBy(detailKeys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn(allKey, lit("ALL"))
+    detail.unionByName(rolled.select(detail.columns.map(col): _*))
+  }
+
+  /** Broadcast dictionary decode (§2.8): recode a label column through a small
+    * map with a default for unmapped values. The reference uses
+    * `replace({col: dict})` (reference: jobs/raw_to_staging.py:136;
+    * jobs/csr_etl.py:84-86; jobs/wzsesgi_etl.py:40-44). A literal map keeps the
+    * expression inside codegen — no join, no UDF.
+    */
+  def decode(c: Column, mapping: Map[String, String], default: Column): Column =
+    mapping.foldLeft(when(lit(false), lit(null: String))) {
+      case (acc, (k, v)) => acc.when(c === lit(k), lit(v))
+    }.otherwise(default)
+
+  /** Anti-join zero-fill (J6): keys present in `previous` but absent from
+    * `current` are synthesized as zero-amount rows (the reference's fix_raw
+    * repair, reference: jobs/fix_data.py:65-70,137-142 — computed there as a
+    * Python set difference + row loop). `left_anti` keeps it distributed.
+    */
+  def antiJoinZeroFill(current: DataFrame, previous: DataFrame,
+                       keys: Seq[String], zeroCols: Seq[String]): DataFrame = {
+    val missing = previous.join(current, keys, "left_anti")
+    zeroCols.foldLeft(missing)((d, c) => d.withColumn(c, lit(0.0)))
+  }
+
+  /** Latest-validated-version selection (S11/W5): the reference runs scalar
+    * `MAX(version)` subqueries per table (reference: jobs/raw_to_staging.py:697,
+    * 755; jobs/fix_data.py:366; Model/Factory_elect_simulator_update.py:316-319).
+    * Expressed as a row_number window over descending version + tiebreakers:
+    * one shuffle, no second scan of the table.
+    */
+  def latest(df: DataFrame, partitionCols: Seq[String],
+             orderDesc: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderDesc.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Clip at zero (§2.8): the reference's `apply(lambda x: 0 if x<0 else x)`
+    * (reference: jobs/renew_green_energy.py:45-46;
+    * Model/RE_purpose_optimizer.py:178-179) — as a codegen'd builtin. */
+  def clipNonNeg(c: Column): Column = greatest(c, lit(0.0))
+
+  /** Month-start date from year+month parts (§2.8): the reference
+    * string-concatenates `year+'-'+month+'-01'` then parses
+    * (reference: jobs/raw_to_staging.py:165-168; jobs/csr_etl.py:94). */
+  def monthStart(year: Column, month: Column): Column =
+    make_date(year, month, lit(1))
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Money.cents
+import Q._
+
+/** Event-stream analytics over the `events` table, expressed as batch plans
+  * that are Structured-Streaming-shaped: tumbling-window aggregation,
+  * dedup-keep-first, and gaps-and-islands sessionization are exactly the
+  * transforms `readStream` + watermark would run incrementally
+  * (graft.streaming contains the streaming variant; the reference itself is
+  * batch-only — SURVEY.md §2.9 — its incremental-refresh analogue is S7).
+  *
+  * Scale notes: all windows partition by `user_id` (high-cardinality,
+  * well-distributed) — at 100 TB this is one shuffle each, no skew hot-spot;
+  * the hourly rollup is a plain partial-aggregable groupBy.
+  */
+object EventQueries {
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects outright. Read it as raw nanos (legacy long mode) and floor to
+    * microseconds — the same truncation DuckDB applies when casting its
+    * TIMESTAMP_NS to TIMESTAMP, so both engines see identical instants. */
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    T(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- JSON extraction from a string props column (reference keeps JSON
+    // driver-side, Model/Factory_elect_simulator_update.py:815-826; here it is
+    // columnar so the extract stays inside codegen) ----
+    Q("e01_json_extract",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            (sum(col("k")).cast("double") / count(lit(1)).cast("double")).as("avg_k"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        CAST(CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS avg_k
+        FROM events GROUP BY event_type"""),
+      bench = true),
+
+    // ---- tumbling time-window aggregation (streaming-shaped rollup) ----
+    Q("e02_hourly_rollup",
+      (s, dir) => {
+        events(s, dir)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            (sum(cents(col("value"))) / 100.0).as("total_value"))
+      },
+      Some(s"""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour, event_type, count(*) AS n,
+        ${sqlSumC("value")}/100.0 AS total_value
+        FROM events GROUP BY 1, 2"""),
+      bench = true),
+
+    // ---- dedup keep-first-by-time (streaming dropDuplicates analogue) ----
+    Q("e03_dedup_first",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      },
+      Some("""SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                ORDER BY ts ASC, event_id ASC) AS rn
+              FROM events) x
+        WHERE rn = 1""")),
+
+    // ---- sessionization: 30-min-gap sessions via gaps-and-islands (the batch
+    // equivalent of session_window / flatMapGroupsWithState) ----
+    Q("e04_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"), min(col("ts")).as("sess_start"),
+            max(col("ts")).as("sess_end"))
+      },
+      Some("""WITH g AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+            lag(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        m AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN prev_ts IS NULL
+                   OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+          FROM g),
+        sid AS (
+          SELECT user_id, ts,
+            CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+          FROM m)
+        SELECT user_id, sess_id, count(*) AS n_events,
+          min(ts) AS sess_start, max(ts) AS sess_end
+        FROM sid GROUP BY user_id, sess_id"""),
+      bench = true)
+  )
+}

@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named engine query plus (when SQL-expressible) its DuckDB oracle.
+  *
+  * The engine side is a lazy DataFrame plan — Catalyst pushes filters and
+  * projections into the parquet scan and picks join strategies; nothing here
+  * hand-materializes intermediates the way the reference's eager pandas steps
+  * do (reference: jobs/raw_to_staging.py passim).
+  *
+  * Determinism contract for oracle hash-matching: any aggregate over a double
+  * money column goes through an exact-integer formulation
+  * ([[graft.functions.Money]]) so the sum is associative and identical under
+  * Spark's 32-partition partial aggregation and DuckDB's single-threaded scan.
+  * Column names and result types are aligned on both sides.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** queries cheap enough + representative enough for the sf0.1 bench */
+    bench: Boolean = false)
+
+object Q {
+  /** Parquet table loader for a scale-factor directory. */
+  def T(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  /** DuckDB-side exact cents: same IEEE expression as [[graft.functions.Money.cents]]. */
+  def sqlCents(x: String): String = s"CAST(floor(($x)*100+0.5) AS BIGINT)"
+  /** DuckDB-side exact 1e-4 units (2-decimal × 2-decimal products). */
+  def sqlE4(x: String): String = s"CAST(floor(($x)*10000+0.5) AS BIGINT)"
+  /** DuckDB sum of BIGINT yields HUGEINT; clamp back for schema parity. */
+  def sqlSumC(x: String): String = s"CAST(sum(${sqlCents(x)}) AS BIGINT)"
+  def sqlSumE4(x: String): String = s"CAST(sum(${sqlE4(x)}) AS BIGINT)"
+}

@@ -1,0 +1,562 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Money.{cents, e4}
+import graft.operators.Relational
+import Q._
+
+/** SURVEY.md §2 relational operator inventory re-expressed Spark-first over
+  * the TPC-H-ish synthetic tables. Each query names the §2 operator(s) it
+  * covers and cites the reference instance it generalizes.
+  *
+  * Scale notes (100 TB design): dimension joins (`nation`, `region`, `part`,
+  * per-query scalar aggregates) are explicit `broadcast()`s — no shuffle of
+  * the fact side; grouped aggregates rely on partial (map-side) aggregation;
+  * windows partition by bounded keys (year, custkey) so no partition exceeds
+  * executor memory; filters/projections sit directly on the scan so parquet
+  * row-group pruning and column pruning engage.
+  */
+object RelationalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- A1: hash group-by + sum (reference: jobs/raw_to_staging.py:44-52 groupby-sum) ----
+    Q("q01_groupby_sum",
+      (s, dir) => {
+        T(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+            (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+            (sum(e4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / 10000.0)
+              .as("sum_disc_price"),
+            count(lit(1)).as("cnt"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${sqlSumC("l_quantity")}/100.0 AS sum_qty,
+        ${sqlSumC("l_extendedprice")}/100.0 AS sum_base_price,
+        ${sqlSumE4("l_extendedprice*(1-l_discount)")}/10000.0 AS sum_disc_price,
+        count(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
+      bench = true),
+
+    // ---- A2: multi-aggregate dict (reference: Model/Factory_elect_simulator_update.py:183-184,261) ----
+    Q("q02_multi_agg",
+      (s, dir) => {
+        T(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            max(col("l_extendedprice")).as("max_price"),
+            min(col("l_extendedprice")).as("min_price"),
+            (sum(cents(col("l_quantity"))) / count(lit(1)) / 100.0).as("avg_qty"),
+            countDistinct(col("l_suppkey")).as("n_suppliers"))
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS cnt,
+        max(l_extendedprice) AS max_price, min(l_extendedprice) AS min_price,
+        ${sqlSumC("l_quantity")}/count(*)/100.0 AS avg_qty,
+        count(DISTINCT l_suppkey) AS n_suppliers
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- P3-P8: predicate stack — equality, range, compound booleans
+    // (reference: jobs/raw_to_staging.py:150,197,305; jobs/staging_to_app.py:132-138) ----
+    Q("q03_filter_predicates",
+      (s, dir) => {
+        T(s, dir, "lineitem")
+          .filter(
+            col("l_returnflag") === "R" &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24 &&
+            col("l_linestatus") =!= "F")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_returnflag='R' AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24 AND l_linestatus <> 'F'""")),
+
+    // ---- J1: broadcast dimension equi-join (reference: jobs/raw_to_staging.py:149,184-186) ----
+    Q("q04_join_broadcast_dim",
+      (s, dir) => {
+        T(s, dir, "lineitem")
+          .join(broadcast(T(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            (sum(e4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / 10000.0)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT p_brand,
+        ${sqlSumE4("l_extendedprice*(1-l_discount)")}/10000.0 AS revenue,
+        count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand"""),
+      bench = true),
+
+    // ---- J2: multi-way inner join snowflake (reference: jobs/staging_to_app.py:115-116,296) ----
+    Q("q05_multi_join",
+      (s, dir) => {
+        T(s, dir, "orders")
+          .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_orders"),
+            (sum(cents(col("o_totalprice"))) / 100.0).as("total_revenue"))
+      },
+      Some(s"""SELECT r_name, n_name, count(*) AS n_orders,
+        ${sqlSumC("o_totalprice")}/100.0 AS total_revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name"""),
+      bench = true),
+
+    // ---- J3+J7: full outer join + coalesce backfill (reference: jobs/staging_to_app.py:813-814; jobs/fix_data.py:355-358) ----
+    Q("q06_outer_coalesce",
+      (s, dir) => {
+        val cust = T(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        val ordAgg = T(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_ord"), sum(cents(col("o_totalprice"))).as("spend_c"))
+        cust.join(ordAgg, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            coalesce(col("n_ord"), lit(0L)).as("n_orders"),
+            (coalesce(col("spend_c"), lit(0L)) / 100.0).as("spend"))
+      },
+      Some(s"""SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        COALESCE(n_ord, 0) AS n_orders, COALESCE(spend_c, 0)/100.0 AS spend
+        FROM (SELECT c_custkey, c_name FROM customer) c
+        FULL OUTER JOIN (
+          SELECT o_custkey, count(*) AS n_ord, ${sqlSumC("o_totalprice")} AS spend_c
+          FROM orders GROUP BY o_custkey) o
+        ON c_custkey = o_custkey""")),
+
+    // ---- J4: cross-join a 1-row scalar onto every row (reference: jobs/staging_cal.py:17-18,177) ----
+    Q("q07_cross_scalar_share",
+      (s, dir) => {
+        val cust = T(s, dir, "customer")
+        val byNation = cust.groupBy(col("c_nationkey"))
+          .agg(sum(cents(col("c_acctbal"))).as("bal_c"))
+        val total = cust.agg(sum(cents(col("c_acctbal"))).as("tot_c"))
+        byNation.crossJoin(broadcast(total))
+          .select(col("c_nationkey"), (col("bal_c") / 100.0).as("nation_bal"),
+            (col("bal_c").cast("double") / col("tot_c").cast("double")).as("share"))
+      },
+      Some(s"""SELECT c_nationkey, bal_c/100.0 AS nation_bal,
+        CAST(bal_c AS DOUBLE)/CAST(tot_c AS DOUBLE) AS share
+        FROM (SELECT c_nationkey, ${sqlSumC("c_acctbal")} AS bal_c
+              FROM customer GROUP BY c_nationkey) n
+        CROSS JOIN (SELECT ${sqlSumC("c_acctbal")} AS tot_c FROM customer) t""")),
+
+    // ---- J6: anti-join (reference: jobs/fix_data.py:65-70 set-difference zero-fill) ----
+    Q("q08_anti_join",
+      (s, dir) => {
+        T(s, dir, "customer")
+          .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_no_order"),
+            (sum(cents(col("c_acctbal"))) / 100.0).as("bal"))
+      },
+      Some(s"""SELECT c_nationkey, count(*) AS n_no_order,
+        ${sqlSumC("c_acctbal")}/100.0 AS bal
+        FROM customer WHERE NOT EXISTS
+          (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey""")),
+
+    // ---- J2-as-semi: existence filter (reference: jobs/raw_to_staging.py:22 boundary-plant filter) ----
+    Q("q09_semi_join",
+      (s, dir) => {
+        val urgent = T(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        T(s, dir, "customer")
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer WHERE EXISTS
+          (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment""")),
+
+    // ---- W1: year-to-month running total (reference: jobs/raw_to_staging.py:172-178 cumsum) ----
+    Q("q10_ytm_running_total",
+      (s, dir) => {
+        val monthly = T(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+          .agg(sum(cents(col("o_totalprice"))).as("mc"))
+        Relational.ytm(monthly, Seq("yr"), "mo", "mc", "ytm_c")
+          .select(col("yr"), col("mo"), (col("mc") / 100.0).as("month_amount"),
+            (col("ytm_c") / 100.0).as("ytm_amount"))
+      },
+      Some(s"""WITH m AS (
+          SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                 CAST(month(o_orderdate) AS INTEGER) AS mo,
+                 ${sqlSumC("o_totalprice")} AS mc
+          FROM orders GROUP BY 1, 2)
+        SELECT yr, mo, mc/100.0 AS month_amount,
+          CAST(sum(mc) OVER (PARTITION BY yr ORDER BY mo) AS BIGINT)/100.0 AS ytm_amount
+        FROM m"""),
+      bench = true),
+
+    // ---- W2: share-of-group (reference: jobs/source_to_raw/fem_ratio.py:16-19) ----
+    Q("q11_share_of_group",
+      (s, dir) => {
+        val n = T(s, dir, "customer")
+          .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_regionkey"), col("n_name"))
+          .agg(sum(cents(col("c_acctbal"))).as("nc"))
+        n.withColumn("region_share",
+            col("nc").cast("double") /
+              sum(col("nc")).over(Window.partitionBy(col("n_regionkey"))).cast("double"))
+          .select(col("n_regionkey"), col("n_name"), (col("nc") / 100.0).as("nation_bal"),
+            col("region_share"))
+      },
+      Some(s"""WITH n AS (
+          SELECT n_regionkey, n_name, ${sqlSumC("c_acctbal")} AS nc
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_regionkey, n_name)
+        SELECT n_regionkey, n_name, nc/100.0 AS nation_bal,
+          CAST(nc AS DOUBLE)/CAST(CAST(sum(nc) OVER (PARTITION BY n_regionkey) AS BIGINT) AS DOUBLE)
+            AS region_share
+        FROM n""")),
+
+    // ---- W3: rank / row_number top-N per group (reference: Model/RE_purpose_optimizer.py:190-191) ----
+    Q("q12_rank_topn",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        T(s, dir, "customer")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rn"))
+      },
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rn AS INTEGER) AS rn
+        FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                row_number() OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+              FROM customer) x
+        WHERE rn <= 3""")),
+
+    // ---- W4: arg-max per group (reference: jobs/staging_to_app.py:111-113 idxmax) ----
+    Q("q13_argmax_per_group",
+      (s, dir) => {
+        Relational.latest(T(s, dir, "orders"), Seq("o_custkey"),
+            Seq("o_orderdate", "o_orderkey"))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders) x
+        WHERE rn = 1"""),
+      bench = true),
+
+    // ---- S11/W5: scalar-subquery latest selection (reference: jobs/raw_to_staging.py:697) ----
+    Q("q14_latest_global",
+      (s, dir) => {
+        val o = T(s, dir, "orders")
+        val mx = o.agg(max(col("o_orderdate")).as("mx"))
+        o.join(broadcast(mx), col("o_orderdate") === col("mx"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)""")),
+
+    // ---- A9: manual ALL-rollup via union (reference: jobs/raw_to_staging.py:14-59 cal_bo_site) ----
+    Q("q15_rollup_all",
+      (s, dir) => {
+        Relational.allRollup(T(s, dir, "orders"),
+          detailKeys = Seq("o_orderpriority"), allKey = "o_orderstatus",
+          aggs = Seq((sum(cents(col("o_totalprice"))) / 100.0).as("total"),
+            count(lit(1)).as("n")))
+      },
+      Some(s"""SELECT o_orderpriority, o_orderstatus,
+          ${sqlSumC("o_totalprice")}/100.0 AS total, count(*) AS n
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+        UNION ALL
+        SELECT o_orderpriority, 'ALL' AS o_orderstatus,
+          ${sqlSumC("o_totalprice")}/100.0 AS total, count(*) AS n
+        FROM orders GROUP BY o_orderpriority""")),
+
+    // ---- A6: distinct (reference: jobs/raw_to_staging.py:19,139) ----
+    Q("q16_distinct",
+      (s, dir) => T(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey")).distinct(),
+      Some("SELECT DISTINCT c_mktsegment, c_nationkey FROM customer")),
+
+    // ---- R5: pivot long→wide (reference: Model/Factory_elect_simulator_update.py:47-48) ----
+    Q("q17_pivot",
+      (s, dir) => {
+        T(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(sum(cents(col("o_totalprice"))) / 100.0)
+          .na.fill(0.0, Seq("F", "O", "P"))
+      },
+      Some(s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        COALESCE(CAST(sum(CASE WHEN o_orderstatus='F' THEN ${sqlCents("o_totalprice")} END) AS BIGINT)/100.0, 0.0) AS "F",
+        COALESCE(CAST(sum(CASE WHEN o_orderstatus='O' THEN ${sqlCents("o_totalprice")} END) AS BIGINT)/100.0, 0.0) AS "O",
+        COALESCE(CAST(sum(CASE WHEN o_orderstatus='P' THEN ${sqlCents("o_totalprice")} END) AS BIGINT)/100.0, 0.0) AS "P"
+        FROM orders GROUP BY 1""")),
+
+    // ---- R4: unpivot wide→long (reference: jobs/raw_to_staging.py:495-517 melt) ----
+    Q("q18_unpivot",
+      (s, dir) => {
+        val wide = T(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(sum(cents(col("o_totalprice"))) / 100.0)
+          .na.fill(0.0, Seq("F", "O", "P"))
+        wide.unpivot(Array(col("yr")),
+          Array(col("F"), col("O"), col("P")), "status", "amount")
+      },
+      Some(s"""WITH w AS (
+          SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+            COALESCE(CAST(sum(CASE WHEN o_orderstatus='F' THEN ${sqlCents("o_totalprice")} END) AS BIGINT)/100.0, 0.0) AS f,
+            COALESCE(CAST(sum(CASE WHEN o_orderstatus='O' THEN ${sqlCents("o_totalprice")} END) AS BIGINT)/100.0, 0.0) AS o,
+            COALESCE(CAST(sum(CASE WHEN o_orderstatus='P' THEN ${sqlCents("o_totalprice")} END) AS BIGINT)/100.0, 0.0) AS p
+          FROM orders GROUP BY 1)
+        SELECT yr, 'F' AS status, f AS amount FROM w
+        UNION ALL SELECT yr, 'O', o FROM w
+        UNION ALL SELECT yr, 'P', p FROM w""")),
+
+    // ---- R1/R2: union-by-name with missing columns (reference: pandas append, jobs/raw_to_staging.py:57,144-146) ----
+    Q("q19_union_align",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val a = T(s, dir, "customer").filter(col("c_custkey") <= 10)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"),
+            col("c_acctbal").as("bal"))
+        val b = Seq((0L, "SENTINEL")).toDF("id", "name")
+        a.unionByName(b, allowMissingColumns = true)
+      },
+      Some("""SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal
+        FROM customer WHERE c_custkey <= 10
+        UNION ALL
+        SELECT 0 AS id, 'SENTINEL' AS name, CAST(NULL AS DOUBLE) AS bal""")),
+
+    // ---- P10: CASE WHEN tiers (reference: Model/Factory_elect_simulator_update.py:837-839 np.where) ----
+    Q("q20_case_when",
+      (s, dir) => {
+        T(s, dir, "lineitem")
+          .withColumn("disc_class",
+            when(col("l_discount") >= 0.08, "high")
+              .when(col("l_discount") >= 0.04, "mid")
+              .otherwise("low"))
+          .groupBy(col("disc_class"))
+          .agg(count(lit(1)).as("n"),
+            (sum(e4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / 10000.0)
+              .as("revenue"))
+      },
+      Some(s"""SELECT CASE WHEN l_discount >= 0.08 THEN 'high'
+                    WHEN l_discount >= 0.04 THEN 'mid'
+                    ELSE 'low' END AS disc_class,
+        count(*) AS n,
+        ${sqlSumE4("l_extendedprice*(1-l_discount)")}/10000.0 AS revenue
+        FROM lineitem GROUP BY 1""")),
+
+    // ---- §2.8 strings: substring/split/upper/concat/contains (reference: Model/Factory_elect_simulator_update.py:275-276,585-586) ----
+    Q("q21_string_funcs",
+      (s, dir) => {
+        T(s, dir, "part")
+          .filter(col("p_name").contains("a") && col("p_size") < 15)
+          .select(col("p_partkey"),
+            substring(col("p_type"), 1, 6).as("type_prefix"),
+            upper(col("p_brand")).as("brand_up"),
+            split(col("p_name"), " ").getItem(0).as("first_word"),
+            length(col("p_name")).cast("long").as("name_len"),
+            concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"))
+      },
+      Some("""SELECT p_partkey, substr(p_type, 1, 6) AS type_prefix,
+        upper(p_brand) AS brand_up,
+        string_split(p_name, ' ')[1] AS first_word,
+        CAST(length(p_name) AS BIGINT) AS name_len,
+        p_brand || '-' || p_type AS brand_type
+        FROM part WHERE p_name LIKE '%a%' AND p_size < 15""")),
+
+    // ---- §2.8 dates: parts/add_months/last_day/trunc/diff (reference: jobs/staging_to_app.py:29-42,268-272) ----
+    Q("q22_date_funcs",
+      (s, dir) => {
+        T(s, dir, "orders")
+          .filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"),
+            quarter(col("o_orderdate")).as("qtr"),
+            add_months(col("o_orderdate"), 3).as("plus3m"),
+            last_day(col("o_orderdate")).as("month_end"),
+            date_trunc("year", col("o_orderdate")).cast("date").as("year_start"),
+            datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+              .as("days_to_2002"))
+      },
+      Some("""SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INTEGER) AS yr,
+        CAST(month(o_orderdate) AS INTEGER) AS mo,
+        CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        CAST(date_trunc('year', o_orderdate) AS DATE) AS year_start,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER)
+          AS days_to_2002
+        FROM orders WHERE o_orderkey % 100 = 0""")),
+
+    // ---- A5: exact percentile / median (reference: Model/Factory_elect_simulator_update.py:220,295) ----
+    Q("q23_percentile",
+      (s, dir) => {
+        T(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+            (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"))
+      },
+      Some(s"""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS median_qty,
+        quantile_cont(l_quantity, 0.25) AS p25_qty,
+        ${sqlSumC("l_quantity")}/100.0 AS sum_qty
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- J8-as-lag: month-over-month growth (reference: Model/Factory_elect_simulator_update.py:580-583) ----
+    Q("q24_lag_mom",
+      (s, dir) => {
+        val monthly = T(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+          .agg(sum(cents(col("o_totalprice"))).as("mc"))
+        val w = Window.partitionBy(col("yr")).orderBy(col("mo"))
+        monthly.withColumn("prev_c", lag(col("mc"), 1).over(w))
+          .select(col("yr"), col("mo"), (col("mc") / 100.0).as("month_amount"),
+            (col("prev_c") / 100.0).as("prev_amount"),
+            ((col("mc") - col("prev_c")) / 100.0).as("mom_change"))
+      },
+      Some(s"""WITH m AS (
+          SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                 CAST(month(o_orderdate) AS INTEGER) AS mo,
+                 ${sqlSumC("o_totalprice")} AS mc
+          FROM orders GROUP BY 1, 2),
+        l AS (SELECT yr, mo, mc, lag(mc, 1) OVER (PARTITION BY yr ORDER BY mo) AS prev_c FROM m)
+        SELECT yr, mo, mc/100.0 AS month_amount, prev_c/100.0 AS prev_amount,
+          (mc - prev_c)/100.0 AS mom_change FROM l""")),
+
+    // ---- J5: equi-join + interval post-filter (reference: jobs/staging_to_app.py:122-140) ----
+    Q("q25_interval_join",
+      (s, dir) => {
+        T(s, dir, "lineitem")
+          .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") <= add_months(col("o_orderdate"), 2).cast("timestamp"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"),
+            (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"))
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n_lines,
+        ${sqlSumC("l_quantity")}/100.0 AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 2 MONTH
+        GROUP BY o_orderpriority"""),
+      bench = true),
+
+    // ---- P5: IN / NOT IN (reference: jobs/raw_to_staging.py:711,745) ----
+    Q("q26_in_notin",
+      (s, dir) => {
+        T(s, dir, "customer")
+          .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY") &&
+            !col("n_name").isin("CHINA", "FRANCE"))
+          .groupBy(col("c_mktsegment"), col("n_name"))
+          .agg(count(lit(1)).as("n"),
+            (sum(cents(col("c_acctbal"))) / count(lit(1)) / 100.0).as("avg_bal"))
+      },
+      Some(s"""SELECT c_mktsegment, n_name, count(*) AS n,
+        ${sqlSumC("c_acctbal")}/count(*)/100.0 AS avg_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+          AND n_name NOT IN ('CHINA', 'FRANCE')
+        GROUP BY c_mktsegment, n_name""")),
+
+    // ---- P8/§2.8: null handling — nullif/coalesce/is-null (reference: jobs/wzsesgi_etl.py:46-51; macc_summary:226-238) ----
+    Q("q27_null_handling",
+      (s, dir) => {
+        T(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 50 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            expr("nullif(l_discount, 0.0)").as("disc_or_null"),
+            coalesce(expr("nullif(l_discount, 0.0)"), lit(-1.0)).as("disc_filled"),
+            expr("nullif(l_discount, 0.0)").isNull.as("is_zero"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+        nullif(l_discount, 0.0) AS disc_or_null,
+        COALESCE(nullif(l_discount, 0.0), -1.0) AS disc_filled,
+        nullif(l_discount, 0.0) IS NULL AS is_zero
+        FROM lineitem WHERE l_orderkey % 50 = 0""")),
+
+    // ---- A5/§2.6: grand-total scalar aggregates (reference: jobs/source_to_raw/fem_ratio.py:19; decarb_path_etl.py:103) ----
+    Q("q28_scalar_agg",
+      (s, dir) => {
+        T(s, dir, "orders")
+          .agg(min(col("o_orderdate")).as("min_date"),
+            max(col("o_orderdate")).as("max_date"),
+            countDistinct(col("o_custkey")).as("n_customers"),
+            count(lit(1)).as("n_orders"),
+            max(col("o_totalprice")).as("max_price"))
+      },
+      Some("""SELECT min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+        count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders,
+        max(o_totalprice) AS max_price FROM orders""")),
+
+    // ---- J8: self-join vs base year (reference: Model/Factory_elect_simulator_update.py:498-503) ----
+    Q("q29_vs_base_year",
+      (s, dir) => {
+        val yearly = T(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"))
+          .agg(sum(cents(col("o_totalprice"))).as("yc"))
+        val base = yearly.filter(col("yr") === 1995).select(col("yc").as("base_c"))
+        yearly.crossJoin(broadcast(base))
+          .select(col("yr"), (col("yc") / 100.0).as("revenue"),
+            (col("yc").cast("double") / col("base_c").cast("double")).as("vs_base"))
+      },
+      Some(s"""WITH y AS (
+          SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                 ${sqlSumC("o_totalprice")} AS yc
+          FROM orders GROUP BY 1)
+        SELECT yr, yc/100.0 AS revenue,
+          CAST(yc AS DOUBLE)/CAST(base_c AS DOUBLE) AS vs_base
+        FROM y CROSS JOIN (SELECT yc AS base_c FROM y WHERE yr = 1995) b""")),
+
+    // ---- §2.6: global top-k with deterministic tiebreak ----
+    Q("q30_topk",
+      (s, dir) => {
+        T(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
+
+    // ---- §2.8 math: clip/round/floor/pow/safe-divide (reference: jobs/renew_green_energy.py:45-46; macc_summary:219-220,284-285) ----
+    Q("q31_math_funcs",
+      (s, dir) => {
+        T(s, dir, "customer")
+          .filter(col("c_custkey") % 20 === 0)
+          .select(col("c_custkey"),
+            Relational.clipNonNeg(col("c_acctbal")).as("bal_clipped"),
+            round(col("c_acctbal"), 1).as("bal_round1"),
+            (floor(col("c_acctbal") / 1000.0) * 1000.0).as("bal_floor_k"),
+            pow(lit(2.0), col("c_nationkey")).as("compound"),
+            when(col("c_nationkey") =!= 0,
+              col("c_acctbal") / col("c_nationkey")).as("per_nation"))
+      },
+      Some("""SELECT c_custkey,
+        greatest(c_acctbal, 0.0) AS bal_clipped,
+        round(c_acctbal, 1) AS bal_round1,
+        floor(c_acctbal/1000.0)*1000.0 AS bal_floor_k,
+        pow(2.0, c_nationkey) AS compound,
+        CASE WHEN c_nationkey <> 0 THEN c_acctbal/c_nationkey END AS per_nation
+        FROM customer WHERE c_custkey % 20 = 0"""))
+  )
+}

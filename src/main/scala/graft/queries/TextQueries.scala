@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Training-data text pipeline over the `documents` table: token stats,
+  * language-ID heuristic, quality scoring, fingerprinting, exact dedup, and
+  * three near-dup families (n-gram Jaccard via inverted-index join,
+  * MinHash+LSH banding, SimHash).
+  *
+  * Scale notes (100 TB corpus):
+  *  - exact dedup and fingerprinting are single hash-groupBys on md5(text) —
+  *    partial-aggregable, no skew (hash keys are uniform);
+  *  - Jaccard runs on an inverted index (token → doc postings join), never a
+  *    doc×doc cross join — worst case is bounded by posting-list length, and a
+  *    stop-token cap (drop tokens appearing in > maxDf docs) keeps hot tokens
+  *    from quadratic blowup exactly like production near-dup pipelines;
+  *  - MinHash/LSH reduces candidate generation to 4 equi-joins on band keys
+  *    (shuffle on band hash = uniform), the standard sub-quadratic path;
+  *  - all hashes are md5-derived so the DuckDB oracle computes bit-identical
+  *    values (no engine-private hash functions on the comparison surface).
+  */
+object TextQueries {
+
+  /** distinct (doc_id, token) postings from space-separated text */
+  private def postings(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+
+  private val sqlPostings =
+    """SELECT DISTINCT doc_id, tok FROM
+       (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) raw"""
+
+  /** 64-bit-safe 16-hex-char minhash component, engine-portable: the
+    * lexicographic min of a fixed-width hex string equals the numeric min. */
+  private def mh(seed: Int): Column =
+    min(substring(md5(concat(lit(s"$seed:"), col("tok"))), 1, 16)).as(s"h$seed")
+  private def sqlMh(seed: Int): String =
+    s"min(substr(md5('$seed:' || tok), 1, 16)) AS h$seed"
+
+  // 16-bit simhash: hex-prefix of md5 as the per-token hash
+  private def tokVal: Column =
+    conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int")
+  private val sqlTokVal = "CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER)"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- token counting + char stats ----
+    Q("t01_token_stats",
+      (s, dir) => {
+        T(s, dir, "documents").select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_tokens"))
+      },
+      Some("""SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars_calc,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+        FROM documents"""),
+      bench = true),
+
+    // ---- language-ID: deterministic stopword/ASCII heuristic ----
+    Q("t02_lang_id",
+      (s, dir) => {
+        val p = concat(lit(" "), col("text"), lit(" "))
+        def hits(wordPad: String): Column =
+          ((length(p) - length(regexp_replace(p, wordPad, ""))) / lit(wordPad.length))
+            .cast("long")
+        val en = hits(" the ") + hits(" a ")
+        val de = hits(" der ") + hits(" und ")
+        val es = hits(" el ") + hits(" que ")
+        val fr = hits(" le ") + hits(" et ")
+        T(s, dir, "documents").select(col("doc_id"), col("lang"),
+          when(col("text").rlike("[^\\x00-\\x7F]"), "zh")
+            .when(en >= de && en >= es && en >= fr, "en")
+            .when(de >= es && de >= fr, "de")
+            .when(es >= fr, "es")
+            .otherwise("fr").as("pred_lang"),
+          en.as("en_hits"))
+      },
+      Some("""WITH h AS (SELECT doc_id, lang, text, ' ' || text || ' ' AS p FROM documents),
+        sc AS (SELECT doc_id, lang, text,
+          CAST((length(p) - length(replace(p, ' the ', '')))/5 AS BIGINT)
+            + CAST((length(p) - length(replace(p, ' a ', '')))/3 AS BIGINT) AS en,
+          CAST((length(p) - length(replace(p, ' der ', '')))/5 AS BIGINT)
+            + CAST((length(p) - length(replace(p, ' und ', '')))/5 AS BIGINT) AS de,
+          CAST((length(p) - length(replace(p, ' el ', '')))/4 AS BIGINT)
+            + CAST((length(p) - length(replace(p, ' que ', '')))/5 AS BIGINT) AS es,
+          CAST((length(p) - length(replace(p, ' le ', '')))/4 AS BIGINT)
+            + CAST((length(p) - length(replace(p, ' et ', '')))/4 AS BIGINT) AS fr
+          FROM h)
+        SELECT doc_id, lang,
+          CASE WHEN regexp_matches(text, '[^\x00-\x7F]') THEN 'zh'
+               WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+               WHEN de >= es AND de >= fr THEN 'de'
+               WHEN es >= fr THEN 'es'
+               ELSE 'fr' END AS pred_lang,
+          en AS en_hits
+        FROM sc""")),
+
+    // ---- quality scoring: length / word-length / stopword ratios ----
+    Q("t03_quality_score",
+      (s, dir) => {
+        val nTok = size(split(col("text"), " ")).cast("long")
+        val nChars = length(col("text")).cast("long")
+        val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+        val p = concat(lit(" "), col("text"), lit(" "))
+        val stop = ((length(p) - length(regexp_replace(p, " the ", ""))) / lit(5L) +
+          (length(p) - length(regexp_replace(p, " a ", ""))) / lit(3L)).cast("long")
+        T(s, dir, "documents").select(col("doc_id"),
+          nTok.as("n_tokens"),
+          (alpha.cast("double") / nChars.cast("double")).as("alpha_ratio"),
+          ((nChars - (nTok - 1L)).cast("double") / nTok.cast("double")).as("avg_word_len"),
+          (stop.cast("double") / nTok.cast("double")).as("stop_ratio"),
+          when(nTok.between(10L, 200L), 1L).otherwise(0L).as("quality_ok"))
+      },
+      Some("""WITH b AS (
+          SELECT doc_id, text,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha,
+            ' ' || text || ' ' AS p FROM documents),
+        c AS (SELECT doc_id, n_tokens, n_chars, alpha,
+            CAST((length(p) - length(replace(p, ' the ', '')))/5 AS BIGINT)
+              + CAST((length(p) - length(replace(p, ' a ', '')))/3 AS BIGINT) AS stop
+          FROM b)
+        SELECT doc_id, n_tokens,
+          CAST(alpha AS DOUBLE)/CAST(n_chars AS DOUBLE) AS alpha_ratio,
+          CAST(n_chars - (n_tokens - 1) AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS avg_word_len,
+          CAST(stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stop_ratio,
+          CASE WHEN n_tokens BETWEEN 10 AND 200 THEN 1 ELSE 0 END AS quality_ok
+        FROM c""")),
+
+    // ---- document fingerprinting (content hash + shard bucket) ----
+    Q("t04_fingerprint",
+      (s, dir) => {
+        T(s, dir, "documents").select(col("doc_id"),
+          md5(col("text")).as("fp"),
+          (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 64).as("bucket"))
+      },
+      Some("""SELECT doc_id, md5(text) AS fp,
+        CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 64 AS bucket
+        FROM documents""")),
+
+    // ---- exact dedup: hash-groupBy, keep lowest doc_id ----
+    Q("t05_dedup_exact",
+      (s, dir) => {
+        T(s, dir, "documents")
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      },
+      Some("""SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)"""),
+      bench = true),
+
+    // ---- n-gram (token-set) Jaccard near-dup via inverted-index join ----
+    Q("t06_ngram_jaccard",
+      (s, dir) => {
+        val toks = postings(s, dir)
+        val counts = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+        val a = toks.select(col("doc_id").as("a_id"), col("tok"))
+        val b = toks.select(col("doc_id").as("b_id"), col("tok"))
+        val inter = a.join(b, Seq("tok")).filter(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+        val ca = counts.select(col("doc_id").as("a_id"), col("n_tok").as("n_a"))
+        val cb = counts.select(col("doc_id").as("b_id"), col("n_tok").as("n_b"))
+        inter.join(ca, "a_id").join(cb, "b_id")
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")).cast("double"))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("a_id"), col("b_id"), col("jaccard"))
+      },
+      Some(s"""WITH toks AS ($sqlPostings),
+        counts AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        j AS (SELECT a_id, b_id,
+                CAST(inter AS DOUBLE)/CAST(ca.n_tok + cb.n_tok - inter AS DOUBLE) AS jaccard
+              FROM pairs
+              JOIN counts ca ON pairs.a_id = ca.doc_id
+              JOIN counts cb ON pairs.b_id = cb.doc_id)
+        SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.8""")),
+
+    // ---- MinHash + LSH banding: 8 hashes, 4 bands × 2 rows ----
+    Q("t07_minhash_lsh",
+      (s, dir) => {
+        val sig = postings(s, dir).groupBy(col("doc_id"))
+          .agg(mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7), mh(8))
+        val banded = sig.select(col("doc_id"),
+          concat(col("h1"), col("h2")).as("b1"), concat(col("h3"), col("h4")).as("b2"),
+          concat(col("h5"), col("h6")).as("b3"), concat(col("h7"), col("h8")).as("b4"))
+        val pairs = (1 to 4).map { i =>
+          banded.select(col("doc_id").as("a_id"), col(s"b$i").as("bk"))
+            .join(banded.select(col("doc_id").as("b_id"), col(s"b$i").as("bk")), "bk")
+            .filter(col("a_id") < col("b_id"))
+            .select(col("a_id"), col("b_id"))
+        }.reduce(_ unionByName _)
+        pairs.distinct()
+      },
+      Some {
+        val mins = (1 to 8).map(sqlMh).mkString(", ")
+        val bandJoins = (1 to 4).map { i =>
+          s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM banded a JOIN banded b ON a.b$i = b.b$i AND a.doc_id < b.doc_id"""
+        }.mkString(" UNION ALL ")
+        s"""WITH toks AS ($sqlPostings),
+          sig AS (SELECT doc_id, $mins FROM toks GROUP BY doc_id),
+          banded AS (SELECT doc_id, h1||h2 AS b1, h3||h4 AS b2, h5||h6 AS b3, h7||h8 AS b4
+                     FROM sig)
+          SELECT DISTINCT a_id, b_id FROM ($bandJoins) u"""
+      }),
+
+    // ---- SimHash: 16-bit signature from per-token md5 prefixes ----
+    Q("t08_simhash",
+      (s, dir) => {
+        val v = tokVal
+        val bitSums = (0 until 16).map { i =>
+          sum(when((shiftright(v, i) % 2) === 1, 1L).otherwise(-1L)).as(s"bs$i")
+        }
+        val sums = postings(s, dir).groupBy(col("doc_id"))
+          .agg(bitSums.head, bitSums.tail: _*)
+        val sh = (0 until 16).map { i =>
+          when(col(s"bs$i") > 0, lit(1L << i)).otherwise(0L)
+        }.reduce(_ + _)
+        sums.select(col("doc_id"), sh.as("simhash"))
+      },
+      Some {
+        val bitSums = (0 until 16).map { i =>
+          s"sum(CASE WHEN (($sqlTokVal >> $i) % 2) = 1 THEN 1 ELSE -1 END) AS bs$i"
+        }.mkString(", ")
+        val sh = (0 until 16).map(i => s"CASE WHEN bs$i > 0 THEN ${1L << i} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH toks AS ($sqlPostings),
+          sums AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id)
+          SELECT doc_id, CAST($sh AS BIGINT) AS simhash FROM sums"""
+      })
+  )
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Similarity search over the `embeddings` table (`array<float>`, dim=64).
+  *
+  * Engine side keeps vectors packed (`zip_with` + `aggregate` on the array
+  * column — no explode, no shuffle of element rows); the oracle unnests via a
+  * constant index table. To make cosine scores hash-identical across engines,
+  * every element is quantized to exact milli-units first
+  * (`floor(x*1000+0.5)` as BIGINT): integer dot products and squared norms are
+  * then exact and associative (order-free), and the final
+  * `dot / (sqrt(n2a)*sqrt(n2b))` is a fixed IEEE expression over
+  * exactly-determined integers. Quantized scoring is also the realistic
+  * 100 TB design (int8/int16 product quantization is how large ANN systems
+  * ship); brute force is the correctness baseline, the label-partitioned IVF
+  * variant is the scale path (probe one cluster, not the corpus).
+  */
+object VectorQueries {
+
+  private val DIM = 64
+
+  /** exact milli-unit quantization of one element */
+  private def qz(c: Column): Column = floor(c * lit(1000.0) + lit(0.5)).cast("long")
+
+  /** exact integer dot product of two quantized array<float> columns */
+  private def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => qz(x) * qz(y)), lit(0L), (acc, z) => acc + z)
+
+  /** exact integer squared norm */
+  private def norm2Q(a: Column): Column =
+    aggregate(transform(a, x => qz(x) * qz(x)), lit(0L), (acc, z) => acc + z)
+
+  private def cosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** DuckDB: unnest each embedding against a constant 1..64 index table,
+    * quantize, and aggregate exactly — same integers as the engine side. */
+  private def sqlQuantized(filter: String, alias: String): String =
+    s"""SELECT vec_id AS ${alias}_id, label AS ${alias}_label,
+          CAST(sum(qv*qv) AS BIGINT) AS ${alias}_n2
+        FROM (SELECT vec_id, label,
+                CAST(floor(embedding[i.i]*1000.0+0.5) AS BIGINT) AS qv
+              FROM embeddings
+              CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i
+              $filter) x
+        GROUP BY 1, 2"""
+
+  private def sqlDots(qFilter: String): String =
+    s"""qe AS (SELECT vec_id AS q_id,
+            CAST(floor(embedding[i.i]*1000.0+0.5) AS BIGINT) AS qv, i.i AS i
+          FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i
+          $qFilter),
+        ce AS (SELECT vec_id AS c_id, label AS c_label,
+            CAST(floor(embedding[i.i]*1000.0+0.5) AS BIGINT) AS cv, i.i AS i
+          FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i),
+        dots AS (SELECT q_id, c_id, CAST(sum(qv*cv) AS BIGINT) AS dot
+                 FROM qe JOIN ce ON qe.i = ce.i AND q_id <> c_id
+                 GROUP BY 1, 2)"""
+
+  private def knn(s: SparkSession, dir: String, sameLabelOnly: Boolean,
+                  k: Int): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+      col("embedding").as("c_emb"))
+    val joinCond =
+      if (sameLabelOnly) col("c_id") =!= col("q_id") && col("c_label") === col("q_label")
+      else col("c_id") =!= col("q_id")
+    val scored = c.join(broadcast(q), joinCond)
+      .withColumn("cos_sim",
+        cosine(dotQ(col("q_emb"), col("c_emb")),
+          norm2Q(col("q_emb")), norm2Q(col("c_emb"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), col("cos_sim"))
+  }
+
+  private def sqlKnn(sameLabelOnly: Boolean, k: Int): String = {
+    val labelCond = if (sameLabelOnly) "AND q.q_label = c.c_label" else ""
+    s"""WITH ${sqlDots("WHERE vec_id < 5")},
+      qn AS (${sqlQuantized("WHERE vec_id < 5", "q")}),
+      cn AS (${sqlQuantized("", "c")}),
+      scored AS (
+        SELECT dots.q_id, dots.c_id,
+          CAST(dot AS DOUBLE)/(sqrt(CAST(q_n2 AS DOUBLE))*sqrt(CAST(c_n2 AS DOUBLE)))
+            AS cos_sim
+        FROM dots
+        JOIN qn q ON dots.q_id = q.q_id
+        JOIN cn c ON dots.c_id = c.c_id
+        WHERE 1=1 $labelCond),
+      ranked AS (
+        SELECT q_id, c_id, CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, c_id ASC) AS INTEGER) AS rank, cos_sim
+        FROM scored)
+      SELECT q_id, c_id, rank, cos_sim FROM ranked WHERE rank <= $k"""
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- brute-force cosine top-k (ANN correctness baseline) ----
+    Q("s01_knn_brute", (s, dir) => knn(s, dir, sameLabelOnly = false, k = 10),
+      Some(sqlKnn(sameLabelOnly = false, k = 10)), bench = true),
+
+    // ---- IVF-style search: probe only the query's cluster (label = coarse
+    // centroid id). At 100 TB the candidate table is partitioned by cluster id
+    // so this prunes to one partition per query. ----
+    Q("s02_knn_ivf_label", (s, dir) => knn(s, dir, sameLabelOnly = true, k = 3),
+      Some(sqlKnn(sameLabelOnly = true, k = 3))),
+
+    // ---- per-cluster vector stats (exact-integer norms) ----
+    Q("s03_vector_stats",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+          .withColumn("n2", norm2Q(col("embedding")))
+          .withColumn("norm", sqrt(col("n2").cast("double")) / 1000.0)
+        e.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("n2")).as("sum_n2"),
+            min(col("norm")).as("min_norm"), max(col("norm")).as("max_norm"))
+      },
+      Some(s"""WITH n AS (${sqlQuantized("", "v")})
+        SELECT v_label AS label, count(*) AS n_vecs,
+          CAST(sum(v_n2) AS BIGINT) AS sum_n2,
+          min(sqrt(CAST(v_n2 AS DOUBLE))/1000.0) AS min_norm,
+          max(sqrt(CAST(v_n2 AS DOUBLE))/1000.0) AS max_norm
+        FROM n GROUP BY 1"""))
+  )
+}
