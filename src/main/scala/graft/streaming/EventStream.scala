@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface for the `events` table shape.
+  *
+  * The reference has no streaming (SURVEY.md §2.9) — its analogue is the
+  * cron-driven incremental batch refresh. This module provides the real
+  * streaming path for the same rollups the batch queries compute
+  * (EventQueries e02): file-source `readStream` → watermark → tumbling
+  * window → aggregate, so a deployment can switch the hourly rollup from
+  * batch to continuous without changing downstream schemas.
+  *
+  * Scale notes: the aggregation state is keyed by (window, event_type) —
+  * bounded cardinality; the 2-hour watermark bounds state retention; file
+  * sources at 100 TB would be replaced by a Kafka source with identical
+  * downstream plan.
+  */
+object EventStream {
+
+  /** Parquet schema of the events table with raw nano timestamps (see
+    * EventQueries.events for why ts arrives as LongType nanos). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming hourly rollup: same output schema as the batch
+    * e02_hourly_rollup (window start = the date_trunc'd hour). */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(graft.functions.Money.cents(col("value"))) / 100.0).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"),
+        col("total_value"))
+  }
+
+  /** Drive the streaming query over whatever files exist, synchronously, and
+    * leave the result in an in-memory table (test/local harness). */
+  def runOnce(spark: SparkSession, dir: String, tableName: String): DataFrame = {
+    val q = hourlyRollup(spark, dir)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(tableName)
+  }
+}

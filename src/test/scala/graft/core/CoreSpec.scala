@@ -1,0 +1,51 @@
+package graft.core
+
+import java.nio.file.Files
+import java.time.LocalDate
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DecarbDate windows with the January rollover") {
+    val jan = FixedClock(LocalDate.of(2026, 1, 15))
+    assert(DecarbDate.previousMonthWindow(jan) ==
+      (LocalDate.of(2025, 12, 1), LocalDate.of(2025, 12, 31)))
+    assert(DecarbDate.reportingYearWindow(jan) ==
+      (LocalDate.of(2025, 1, 1), LocalDate.of(2025, 12, 31)))
+    val mid = FixedClock(LocalDate.of(2026, 8, 12))
+    assert(DecarbDate.previousMonthWindow(mid) ==
+      (LocalDate.of(2026, 7, 1), LocalDate.of(2026, 7, 31)))
+    assert(DecarbDate.rollingMonths(mid, 12) ==
+      (LocalDate.of(2025, 8, 1), LocalDate.of(2026, 7, 31)))
+  }
+
+  test("overwritePartitions refreshes only the incoming partitions") {
+    val dir = Files.createTempDirectory("sink").toString + "/t"
+    val v1 = Seq(("2026-01", "a", 1.0), ("2026-02", "b", 2.0))
+      .toDF("period", "site", "amount")
+    Sink.overwritePartitions(v1, dir, Seq("period"))
+    // re-run Feb with corrected data — Jan must survive untouched (S7 idempotent refresh)
+    val v2 = Seq(("2026-02", "b", 20.0), ("2026-02", "c", 30.0))
+      .toDF("period", "site", "amount")
+    Sink.overwritePartitions(v2, dir, Seq("period"))
+    val got = Sink.read(spark, dir).select("period", "site", "amount")
+      .as[(String, String, Double)].collect().toSet
+    assert(got == Set(("2026-01", "a", 1.0), ("2026-02", "b", 20.0),
+      ("2026-02", "c", 30.0)))
+  }
+
+  test("overwriteWhere rewrites only touched partitions by predicate") {
+    val dir = Files.createTempDirectory("sink2").toString + "/t"
+    val v1 = Seq(("2026-01", "a", 1.0), ("2026-01", "x", 9.0), ("2026-02", "b", 2.0))
+      .toDF("period", "site", "amount")
+    Sink.overwritePartitions(v1, dir, Seq("period"))
+    val fix = Seq(("2026-01", "x", 99.0)).toDF("period", "site", "amount")
+    Sink.overwriteWhere(fix, dir, Seq("period"), col("site") === "x")
+    val got = Sink.read(spark, dir).select("period", "site", "amount")
+      .as[(String, String, Double)].collect().toSet
+    assert(got == Set(("2026-01", "a", 1.0), ("2026-01", "x", 99.0),
+      ("2026-02", "b", 2.0)))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FinancialSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("irr of (-100, +110) is 10%") {
+    assert(approx(Financial.irr(Seq(-100.0, 110.0)), 0.10, 1e-7))
+  }
+
+  test("irr of a multi-year stream matches the polynomial root") {
+    val r = Financial.irr(Seq(-1000.0, 400.0, 400.0, 400.0))
+    // npv(r) == 0 is the defining property
+    val npv = Seq(-1000.0, 400.0, 400.0, 400.0).zipWithIndex
+      .map { case (cf, i) => cf / math.pow(1 + r, i) }.sum
+    assert(math.abs(npv) < 1e-6)
+    assert(r > 0.09 && r < 0.10) // ~9.7%
+  }
+
+  test("irr is NaN without a sign change") {
+    assert(Financial.irr(Seq(10.0, 20.0)).isNaN)
+    assert(Financial.irr(Seq(-10.0, -20.0)).isNaN)
+  }
+
+  test("cagr of (100 -> 121 over 2 steps) is 10%") {
+    assert(approx(Financial.cagr(Seq(100.0, 110.0, 121.0)), 0.10, 1e-9))
+  }
+
+  test("aggregators sort by key across partitions before computing") {
+    // rows deliberately out of order and spread over partitions
+    val df = Seq((2, 110.0), (0, -100.0), (1, 0.0)).toDF("yr", "cf")
+      .repartition(3)
+    val gotIrr = df.agg(Financial.irrAgg($"yr", $"cf").as("irr"))
+      .as[Double].head()
+    // -100 + 0/(1+r) + 110/(1+r)^2 = 0  =>  r = sqrt(1.1) - 1
+    assert(approx(gotIrr, math.sqrt(1.1) - 1.0, 1e-6))
+
+    val df2 = Seq((2025, 121.0), (2023, 100.0), (2024, 999.0))
+      .toDF("yr", "v").repartition(3)
+    val gotCagr = df2.agg(Financial.cagrAgg($"yr", $"v").as("cagr"))
+      .as[Double].head()
+    assert(approx(gotCagr, 0.10, 1e-9)) // middle value irrelevant: first/last
+  }
+
+  test("money cents rounding is half-up and exact") {
+    val got = Seq(1.005, 2.675, -3.145).toDF("x")
+      .select(Money.cents($"x")).as[Long].collect().toSeq
+    // IEEE doubles: 1.005*100 = 100.4999... -> 100; 2.675*100 = 267.5000...6
+    // -> 268; -3.145*100 = -314.4999... -> -314 (same bits in every engine)
+    assert(got == Seq(100L, 268L, -314L))
+  }
+}
