@@ -64,18 +64,19 @@ object VectorQueries {
   private def knn(s: SparkSession, dir: String, sameLabelOnly: Boolean,
                   k: Int): DataFrame = {
     val e = T(s, dir, "embeddings")
+    // precompute each side's squared norm BEFORE the join: norms are computed
+    // once per vector instead of once per (query, candidate) pair
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-        col("embedding").as("q_emb"))
+        col("embedding").as("q_emb"), norm2Q(col("embedding")).as("q_n2"))
     val c = e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
-      col("embedding").as("c_emb"))
+      col("embedding").as("c_emb"), norm2Q(col("embedding")).as("c_n2"))
     val joinCond =
       if (sameLabelOnly) col("c_id") =!= col("q_id") && col("c_label") === col("q_label")
       else col("c_id") =!= col("q_id")
     val scored = c.join(broadcast(q), joinCond)
       .withColumn("cos_sim",
-        cosine(dotQ(col("q_emb"), col("c_emb")),
-          norm2Q(col("q_emb")), norm2Q(col("c_emb"))))
+        cosine(dotQ(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -1,0 +1,71 @@
+package graft.jobs
+
+import java.time.LocalDate
+import java.sql.{Date => SqlDate}
+import graft.SparkSpec
+import graft.core.FixedClock
+
+class JobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val clock = FixedClock(LocalDate.of(2026, 8, 1))
+  private def d(s: String) = SqlDate.valueOf(s)
+
+  test("electricityDecarb: CSR rows gain solar, esgi rows keep amount, YTM + ALL rollup") {
+    val origin = Seq(
+      ("S1", 100.0, d("2026-01-01"), "CSR"),
+      ("S1", 50.0, d("2026-01-01"), "esgi"),
+      ("S1", 200.0, d("2026-02-01"), "CSR"),
+      ("S2", 10.0, d("2026-01-01"), "CSR") // not a boundary site -> dropped
+    ).toDF("site", "amount", "period_start", "type")
+    val solar = Seq(("S1", 5.0, d("2026-01-01"))).toDF("site", "amount", "period_start")
+    val boundary = Seq("S1").toDF("site")
+
+    val got = RawToStaging.electricityDecarb(origin, solar, boundary, clock)
+      .select("bo", "site", "amount", "ytm_amount", "period_start", "unit")
+      .as[(String, String, Double, Double, SqlDate, String)].collect().toSet
+
+    // detail (bo literally 'ALL', reference quirk): Jan esgi 50 (ytm 50),
+    // Jan CSR 105 (ytm 155, amount-tiebreak puts 50 first), Feb 200 (ytm 355)
+    // rollup  (site 'ALL'): Jan 155/205? -> amounts 105+50=155, ytm 50+155=205; Feb 200, ytm 355
+    assert(got == Set(
+      ("ALL", "S1", 50.0, 50.0, d("2026-01-01"), "度"),
+      ("ALL", "S1", 105.0, 155.0, d("2026-01-01"), "度"),
+      ("ALL", "S1", 200.0, 355.0, d("2026-02-01"), "度"),
+      ("ALL", "ALL", 155.0, 205.0, d("2026-01-01"), "度"),
+      ("ALL", "ALL", 200.0, 355.0, d("2026-02-01"), "度")))
+  }
+
+  test("renewableEnergyDecarb decodes categories and renames WKS-P6 sites") {
+    val renew = Seq(
+      ("WKS-P6A", "光伏", 10.0, d("2026-01-01")),
+      ("WKS-P6A", "光伏", 20.0, d("2026-02-01")),
+      ("S1", "綠電", 7.0, d("2026-01-01"))
+    ).toDF("site", "category", "amount", "period_start")
+    val boundary = Seq("WKS-6A", "S1").toDF("site")
+
+    val got = RawToStaging.renewableEnergyDecarb(renew, boundary, clock)
+      .select("bo", "site", "category", "amount", "ytm_amount", "period_start")
+      .as[(String, String, String, Double, Double, SqlDate)].collect().toSet
+
+    assert(got == Set(
+      ("ALL", "WKS-6A", "solar_energy", 10.0, 10.0, d("2026-01-01")),
+      ("ALL", "WKS-6A", "solar_energy", 20.0, 30.0, d("2026-02-01")),
+      ("ALL", "S1", "green_electricity", 7.0, 7.0, d("2026-01-01")),
+      ("ALL", "ALL", "solar_energy", 10.0, 10.0, d("2026-01-01")),
+      ("ALL", "ALL", "solar_energy", 20.0, 30.0, d("2026-02-01")),
+      ("ALL", "ALL", "green_electricity", 7.0, 7.0, d("2026-01-01"))))
+  }
+
+  test("pipeline isolates job failures and reports both outcomes") {
+    val notifier = new Pipeline.CollectingNotifier
+    val failed = Pipeline.run(spark, Seq(
+      Pipeline.Job("ok_job", _ => ()),
+      Pipeline.Job("boom", _ => throw new RuntimeException("nope")),
+      Pipeline.Job("after_boom", _ => ())
+    ), notifier)
+    assert(failed == Seq("boom"))
+    assert(notifier.events.toList == List(
+      ("success", "ok_job"), ("failure", "boom: nope"), ("success", "after_boom")))
+  }
+}
