@@ -52,12 +52,17 @@ object TextQueries {
         T(s, dir, "documents").select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
           length(col("text")).cast("long").as("n_chars_calc"),
-          size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_tokens"))
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_tokens"),
+          // BPE-ish subword count: alpha runs + digit runs + isolated symbols
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast("long").as("n_subwords"))
       },
       Some("""SELECT doc_id, lang,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         CAST(length(text) AS BIGINT) AS n_chars_calc,
-        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+          AS n_subwords
         FROM documents"""),
       bench = true),
 
@@ -211,6 +216,33 @@ object TextQueries {
           banded AS (SELECT doc_id, h1||h2 AS b1, h3||h4 AS b2, h5||h6 AS b3, h7||h8 AS b4
                      FROM sig)
           SELECT DISTINCT a_id, b_id FROM ($bandJoins) u"""
+      }),
+
+    // ---- character 5-gram shingle MinHash: true shingling (not token sets),
+    // the standard near-dup representation for web-scale corpora. Shingles
+    // are generated columnar-side (sequence + substring — no UDF); the rest
+    // of the MinHash/LSH machinery is shared with t07. ----
+    Q("t09_shingle_minhash",
+      (s, dir) => {
+        val shingles = T(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1), length(col("text")) - 4)).as("i"))
+          .select(col("doc_id"), expr("substr(text, i, 5)").as("tok"))
+          .distinct()
+        val sig = shingles.groupBy(col("doc_id"))
+          .agg(mh(1), mh(2), mh(3), mh(4))
+        sig.select(col("doc_id"), concat(col("h1"), col("h2")).as("band1"),
+          concat(col("h3"), col("h4")).as("band2"))
+      },
+      Some {
+        val mins = (1 to 4).map(sqlMh).mkString(", ")
+        s"""WITH shingles AS (
+            SELECT DISTINCT doc_id, substr(text, i.i, 5) AS tok
+            FROM documents
+            CROSS JOIN (SELECT unnest(range(1, 1001)) AS i) i
+            WHERE i.i <= length(text) - 4),
+          sig AS (SELECT doc_id, $mins FROM shingles GROUP BY doc_id)
+          SELECT doc_id, h1||h2 AS band1, h3||h4 AS band2 FROM sig"""
       }),
 
     // ---- SimHash: 16-bit signature from per-token md5 prefixes ----

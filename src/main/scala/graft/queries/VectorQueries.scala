@@ -115,6 +115,40 @@ object VectorQueries {
     Q("s02_knn_ivf_label", (s, dir) => knn(s, dir, sameLabelOnly = true, k = 3),
       Some(sqlKnn(sameLabelOnly = true, k = 3))),
 
+    // ---- embedding-cosine near-duplicate pairs, blocked by cluster label:
+    // the all-pairs comparison is confined to same-label blocks (an equi-join
+    // on the coarse cluster id — shuffle-partitionable, never a global cross
+    // join), the standard scale pattern for embedding dedup. ----
+    Q("s04_embedding_neardup",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val a = e.select(col("label"), col("vec_id").as("a_id"),
+          col("embedding").as("a_emb"), norm2Q(col("embedding")).as("a_n2"))
+        val b = e.select(col("label"), col("vec_id").as("b_id"),
+          col("embedding").as("b_emb"), norm2Q(col("embedding")).as("b_n2"))
+        a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+          .withColumn("cos_sim",
+            cosine(dotQ(col("a_emb"), col("b_emb")), col("a_n2"), col("b_n2")))
+          .filter(col("cos_sim") >= 0.3)
+          .select(col("label"), col("a_id"), col("b_id"), col("cos_sim"))
+      },
+      Some(s"""WITH qe AS (SELECT vec_id, label,
+            CAST(floor(embedding[i.i]*1000.0+0.5) AS BIGINT) AS qv, i.i AS i
+          FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i),
+        dots AS (SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+              CAST(sum(a.qv*b.qv) AS BIGINT) AS dot
+            FROM qe a JOIN qe b ON a.i = b.i AND a.label = b.label
+              AND a.vec_id < b.vec_id
+            GROUP BY 1, 2, 3),
+        n AS (${sqlQuantized("", "v")}),
+        scored AS (SELECT dots.label, a_id, b_id,
+            CAST(dot AS DOUBLE)/(sqrt(CAST(na.v_n2 AS DOUBLE))*sqrt(CAST(nb.v_n2 AS DOUBLE)))
+              AS cos_sim
+          FROM dots
+          JOIN n na ON dots.a_id = na.v_id
+          JOIN n nb ON dots.b_id = nb.v_id)
+        SELECT label, a_id, b_id, cos_sim FROM scored WHERE cos_sim >= 0.3""")),
+
     // ---- per-cluster vector stats (exact-integer norms) ----
     Q("s03_vector_stats",
       (s, dir) => {
