@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.Money.cents
+import graft.model.GreedyAllocator
+import Q._
+
+/** Model-layer operators as oracle-checked queries: the greedy capacitated
+  * allocator (reference: Model/RE_purpose_optimizer.py:193-324) in its
+  * closed-form window formulation, and the MACC WACC discounting
+  * (reference: macc_summary/macc_input_to_summary.py:219-220).
+  */
+object ModelQueries {
+
+  // 1.05^k for k = 0..6 as decimal literals: both engines parse these to the
+  // identical doubles, avoiding cross-libm pow() last-ulp differences.
+  private val waccFactors = Seq(
+    1995 -> 1.0, 1996 -> 1.05, 1997 -> 1.1025, 1998 -> 1.157625,
+    1999 -> 1.21550625, 2000 -> 1.2762815625, 2001 -> 1.340095640625)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- greedy price-ranked allocation with budget + capacities (W3 +
+    // the optimizer loop collapsed to one window pass) ----
+    Q("m01_greedy_allocation",
+      (s, dir) => {
+        val items = T(s, dir, "customer").select(
+          (col("c_nationkey") % 5).cast("int").as("yr"),
+          col("c_custkey").as("area"),
+          col("c_acctbal").as("price"),
+          // exact-integer capacities (cents as doubles) keep the running sum
+          // associative-order-free on the oracle compare surface
+          cents(greatest(col("c_acctbal"), lit(0.0))).cast("double").as("cap"))
+        val budgets = items.select(col("yr")).distinct()
+          .withColumn("budget", lit(1.0e7)) // 100k units in cents
+        GreedyAllocator.allocate(items, budgets, "yr", "price", "cap",
+            "budget", tiebreakCols = Seq("area"))
+          .select(col("yr"), col("area"), col("price"), col("price_rank"),
+            (col("allocated") / 100.0).as("allocated"))
+      },
+      Some(s"""WITH items AS (
+          SELECT CAST(c_nationkey % 5 AS INTEGER) AS yr, c_custkey AS area,
+            c_acctbal AS price,
+            CAST(${sqlCents("greatest(c_acctbal, 0.0)")} AS DOUBLE) AS cap
+          FROM customer),
+        r AS (SELECT yr, area, price, cap,
+            CAST(row_number() OVER (PARTITION BY yr ORDER BY price ASC, area ASC)
+              AS INTEGER) AS price_rank,
+            COALESCE(sum(cap) OVER (PARTITION BY yr ORDER BY price ASC, area ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS consumed
+          FROM items)
+        SELECT yr, area, price, price_rank,
+          greatest(0.0, least(cap, 10000000.0 - consumed))/100.0 AS allocated
+        FROM r"""),
+      bench = true),
+
+    // ---- WACC discounting via a literal factor lookup (broadcast join) ----
+    Q("m02_wacc_discount",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val factors = waccFactors.toDF("yr", "factor")
+        val yearly = T(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"))
+          .agg(sum(cents(col("o_totalprice"))).as("rc"))
+        yearly.join(broadcast(factors), Seq("yr"))
+          .select(col("yr"), (col("rc") / 100.0).as("revenue"),
+            ((col("rc") / 100.0) / col("factor")).as("discounted_revenue"))
+      },
+      Some {
+        val vals = waccFactors.map { case (y, f) => s"($y, $f)" }.mkString(", ")
+        s"""WITH yearly AS (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+              ${sqlSumC("o_totalprice")} AS rc
+            FROM orders GROUP BY 1)
+          SELECT yr, rc/100.0 AS revenue, (rc/100.0)/factor AS discounted_revenue
+          FROM yearly JOIN (VALUES $vals) f(yr, factor) USING (yr)"""
+      })
+  )
+}
