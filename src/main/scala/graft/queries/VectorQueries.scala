@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions
 import Q._
 
 /** Similarity search over the `embeddings` table (`array<float>`, dim=64).
@@ -23,20 +24,12 @@ object VectorQueries {
 
   private val DIM = 64
 
-  /** exact milli-unit quantization of one element */
-  private def qz(c: Column): Column = floor(c * lit(1000.0) + lit(0.5)).cast("long")
-
-  /** quantize a whole array<float> once (per vector, before any join — the
-    * pairwise scoring then runs pure integer ops per pair) */
-  private def qzArr(a: Column): Column = transform(a, qz(_))
-
-  /** exact integer dot product of two pre-quantized array<long> columns */
+  /** exact integer dot product / squared norm over array<float>: native
+    * codegen expressions (graft.functions.VectorExpressions) — a tight Java
+    * loop inside whole-stage codegen instead of interpreted HOFs. */
   private def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, z) => acc + z)
-
-  /** exact integer squared norm of a pre-quantized array<long> column */
-  private def norm2Q(a: Column): Column =
-    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+    VectorExpressions.quantizedDot(a, b)
+  private def norm2Q(a: Column): Column = VectorExpressions.quantizedNorm2(a)
 
   private def cosine(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
@@ -67,16 +60,15 @@ object VectorQueries {
 
   private def knn(s: SparkSession, dir: String, sameLabelOnly: Boolean,
                   k: Int): DataFrame = {
+    VectorExpressions.register(s)
     val e = T(s, dir, "embeddings")
     // precompute each side's squared norm BEFORE the join: norms are computed
     // once per vector instead of once per (query, candidate) pair
     val q = e.filter(col("vec_id") < 5)
-      .withColumn("q_emb", qzArr(col("embedding")))
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-        col("q_emb"), norm2Q(col("q_emb")).as("q_n2"))
-    val c = e.withColumn("c_emb", qzArr(col("embedding")))
-      .select(col("vec_id").as("c_id"), col("label").as("c_label"),
-        col("c_emb"), norm2Q(col("c_emb")).as("c_n2"))
+        col("embedding").as("q_emb"), norm2Q(col("embedding")).as("q_n2"))
+    val c = e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+      col("embedding").as("c_emb"), norm2Q(col("embedding")).as("c_n2"))
     val joinCond =
       if (sameLabelOnly) col("c_id") =!= col("q_id") && col("c_label") === col("q_label")
       else col("c_id") =!= col("q_id")
@@ -127,13 +119,12 @@ object VectorQueries {
     // join), the standard scale pattern for embedding dedup. ----
     Q("s04_embedding_neardup",
       (s, dir) => {
+        VectorExpressions.register(s)
         val e = T(s, dir, "embeddings")
-        val a = e.withColumn("a_emb", qzArr(col("embedding")))
-          .select(col("label"), col("vec_id").as("a_id"),
-            col("a_emb"), norm2Q(col("a_emb")).as("a_n2"))
-        val b = e.withColumn("b_emb", qzArr(col("embedding")))
-          .select(col("label"), col("vec_id").as("b_id"),
-            col("b_emb"), norm2Q(col("b_emb")).as("b_n2"))
+        val a = e.select(col("label"), col("vec_id").as("a_id"),
+          col("embedding").as("a_emb"), norm2Q(col("embedding")).as("a_n2"))
+        val b = e.select(col("label"), col("vec_id").as("b_id"),
+          col("embedding").as("b_emb"), norm2Q(col("embedding")).as("b_n2"))
         a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
           .withColumn("cos_sim",
             cosine(dotQ(col("a_emb"), col("b_emb")), col("a_n2"), col("b_n2")))
@@ -160,8 +151,9 @@ object VectorQueries {
     // ---- per-cluster vector stats (exact-integer norms) ----
     Q("s03_vector_stats",
       (s, dir) => {
+        VectorExpressions.register(s)
         val e = T(s, dir, "embeddings")
-          .withColumn("n2", norm2Q(qzArr(col("embedding"))))
+          .withColumn("n2", norm2Q(col("embedding")))
           .withColumn("norm", sqrt(col("n2").cast("double")) / 1000.0)
         e.groupBy(col("label"))
           .agg(count(lit(1)).as("n_vecs"), sum(col("n2")).as("sum_n2"),

@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofDot = {
+    // the composable HOF formulation the expressions replace — used as the
+    // semantic reference
+    def qz(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000.0) + lit(0.5)).cast("long")
+    (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => qz(x) * qz(y)), lit(0L), (acc, z) => acc + z)
+  }
+
+  test("quantizedDot/Norm2 equal the HOF formulation on real embeddings") {
+    VectorExpressions.register(spark)
+    val e = spark.read.parquet(s"$sfSmoke/embeddings.parquet").limit(50)
+    val cmp = e.select(
+      VectorExpressions.quantizedDot(col("embedding"), col("embedding")).as("native"),
+      hofDot(col("embedding"), col("embedding")).as("hof"),
+      VectorExpressions.quantizedNorm2(col("embedding")).as("native_n2"))
+    val rows = cmp.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1)) // dot(self) == HOF dot(self)
+      assert(r.getLong(0) == r.getLong(2)) // dot(self) == norm2
+    }
+  }
+
+  test("expressions survive both codegen and interpreted paths") {
+    VectorExpressions.register(spark)
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 0.5f))).toDF("a", "b")
+    val got = df.select(
+      VectorExpressions.quantizedDot(col("a"), col("b")).as("d"),
+      VectorExpressions.quantizedNorm2(col("a")).as("n")).head()
+    // (1000*3000) + (2000*500) = 4_000_000 ; 1000^2 + 2000^2 = 5_000_000
+    assert(got.getLong(0) == 4000000L && got.getLong(1) == 5000000L)
+    // force the interpreted path (eval) via a non-codegen context: filter on
+    // the expression inside a UDF-less local relation still goes through
+    // codegen, so call eval directly instead
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val lit1 = Literal.create(Array(1.0f, 2.0f),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val dot = VectorExpressions.QuantizedDot(lit1, lit1)
+    assert(dot.eval(null) == 5000000L)
+    val n2 = VectorExpressions.QuantizedNorm2(lit1)
+    assert(n2.eval(null) == 5000000L)
+  }
+
+  test("null input yields null, not a crash") {
+    VectorExpressions.register(spark)
+    val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    val r = df.select(VectorExpressions.quantizedDot(col("a"), col("b")).as("d"))
+      .head()
+    assert(r.isNullAt(0))
+  }
+}
