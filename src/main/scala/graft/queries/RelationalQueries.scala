@@ -388,9 +388,12 @@ object RelationalQueries {
             year(col("o_orderdate")).as("yr"),
             month(col("o_orderdate")).as("mo"),
             quarter(col("o_orderdate")).as("qtr"),
-            add_months(col("o_orderdate"), 3).as("plus3m"),
-            last_day(col("o_orderdate")).as("month_end"),
-            date_trunc("year", col("o_orderdate")).cast("date").as("year_start"),
+            // dates surface as midnight timestamps: parquet DATE and DuckDB
+            // DATE canonicalize differently in downstream readers, timestamps
+            // identically
+            add_months(col("o_orderdate"), 3).cast("timestamp").as("plus3m"),
+            last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+            date_trunc("year", col("o_orderdate")).as("year_start"),
             datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
               .as("days_to_2002"))
       },
@@ -398,9 +401,9 @@ object RelationalQueries {
         CAST(year(o_orderdate) AS INTEGER) AS yr,
         CAST(month(o_orderdate) AS INTEGER) AS mo,
         CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
-        CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
-        last_day(CAST(o_orderdate AS DATE)) AS month_end,
-        CAST(date_trunc('year', o_orderdate) AS DATE) AS year_start,
+        CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS plus3m,
+        CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+        CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS year_start,
         CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER)
           AS days_to_2002
         FROM orders WHERE o_orderkey % 100 = 0""")),

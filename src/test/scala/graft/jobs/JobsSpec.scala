@@ -68,4 +68,30 @@ class JobsSpec extends SparkSpec {
     assert(notifier.events.toList == List(
       ("success", "ok_job"), ("failure", "boom: nope"), ("success", "after_boom")))
   }
+
+  test("scope2/scope1 emission math matches the reference formulas") {
+    val elect = Seq(
+      ("S1", d("2026-01-01"), 1000.0, 1000.0),
+      ("S2", d("2026-01-01"), 500.0, 500.0)
+    ).toDF("site", "period_start", "amount", "ytm_amount")
+    val offsets = Seq(("S1", d("2026-01-01"), 200.0, 200.0))
+      .toDF("site", "period_start", "amount", "ytm_amount")
+    val coef = Seq(("S1", 0.5), ("S2-ALIAS", 0.8)).toDF("site", "coef")
+    val coefFixed = StagingCal.coefPreprocess(coef, Map("S2-ALIAS" -> "S2"))
+
+    val s2 = StagingCal.scope2(elect, offsets, coefFixed)
+      .as[(SqlDate, Double, Double)].head()
+    // S1: (1000-200)*0.5/1000 = 0.4 ; S2: (500-0)*0.8/1000 = 0.4 -> 0.8
+    assert(approx(s2._2, 0.8) && approx(s2._3, 0.8))
+
+    val s1 = StagingCal.scope1(StagingCal.scope2(elect, offsets, coefFixed))
+      .as[(SqlDate, Double, Double)].head()
+    assert(approx(s1._2, 0.8 * 0.06 / 0.94))
+
+    val both = StagingCal.scope1n2(
+        StagingCal.scope1(StagingCal.scope2(elect, offsets, coefFixed)),
+        StagingCal.scope2(elect, offsets, coefFixed))
+      .as[(SqlDate, Double, Double)].head()
+    assert(approx(both._2, 0.8 + 0.8 * 0.06 / 0.94))
+  }
 }
