@@ -541,6 +541,36 @@ object RelationalQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
 
+    // ---- A9-alt: native rollup (grouping sets) — the built-in form of the
+    // reference's hand-rolled ALL-union (SURVEY.md §7.3), with collapsed keys
+    // decoded to the reference's 'ALL' labels ----
+    Q("q32_rollup_native",
+      (s, dir) => {
+        T(s, dir, "orders")
+          .rollup(col("o_orderpriority"), col("o_orderstatus"))
+          .agg((sum(cents(col("o_totalprice"))) / 100.0).as("total"),
+            count(lit(1)).as("n"))
+          .select(
+            coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+            coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+            col("total"), col("n"))
+      },
+      Some(s"""SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+        ${sqlSumC("o_totalprice")}/100.0 AS total, count(*) AS n
+        FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""")),
+
+    // ---- HLL sketch: approximate distinct at scale (no oracle — sketch
+    // estimates are engine-specific; the exact counterpart is q28/q16) ----
+    Q("q33_approx_distinct",
+      (s, dir) => {
+        T(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+            countDistinct(col("l_orderkey")).as("exact_orders"))
+      },
+      None),
+
     // ---- §2.8 math: clip/round/floor/pow/safe-divide (reference: jobs/renew_green_energy.py:45-46; macc_summary:219-220,284-285) ----
     Q("q31_math_funcs",
       (s, dir) => {
