@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain join result under heavy skew") {
+    // 90% of fact rows share one key — the pathological shape
+    val fact = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i.toDouble))
+      .toDF("k", "v")
+    val dim = Seq(("hot", "H"), ("k901", "A"), ("k950", "B")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).select("k", "v", "name")
+      .as[(String, Double, String)].collect().toSet
+    val salted = Scale.saltedJoin(fact, dim, "k", saltFactor = 8)
+      .select("k", "v", "name").as[(String, Double, String)].collect().toSet
+    assert(salted == plain)
+    assert(plain.count(_._1 == "hot") == 900)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // default warehouse (./spark-warehouse, gitignored) — warehouse.dir is a
+    // static conf that cannot move after session start
+    val n = 16
+    val a = (1L to 500L).map(i => (i, s"a$i")).toDF("id", "av")
+    val b = (1L to 500L).map(i => (i, i * 2.0)).toDF("id", "bv")
+    Scale.writeBucketed(a, "bucketed_a", "id", n)
+    Scale.writeBucketed(b, "bucketed_b", "id", n)
+    // disable broadcast so the join would otherwise shuffle both sides
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), "id")
+      assert(joined.count() == 500)
+      assert(Scale.isExchangeFree(joined),
+        s"expected exchange-free bucketed join, got:\n${joined.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS bucketed_b")
+    }
+  }
+}
