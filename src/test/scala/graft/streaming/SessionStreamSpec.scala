@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import graft.SparkSpec
+import graft.SparkEntry
+import SessionStream._
+
+class SessionStreamSpec extends SparkSpec {
+
+  private val M = 60L * 1000 * 1000 // one minute in micros
+
+  test("advance closes a session on a >30min gap and keeps the tail open") {
+    val events = Seq(
+      Event(1, 1, 0), Event(1, 2, 10 * M), // session A
+      Event(1, 3, 50 * M), Event(1, 4, 55 * M)) // 40min gap -> new session
+    val (closed, open) = advance(1, events, None)
+    assert(closed == Seq(ClosedSession(1, 0, 10 * M, 2)))
+    assert(open.contains(OpenSession(50 * M, 55 * M, 2)))
+    // feeding the open session more events within the gap extends it
+    val (closed2, open2) = advance(1, Seq(Event(1, 5, 70 * M)), open)
+    assert(closed2.isEmpty && open2.contains(OpenSession(50 * M, 70 * M, 3)))
+  }
+
+  test("streaming sessions match the batch e04 closed sessions") {
+    val dir = Files.createTempDirectory("events_sess")
+    Files.copy(Paths.get(s"$sfSmoke/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val streamed = SessionStream.runOnce(spark, dir.toString, "sess_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+    // batch e04 sessions; the streaming run closes only gap-terminated
+    // sessions (each user's final session stays open), so the streamed set
+    // must equal batch minus each user's last session
+    val batch = SparkEntry.queries("e04_sessionize")(spark, sfSmoke)
+    val rows = batch.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))
+    }
+    val lastPerUser = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val expected = rows
+      .filter(r => r._2 != lastPerUser(r._1))
+      .map(r => (r._1, micros(r._4), micros(r._5), r._3.toInt))
+      .toSet
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+}
