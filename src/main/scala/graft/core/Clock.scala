@@ -49,4 +49,28 @@ object DecarbDate {
     val prev = YearMonth.from(clock.today).minusMonths(1)
     (prev.minusMonths(n.toLong - 1).atDay(1), prev.atEndOfMonth())
   }
+
+  /** One reporting window per quarter elapsed this year — the green-energy
+    * overview's quarter branching (reference: jobs/renew_green_energy.py:
+    * 67-104): the Q1 iteration reports last year's Q4 over the whole previous
+    * year; later iterations report this year's previous quarter over the
+    * months 1..quarter-end. `periodEnd` is the month-START of the window's
+    * last month, as in the reference. */
+  final case class QuarterWindow(year: Int, quarter: String, quarterNum: Int,
+                                 periodStart: LocalDate, periodEnd: LocalDate)
+
+  def reportingQuarters(clock: Clock): Seq[QuarterWindow] = {
+    val today = clock.today
+    val y = today.getYear
+    (1 to today.getMonthValue by 3).map {
+      case i if i <= 3 =>
+        QuarterWindow(y - 1, "Q4", 4, LocalDate.of(y - 1, 1, 1), LocalDate.of(y - 1, 12, 1))
+      case i if i <= 6 =>
+        QuarterWindow(y, "Q1", 1, LocalDate.of(y, 1, 1), LocalDate.of(y, 3, 1))
+      case i if i <= 9 =>
+        QuarterWindow(y, "Q2", 2, LocalDate.of(y, 1, 1), LocalDate.of(y, 6, 1))
+      case _ =>
+        QuarterWindow(y, "Q3", 3, LocalDate.of(y, 1, 1), LocalDate.of(y, 9, 1))
+    }
+  }
 }

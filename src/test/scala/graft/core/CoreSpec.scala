@@ -21,6 +21,20 @@ class CoreSpec extends SparkSpec {
       (LocalDate.of(2025, 8, 1), LocalDate.of(2026, 7, 31)))
   }
 
+  test("reportingQuarters reproduces the quarter-branch windows") {
+    // August: three completed iterations — last year's Q4, then Q1, Q2
+    val aug = FixedClock(LocalDate.of(2026, 8, 12))
+    val got = DecarbDate.reportingQuarters(aug)
+    assert(got.map(q => (q.year, q.quarter)) == Seq(
+      (2025, "Q4"), (2026, "Q1"), (2026, "Q2")))
+    assert(got.head.periodStart == LocalDate.of(2025, 1, 1))
+    assert(got.head.periodEnd == LocalDate.of(2025, 12, 1))
+    assert(got(2).periodEnd == LocalDate.of(2026, 6, 1))
+    // February: only the Q4-of-last-year iteration
+    val feb = FixedClock(LocalDate.of(2026, 2, 1))
+    assert(DecarbDate.reportingQuarters(feb).map(_.quarter) == Seq("Q4"))
+  }
+
   test("overwritePartitions refreshes only the incoming partitions") {
     val dir = Files.createTempDirectory("sink").toString + "/t"
     val v1 = Seq(("2026-01", "a", 1.0), ("2026-02", "b", 2.0))
