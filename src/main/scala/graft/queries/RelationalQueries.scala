@@ -560,6 +560,25 @@ object RelationalQueries {
         ${sqlSumC("o_totalprice")}/100.0 AS total, count(*) AS n
         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""")),
 
+    // ---- §2.8 dict decode: broadcast recode through a literal map with
+    // pass-through default (reference: jobs/raw_to_staging.py:136 replace;
+    // jobs/csr_etl.py:84-86) — stays inside codegen, no join, no UDF ----
+    Q("q34_decode_map",
+      (s, dir) => {
+        T(s, dir, "orders")
+          .withColumn("priority_class", Relational.decode(col("o_orderpriority"),
+            Map("1-URGENT" -> "rush", "2-HIGH" -> "rush", "5-LOW" -> "relaxed"),
+            lit("normal")))
+          .groupBy(col("priority_class"))
+          .agg(count(lit(1)).as("n"),
+            (sum(cents(col("o_totalprice"))) / 100.0).as("total"))
+      },
+      Some(s"""SELECT CASE o_orderpriority
+            WHEN '1-URGENT' THEN 'rush' WHEN '2-HIGH' THEN 'rush'
+            WHEN '5-LOW' THEN 'relaxed' ELSE 'normal' END AS priority_class,
+          count(*) AS n, ${sqlSumC("o_totalprice")}/100.0 AS total
+        FROM orders GROUP BY 1""")),
+
     // ---- HLL sketch: approximate distinct at scale (no oracle — sketch
     // estimates are engine-specific; the exact counterpart is q28/q16) ----
     Q("q33_approx_distinct",
