@@ -17,4 +17,20 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so the whole surface is reachable
+    * through `spark.sql(...)` — the SQL face of the engine (the reference's
+    * users write SQL strings; here the same text runs through Catalyst with
+    * pushdown instead of through a remote database). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach { n =>
+      // events needs the nanos-as-long read path like everywhere else
+      if (n == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        apply(spark, dir, n)
+          .withColumn("ts", org.apache.spark.sql.functions
+            .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+          .createOrReplaceTempView(n)
+      } else apply(spark, dir, n).createOrReplaceTempView(n)
+    }
 }
