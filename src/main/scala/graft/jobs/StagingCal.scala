@@ -52,6 +52,21 @@ object StagingCal {
       .groupBy(col("period_start"))
       .agg(sum(col("amount")).as("amount"), sum(col("ytm_amount")).as("ytm_amount"))
 
+  /** Reduction percentage versus a reference series (reference:
+    * jobs/elect_target_etl.py:226-240 decarb simulate — `(current - base) /
+    * base` per period; also jobs/staging_cal.py:181-184 YoY%). Zero/null
+    * baselines yield null, the replace(0, nan) idiom. */
+  def reductionPct(current: DataFrame, baseline: DataFrame): DataFrame = {
+    val base = baseline.select(col("period_start"),
+      col("amount").as("base_amount"))
+    current.join(base, Seq("period_start"), "left")
+      .withColumn("reduction_pct",
+        graft.functions.Money.safeDiv(
+          col("amount") - col("base_amount"), col("base_amount")))
+      .select(col("period_start"), col("amount"), col("base_amount"),
+        col("reduction_pct"))
+  }
+
   /** Carbon-coefficient preprocessing (reference :29-38): decode site
     * aliases, dedupe. */
   def coefPreprocess(coef: DataFrame, siteAliases: Map[String, String]): DataFrame =
