@@ -74,6 +74,39 @@ object Financial {
     math.pow(last / first, 1.0 / (ordered.size - 1)) - 1.0
   }
 
+  /** Bisection IRR over (year-offset k, cashflow) pairs on a fixed bracket
+    * chosen so the bracket-existence test is exact-integer cross-engine:
+    * lo = -15/16 (1+lo = 1/16 exactly) and hi = 15 (1+hi = 16 exactly), so
+    * the NPV signs at the bracket ends are signs of Σ cf_cents·16^k and
+    * Σ cf_cents·16^(kmax−k) — pure shifted-integer sums ANSI SQL computes
+    * bit-identically. Bisection runs to the double ulp floor, so
+    * |NPV(root)| / Σ|cf| is ~1e-12 for any bracketed series.
+    *
+    * @return (irr, NPV(irr)/Σ|cf|) — (NaN, NaN) when the bracket does not
+    *         straddle a sign change. */
+  def bisectIrr(pairs: Seq[(Int, Double)]): (Double, Double) = {
+    if (pairs.size < 2) return (Double.NaN, Double.NaN)
+    val sorted = pairs.sortBy(_._1)
+    def npv(r: Double): Double = {
+      var acc = 0.0
+      sorted.foreach { case (k, cf) => acc += cf / math.pow(1.0 + r, k.toDouble) }
+      acc
+    }
+    var lo = -0.9375
+    var hi = 15.0
+    val fLo = npv(lo)
+    if (fLo == 0.0 || fLo * npv(hi) > 0) return (Double.NaN, Double.NaN)
+    var i = 0
+    while (i < 100) { // 100 iterations bisects past the double ulp floor
+      val mid = (lo + hi) / 2
+      if (fLo * npv(mid) <= 0) hi = mid else lo = mid
+      i += 1
+    }
+    val root = (lo + hi) / 2
+    val scale = sorted.iterator.map { case (_, cf) => math.abs(cf) }.sum
+    (root, if (scale == 0.0) Double.NaN else npv(root) / scale)
+  }
+
   private type KV = (Int, Double)
 
   /** IRR over (order-key, cashflow) rows within a group. */
@@ -96,9 +129,25 @@ object Financial {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Relative NPV residual of the bisection IRR over (year-offset, cashflow)
+    * rows — the cross-engine-checkable face of IRR: the oracle can't run the
+    * root-finder, but it CAN verify the bracket (exact integers) and assert
+    * the residual is 0 at the emitted rounding (a wrong or unconverged root
+    * leaves an O(1) relative residual). */
+  object IrrResidualAggregator extends Aggregator[KV, List[KV], Double] {
+    override def zero: List[KV] = Nil
+    override def reduce(b: List[KV], a: KV): List[KV] = a :: b
+    override def merge(b1: List[KV], b2: List[KV]): List[KV] = b1 ::: b2
+    override def finish(b: List[KV]): Double = bisectIrr(b)._2
+    override def bufferEncoder: Encoder[List[KV]] = Encoders.kryo[List[KV]]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   /** Column-API handles: `df.groupBy(...).agg(irrAgg(col("yr"), col("cf")))`. */
   val irrAgg = org.apache.spark.sql.functions.udaf(IrrAggregator,
     Encoders.product[KV])
   val cagrAgg = org.apache.spark.sql.functions.udaf(CagrAggregator,
+    Encoders.product[KV])
+  val irrResidualAgg = org.apache.spark.sql.functions.udaf(IrrResidualAggregator,
     Encoders.product[KV])
 }

@@ -19,13 +19,13 @@ import Q._
 object EventQueries {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects outright. Read it as raw nanos (legacy long mode) and floor to
-    * microseconds — the same truncation DuckDB applies when casting its
-    * TIMESTAMP_NS to TIMESTAMP, so both engines see identical instants. */
-  private def events(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * rejects outright. Read it as raw nanos (legacy long mode — the conf is
+    * set once at session build in Verify/Bench/SparkSpec, not mutated here)
+    * and floor to microseconds — the same truncation DuckDB applies when
+    * casting its TIMESTAMP_NS to TIMESTAMP, so both engines see identical
+    * instants. */
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String) =
     T(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   val all: Seq[Q] = Seq(
 

@@ -12,10 +12,10 @@ import Q._
   * Scale notes (100 TB corpus):
   *  - exact dedup and fingerprinting are single hash-groupBys on md5(text) —
   *    partial-aggregable, no skew (hash keys are uniform);
-  *  - Jaccard runs on an inverted index (token → doc postings join), never a
-  *    doc×doc cross join — worst case is bounded by posting-list length, and a
-  *    stop-token cap (drop tokens appearing in > maxDf docs) keeps hot tokens
-  *    from quadratic blowup exactly like production near-dup pipelines;
+  *  - Jaccard runs on an inverted index (gram → doc postings join), never a
+  *    doc×doc cross join — and t06 enforces a document-frequency cap (grams
+  *    in > 10% of the corpus are dropped before the self-join), so no posting
+  *    list can go quadratic, exactly like production near-dup pipelines;
   *  - MinHash/LSH reduces candidate generation to 4 equi-joins on band keys
   *    (shuffle on band hash = uniform), the standard sub-quadratic path;
   *  - all hashes are md5-derived so the DuckDB oracle computes bit-identical
@@ -160,34 +160,72 @@ object TextQueries {
         FROM documents GROUP BY md5(text)"""),
       bench = true),
 
-    // ---- n-gram (token-set) Jaccard near-dup via inverted-index join ----
+    // ---- n-gram Jaccard near-dup via inverted-index join over character
+    // 4-grams, with a document-frequency cap: grams appearing in more than
+    // 10% of the corpus are dropped BEFORE the self-join, so a stop-gram's
+    // posting list can never go quadratic — the join cost is bounded by
+    // (0.1·N)² per surviving gram instead of N². The cap compare is exact
+    // integer (df·10 ≤ n_docs) so both engines keep the identical gram set,
+    // and Jaccard is computed over the capped gram sets on both sides. ----
     Q("t06_ngram_jaccard",
       (s, dir) => {
-        val toks = postings(s, dir)
-        val counts = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
-        val a = toks.select(col("doc_id").as("a_id"), col("tok"))
-        val b = toks.select(col("doc_id").as("b_id"), col("tok"))
-        val inter = a.join(b, Seq("tok")).filter(col("a_id") < col("b_id"))
+        // grams dedup row-locally (array_distinct before explode): no
+        // distinct shuffle; repartition spreads the single input file's
+        // explode work across cores
+        val grams = T(s, dir, "documents").repartition(32)
+          .select(col("doc_id"), explode(expr(
+            "array_distinct(transform(sequence(1, length(text) - 3), i -> substr(text, i, 4)))"))
+            .as("tok"))
+        val nDocs = T(s, dir, "documents").select(count(lit(1)).as("n_docs"))
+        // surviving-gram dictionary with dense int ids: int join keys halve
+        // the hash/compare cost of the hot self-join below
+        val rareGrams = grams.groupBy(col("tok"))
+          .agg(count(lit(1)).as("df"))
+          .crossJoin(nDocs)
+          .filter(col("df") * 10 <= col("n_docs"))
+          .withColumn("tok_id", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("tok"))).cast("int"))
+          .select(col("tok"), col("tok_id"))
+        val kept = grams.join(broadcast(rareGrams), Seq("tok"))
+          .select(col("doc_id"), col("tok_id"))
+        val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+        // capped postings are tiny (≤0.1·N docs per gram), so the self-join
+        // broadcasts and the only real shuffle is the pair-count aggregation;
+        // at corpora where even capped postings outgrow the broadcast
+        // threshold, swap this hint for the salted shuffle join
+        // (operators/Scale.saltedJoin) — same semantics, bounded skew
+        val inter = kept.select(col("doc_id").as("a_id"), col("tok_id"))
+          .join(broadcast(kept.select(col("doc_id").as("b_id"), col("tok_id"))),
+            Seq("tok_id"))
+          .filter(col("a_id") < col("b_id"))
           .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
         val ca = counts.select(col("doc_id").as("a_id"), col("n_tok").as("n_a"))
         val cb = counts.select(col("doc_id").as("b_id"), col("n_tok").as("n_b"))
-        inter.join(ca, "a_id").join(cb, "b_id")
+        inter.join(broadcast(ca), "a_id").join(broadcast(cb), "b_id")
           .withColumn("jaccard", col("inter").cast("double") /
             (col("n_a") + col("n_b") - col("inter")).cast("double"))
           .filter(col("jaccard") >= 0.8)
           .select(col("a_id"), col("b_id"), col("jaccard"))
       },
-      Some(s"""WITH toks AS ($sqlPostings),
-        counts AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+      Some("""WITH grams AS (
+          SELECT DISTINCT doc_id, substr(text, i.i, 4) AS tok
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(1, 3001)) AS i) i
+          WHERE i.i <= length(text) - 3),
+        rare AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM grams GROUP BY tok)
+                 WHERE df * 10 <= (SELECT count(*) FROM documents)),
+        kept AS (SELECT grams.doc_id, grams.tok FROM grams JOIN rare USING (tok)),
+        counts AS (SELECT doc_id, count(*) AS n_tok FROM kept GROUP BY doc_id),
         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-                  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
                   GROUP BY 1, 2),
         j AS (SELECT a_id, b_id,
                 CAST(inter AS DOUBLE)/CAST(ca.n_tok + cb.n_tok - inter AS DOUBLE) AS jaccard
               FROM pairs
               JOIN counts ca ON pairs.a_id = ca.doc_id
               JOIN counts cb ON pairs.b_id = cb.doc_id)
-        SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.8""")),
+        SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.8"""),
+      bench = true),
 
     // ---- MinHash + LSH banding: 8 hashes, 4 bands × 2 rows ----
     Q("t07_minhash_lsh",

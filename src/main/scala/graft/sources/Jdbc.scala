@@ -60,11 +60,15 @@ object Jdbc {
       .option("truncate", "true")
       .save()
 
-  /** The S7 delete-then-append refresh as one transaction boundary: DELETE
-    * the keyed window, then bulk-append (reference:
-    * jobs/raw_to_staging.py:201-205). The DELETE commits first; the append
-    * then streams from executors — the same visibility contract as the
-    * reference's `conn.execute(DELETE); to_sql(append)` pair. */
+  /** The S7 delete-then-append refresh. NOT atomic: the DELETE commits
+    * before the append starts (executors hold their own connections), so a
+    * mid-append failure leaves the window empty and readers can observe the
+    * gap — the same visibility contract (and the same flaw) as the
+    * reference's `conn.execute(DELETE); to_sql(append)` pair (reference:
+    * jobs/raw_to_staging.py:201-205). For an atomic refresh, write to a
+    * staging table and swap inside one transaction
+    * (append → BEGIN; DELETE window; INSERT..SELECT FROM stage; COMMIT),
+    * which keeps the bulk load parallel and the visible switch transactional. */
   def deleteThenAppend(df: DataFrame, url: String, table: String,
                        deleteWhere: String, batchSize: Int = 10000): Unit = {
     val conn = DriverManager.getConnection(url)

@@ -25,6 +25,43 @@ class MultimodalSpec extends SparkSpec {
     assert(f2.n_bytes == 0L && f2.mean_byte == 0.0 && f2.byte_hist.sum == 0L)
   }
 
+  test("ImageIoDecoder decodes real PNG bytes to exact luminance stats") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // 4x2 image: left half pure white (lum 255), right half pure black (0)
+    def png(): Array[Byte] = {
+      val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 4)
+        img.setRGB(x, y, if (x < 2) 0xffffff else 0x000000)
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val bytes = png()
+    val rows = Seq(
+      MediaRow(1L, "image/png", bytes),
+      MediaRow(2L, "image/png", Array[Byte](1, 2, 3))) // undecodable payload
+    val got = featurize(rows.toDS().repartition(2), decoder = ImageIoDecoder,
+        frameStride = 1).collect()
+      .map(f => f.media_id -> f).toMap
+
+    val f1 = got(1L)
+    assert(f1.n_bytes == bytes.length.toLong)
+    assert(approx(f1.mean_byte, (255.0 * 4 + 0.0 * 4) / 8))
+    assert(f1.byte_hist(15) == 4L && f1.byte_hist(0) == 4L && f1.byte_hist.sum == 8L)
+    assert(f1.frames_sampled == 2) // both scanlines at stride 1
+
+    // stride 2 samples only the first scanline
+    val strided = featurize(rows.take(1).toDS(), decoder = ImageIoDecoder,
+      frameStride = 2).collect().head
+    assert(strided.frames_sampled == 1 && strided.byte_hist.sum == 4L)
+
+    // undecodable bytes fall back to byte stats, not a task failure
+    val f2 = got(2L)
+    assert(f2.n_bytes == 3L && approx(f2.mean_byte, 2.0))
+  }
+
   test("media payloads stay distributed (no driver collect in the plan)") {
     // build media rows from the documents table's text bytes — the binary
     // column plumbing a real image/audio ingest would use
