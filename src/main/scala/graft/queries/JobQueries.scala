@@ -1,0 +1,212 @@
+package graft.queries
+
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.FixedClock
+import graft.functions.Money.cents
+import graft.jobs.RawToStaging
+import Q._
+
+/** End-to-end job transforms on the oracle surface: the three structurally
+  * novel raw→staging tables (reference: jobs/raw_to_staging.py:351 solar_remain,
+  * :670 elect_total, :845 provider_plant_list) driven through the REAL
+  * [[RawToStaging]] code over frames derived from the testdata tables, with
+  * the full semantics (ratio splits, version selection, YTM windows,
+  * mapping joins) replicated independently in the DuckDB oracle.
+  *
+  * Determinism: amounts are exact cents/100 doubles; ratios are exact binary
+  * fractions (0.25/0.5/0.75) so the products are IEEE-identical cross-engine;
+  * YTM running sums order by (period_start, amount) with unique keys, so the
+  * sequential additions happen in the same order in both engines.
+  */
+object JobQueries {
+
+  private val clock = FixedClock(LocalDate.of(2026, 1, 1))
+  private val sqlStamp = "TIMESTAMP '2026-01-01 00:00:00'"
+
+  /** months 1..12 of 1995 × (plant, ratio) literal rows */
+  private def ratioTable(s: SparkSession, plants: Seq[(String, Double)]): DataFrame = {
+    import s.implicits._
+    s.range(1).select(explode(sequence(lit(1), lit(12))).as("m"))
+      .crossJoin(plants.toDF("plant", "ratio"))
+      .select(col("ratio"), col("plant"),
+        make_date(lit(1995), col("m"), lit(1)).as("period_start"))
+  }
+
+  private def sqlRatio(plants: Seq[(String, Double)]): String = {
+    val vals = plants.map { case (p, r) => s"('$p', CAST($r AS DOUBLE))" }.mkString(", ")
+    s"""SELECT CAST(r.ratio AS DOUBLE) AS ratio, r.plant,
+        make_date(1995, m.m, 1) AS period_start
+        FROM (SELECT CAST(unnest(range(1, 13)) AS INTEGER) AS m) m
+        CROSS JOIN (VALUES $vals) r(plant, ratio)"""
+  }
+
+  private val sqlYtm =
+    """sum(amount) OVER (PARTITION BY year(period_start), plant, category
+       ORDER BY period_start, amount
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+  val all: Seq[Q] = Seq(
+
+    // ---- staging.solar_remain end-to-end (reference :351-458) ----
+    Q("j01_solar_remain",
+      (s, dir) => {
+        import s.implicits._
+        val remain = T(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1995)
+          .groupBy(
+            when(col("o_custkey") % 4 === 0, "WZS")
+              .when(col("o_custkey") % 4 === 1, "WKS/XTRKS")
+              .when(col("o_custkey") % 4 === 2, "WMI")
+              .otherwise("WHC").as("site"),
+            trunc(col("o_orderdate"), "MM").as("period_start"))
+          .agg((sum(cents(col("o_totalprice"))) / 100.0).as("amount"))
+        val wksRatio = ratioTable(s, Seq("XTRKS" -> 0.25, "WK-1" -> 0.75))
+        val wzsRatio = ratioTable(s, Seq("WZ-1" -> 0.5, "WZ-2" -> 0.5))
+        val mapping = Seq(("SX", "XTRKS"), ("SK", "WK-1"), ("SZ", "WZ-1"),
+          ("SZ", "WZ-2"), ("SM", "WMI-2"), ("SH", "WHC")).toDF("site", "plant")
+        RawToStaging.solarRemain(remain, wksRatio, wzsRatio, mapping, clock)
+          .withColumn("period_start", col("period_start").cast("timestamp"))
+      },
+      Some(s"""WITH remain AS (
+          SELECT CASE CAST(o_custkey % 4 AS INTEGER)
+              WHEN 0 THEN 'WZS' WHEN 1 THEN 'WKS/XTRKS'
+              WHEN 2 THEN 'WMI' ELSE 'WHC' END AS site,
+            CAST(date_trunc('month', o_orderdate) AS DATE) AS period_start,
+            ${sqlSumC("o_totalprice")}/100.0 AS amount
+          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1, 2),
+        wks_ratio AS (${sqlRatio(Seq("XTRKS" -> 0.25, "WK-1" -> 0.75))}),
+        wzs_ratio AS (${sqlRatio(Seq("WZ-1" -> 0.5, "WZ-2" -> 0.5))}),
+        wks AS (SELECT r.plant, x.period_start, x.amount * r.ratio AS amount
+                FROM remain x LEFT JOIN wks_ratio r ON r.period_start = x.period_start
+                WHERE x.site = 'WKS/XTRKS'),
+        wzs AS (SELECT r.plant, x.period_start, x.amount * r.ratio AS amount
+                FROM remain x LEFT JOIN wzs_ratio r ON r.period_start = x.period_start
+                WHERE x.site = 'WZS'),
+        other AS (SELECT CASE site WHEN 'WMI' THEN 'WMI-2' ELSE site END AS plant,
+                  period_start, amount
+                  FROM remain WHERE site NOT IN ('WZS', 'WKS/XTRKS')),
+        unioned AS (SELECT * FROM other UNION ALL SELECT * FROM wzs
+                    UNION ALL SELECT * FROM wks),
+        ytm AS (SELECT plant, period_start, amount,
+            sum(amount) OVER (PARTITION BY year(period_start), plant
+              ORDER BY period_start, amount
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ytm_amount
+          FROM unioned)
+        SELECT m.site, y.plant, y.amount, y.ytm_amount,
+          CAST(y.period_start AS TIMESTAMP) AS period_start,
+          $sqlStamp AS last_update_time
+        FROM ytm y
+        LEFT JOIN (VALUES ('SX','XTRKS'), ('SK','WK-1'), ('SZ','WZ-1'),
+          ('SZ','WZ-2'), ('SM','WMI-2'), ('SH','WHC')) m(site, plant)
+          ON m.plant = y.plant"""),
+      bench = true),
+
+    // ---- staging.elect_total end-to-end (reference :670-843), including
+    // the latest-validated-version scalar selection ----
+    Q("j02_elect_total",
+      (s, dir) => {
+        import s.implicits._
+        val base = T(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1995)
+          .groupBy(
+            when(col("o_custkey") % 4 === 0, "S1")
+              .when(col("o_custkey") % 4 === 1, "S2")
+              .when(col("o_custkey") % 4 === 2, "WKS")
+              .otherwise("WZS").as("site"),
+            month(col("o_orderdate")).as("month"),
+            when(col("o_orderstatus") === "F", "actual")
+              .otherwise("predict").as("category"))
+          .agg((sum(cents(col("o_totalprice"))) / 100.0).as("base_amount"))
+        val versions = Seq((1, true), (2, true), (3, false))
+          .toDF("version", "validate")
+        val target = base.crossJoin(versions)
+          .select(col("site"), col("month"),
+            (col("base_amount") * col("version")).as("amount"),
+            lit(1995).as("year"), col("category"), col("version"), col("validate"))
+        val femRatio = ratioTable(s, Seq("WK-A" -> 0.5, "WK-B" -> 0.5))
+        val wzsRatio = ratioTable(s, Seq("WZ-1" -> 0.25, "WZ-2" -> 0.75))
+        val mapping = Seq(("MS1", "S1"), ("MS2", "S2"), ("MA", "WK-A"),
+          ("MB", "WK-B"), ("MZ1", "WZ-1"), ("MZ2", "WZ-2")).toDF("site", "plant")
+        RawToStaging.electTotal(target, femRatio, wzsRatio, mapping, clock)
+          .withColumn("period_start", col("period_start").cast("timestamp"))
+      },
+      Some(s"""WITH base AS (
+          SELECT CASE CAST(o_custkey % 4 AS INTEGER)
+              WHEN 0 THEN 'S1' WHEN 1 THEN 'S2'
+              WHEN 2 THEN 'WKS' ELSE 'WZS' END AS site,
+            CAST(month(o_orderdate) AS INTEGER) AS month,
+            CASE WHEN o_orderstatus = 'F' THEN 'actual' ELSE 'predict' END AS category,
+            ${sqlSumC("o_totalprice")}/100.0 AS base_amount
+          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1, 2, 3),
+        tgt AS (SELECT site, month, base_amount * version AS amount, category,
+            version, validate
+          FROM base CROSS JOIN (VALUES (1, true), (2, true), (3, false))
+            v(version, validate)),
+        latest AS (SELECT site, make_date(1995, month, 1) AS period_start,
+            amount, category
+          FROM tgt
+          WHERE version = (SELECT max(version) FROM tgt WHERE validate)
+            AND site <> 'All'),
+        fem_ratio AS (${sqlRatio(Seq("WK-A" -> 0.5, "WK-B" -> 0.5))}),
+        wzs_ratio AS (${sqlRatio(Seq("WZ-1" -> 0.25, "WZ-2" -> 0.75))}),
+        split AS (
+          SELECT CASE category WHEN 'predict' THEN 'target' ELSE 'actual' END
+              AS category, plant, period_start, amount
+          FROM (
+            SELECT l.category, r.plant, l.period_start, l.amount * r.ratio AS amount
+            FROM latest l LEFT JOIN fem_ratio r ON r.period_start = l.period_start
+            WHERE l.site = 'WKS'
+            UNION ALL
+            SELECT l.category, r.plant, l.period_start, l.amount * r.ratio AS amount
+            FROM latest l LEFT JOIN wzs_ratio r ON r.period_start = l.period_start
+            WHERE l.site = 'WZS'
+            UNION ALL
+            SELECT category, site AS plant, period_start, amount
+            FROM latest WHERE site NOT IN ('WZS', 'WKS')) u),
+        ytm AS (SELECT plant, category, period_start, amount,
+            $sqlYtm AS ytm_amount
+          FROM split)
+        SELECT m.site, y.plant, y.category, y.amount, y.ytm_amount,
+          CAST(y.period_start AS TIMESTAMP) AS period_start,
+          $sqlStamp AS last_update_time
+        FROM ytm y
+        LEFT JOIN (VALUES ('MS1','S1'), ('MS2','S2'), ('MA','WK-A'),
+          ('MB','WK-B'), ('MZ1','WZ-1'), ('MZ2','WZ-2')) m(site, plant)
+          ON m.plant = y.plant""")),
+
+    // ---- staging.provider_plant_list end-to-end (reference :845-919) ----
+    Q("j03_provider_plant_list",
+      (s, dir) => {
+        val rows = T(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1995)
+          .groupBy(col("o_orderpriority").as("area"),
+            when(col("o_custkey") % 3 === 0, "ProvA")
+              .when(col("o_custkey") % 3 === 1, "ProvB")
+              .otherwise("ProvC").as("provider"),
+            when(col("o_custkey") % 2 === 0, "SiteX").otherwise("SiteY").as("site"),
+            month(col("o_orderdate")).as("month"))
+          .agg((sum(cents(col("o_totalprice"))) / 100.0).as("amount"))
+          .withColumn("year", lit(1995))
+        RawToStaging.providerPlantList(rows, clock)
+          .withColumn("period_start", col("period_start").cast("timestamp"))
+      },
+      Some(s"""WITH rows_ AS (
+          SELECT o_orderpriority AS area,
+            CASE CAST(o_custkey % 3 AS INTEGER) WHEN 0 THEN 'ProvA'
+              WHEN 1 THEN 'ProvB' ELSE 'ProvC' END AS provider,
+            CASE CAST(o_custkey % 2 AS INTEGER) WHEN 0 THEN 'SiteX'
+              ELSE 'SiteY' END AS site,
+            CAST(month(o_orderdate) AS INTEGER) AS month,
+            ${sqlSumC("o_totalprice")}/100.0 AS amount
+          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1, 2, 3, 4)
+        SELECT area, provider, site, amount,
+          CAST(make_date(1995, month, 1) AS TIMESTAMP) AS period_start,
+          sum(amount) OVER (PARTITION BY area, site, provider
+            ORDER BY make_date(1995, month, 1), amount
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ytm_amount,
+          $sqlStamp AS last_update_time
+        FROM rows_"""))
+  )
+}
