@@ -1,11 +1,11 @@
 package graft.queries
 
 import java.time.LocalDate
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.FixedClock
 import graft.functions.Money.cents
-import graft.jobs.RawToStaging
+import graft.jobs.{RawToStaging, StagingToApp}
 import Q._
 
 /** End-to-end job transforms on the oracle surface: the three structurally
@@ -207,6 +207,132 @@ object JobQueries {
             ORDER BY make_date(1995, month, 1), amount
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ytm_amount,
           $sqlStamp AS last_update_time
-        FROM rows_"""))
+        FROM rows_""")),
+
+    // ---- app.solar_energy_overview end-to-end (reference
+    // jobs/staging_to_app.py:399-587): the serving rollup over five staging
+    // families with per-plant and WZS/WKS-site ratio rows. Staging inputs
+    // are derived from one monthly orders aggregate scaled by exact binary
+    // factors (×0.25/0.5/0.125/4), so every sum/ratio is IEEE-identical
+    // cross-engine; site rollups have exactly two plant addends
+    // (commutative, order-free). ----
+    Q("j04_solar_overview",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("site"), col("plant"), col("category"))
+          .orderBy(col("period_start"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val base = T(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1995)
+          .groupBy(
+            when(col("o_custkey") % 3 === 0, "S1")
+              .when(col("o_custkey") % 3 === 1, "WKS")
+              .otherwise("WZS").as("site"),
+            concat(lit("P"), (col("o_custkey") % 2).cast("int")).as("plant"),
+            when(col("o_orderstatus") === "F", "actual")
+              .otherwise("target").as("category"),
+            trunc(col("o_orderdate"), "MM").as("period_start"))
+          .agg((sum(cents(col("o_totalprice"))) / 100.0).as("amount"))
+          .withColumn("ytm_amount", sum(col("amount")).over(w))
+        def scaled(factor: Double, cat: Column) = base
+          .filter(col("category") === "actual")
+          .select(col("site"), col("plant"), cat.as("category"),
+            (col("amount") * factor).as("amount"),
+            (col("ytm_amount") * factor).as("ytm_amount"), col("period_start"))
+        val stgCols = Seq("site", "plant", "category", "amount",
+          "ytm_amount", "period_start").map(col)
+        val solarStg = base.select(stgCols: _*)
+        val remainStg = base.filter(col("category") === "actual")
+          .select(col("site"), col("plant"), (col("amount") * 0.25).as("amount"),
+            (col("ytm_amount") * 0.25).as("ytm_amount"), col("period_start"))
+        val infoStg = scaled(0.5, lit("cap"))
+        val otherStg = scaled(0.125, lit("tree"))
+        val electStg = base.select(col("site"), col("plant"), col("category"),
+          (col("amount") * 4.0).as("amount"),
+          (col("ytm_amount") * 4.0).as("ytm_amount"), col("period_start"))
+        StagingToApp.solarEnergyOverview(solarStg, remainStg, infoStg,
+            otherStg, electStg, clock)
+          .withColumn("period_start", col("period_start").cast("timestamp"))
+      },
+      Some(s"""WITH base0 AS (
+          SELECT CASE CAST(o_custkey % 3 AS INTEGER)
+              WHEN 0 THEN 'S1' WHEN 1 THEN 'WKS' ELSE 'WZS' END AS site,
+            'P' || CAST(CAST(o_custkey % 2 AS INTEGER) AS VARCHAR) AS plant,
+            CASE WHEN o_orderstatus = 'F' THEN 'actual' ELSE 'target' END AS category,
+            CAST(date_trunc('month', o_orderdate) AS DATE) AS period_start,
+            ${sqlSumC("o_totalprice")}/100.0 AS amount
+          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1, 2, 3, 4),
+        base AS (SELECT *, sum(amount) OVER (PARTITION BY site, plant, category
+            ORDER BY period_start
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ytm_amount
+          FROM base0),
+        remain0 AS (SELECT site, plant, period_start, amount*0.25 AS amount,
+            ytm_amount*0.25 AS ytm_amount FROM base WHERE category = 'actual'),
+        info AS (SELECT site, plant, 'cap' AS category, amount*0.5 AS amount,
+            ytm_amount*0.5 AS ytm_amount, period_start FROM base
+          WHERE category = 'actual'),
+        other AS (SELECT site, plant, 'tree' AS category, amount*0.125 AS amount,
+            ytm_amount*0.125 AS ytm_amount, period_start FROM base
+          WHERE category = 'actual'),
+        elect AS (SELECT site, plant, category, amount*4.0 AS amount,
+            ytm_amount*4.0 AS ytm_amount, period_start FROM base),
+        actual_use AS (SELECT site, plant, 'actual_use' AS category, amount,
+            ytm_amount, period_start FROM base WHERE category = 'actual'),
+        target_ AS (SELECT site, plant, category, amount, ytm_amount,
+            period_start FROM base WHERE category = 'target'),
+        remain_c AS (SELECT site, plant, 'remain' AS category, amount,
+            ytm_amount, period_start FROM remain0),
+        actual AS (SELECT a.site, a.plant, 'actual' AS category,
+            a.amount + r.amount AS amount,
+            a.ytm_amount + r.ytm_amount AS ytm_amount, a.period_start
+          FROM base a LEFT JOIN remain0 r ON r.site = a.site
+            AND r.plant = a.plant AND r.period_start = a.period_start
+          WHERE a.category = 'actual'),
+        overview AS (SELECT * FROM actual UNION ALL SELECT * FROM target_
+          UNION ALL SELECT * FROM remain_c UNION ALL SELECT * FROM actual_use
+          UNION ALL SELECT * FROM info UNION ALL SELECT * FROM other),
+        elect_rest AS (SELECT * FROM elect WHERE site NOT IN ('WZS','WKS','WIHK')),
+        elect_wzks AS (SELECT * FROM elect WHERE site IN ('WZS','WKS')),
+        ratio AS (SELECT l.site, l.plant,
+            CASE l.category WHEN 'actual' THEN 'solar_ratio_actual'
+              ELSE 'solar_ratio_target' END AS category,
+            l.amount / r.amount * 100 AS amount,
+            l.ytm_amount / r.ytm_amount * 100 AS ytm_amount, l.period_start
+          FROM overview l LEFT JOIN elect_rest r ON r.site = l.site
+            AND r.plant = l.plant AND r.period_start = l.period_start
+            AND r.category = l.category
+          WHERE l.category IN ('actual','target')
+            AND l.site NOT IN ('WKS','WZS')),
+        swz AS (SELECT site, category, period_start, sum(amount) AS amount,
+            sum(ytm_amount) AS ytm_amount
+          FROM overview WHERE category IN ('actual','target')
+            AND site IN ('WKS','WZS') GROUP BY 1, 2, 3),
+        ewz AS (SELECT site, category, period_start, sum(amount) AS amount,
+            sum(ytm_amount) AS ytm_amount
+          FROM elect_wzks GROUP BY 1, 2, 3),
+        ratio_wzks AS (SELECT l.site, 'ALL' AS plant,
+            CASE l.category WHEN 'actual' THEN 'solar_ratio_actual'
+              ELSE 'solar_ratio_target' END AS category,
+            l.amount / r.amount * 100 AS amount,
+            l.ytm_amount / r.ytm_amount * 100 AS ytm_amount, l.period_start
+          FROM swz l LEFT JOIN ewz r ON r.site = l.site
+            AND r.period_start = l.period_start AND r.category = l.category),
+        elect_rest_dec AS (SELECT site, plant,
+            CASE category WHEN 'actual' THEN 'elect_total_actual'
+              ELSE 'elect_total_target' END AS category,
+            amount, ytm_amount, period_start FROM elect_rest),
+        ewz_dec AS (SELECT site, 'ALL' AS plant,
+            CASE category WHEN 'actual' THEN 'elect_total_actual'
+              ELSE 'elect_total_target' END AS category,
+            amount, ytm_amount, period_start FROM ewz),
+        final AS (SELECT * FROM overview UNION ALL SELECT * FROM elect_rest_dec
+          UNION ALL SELECT * FROM ratio UNION ALL SELECT * FROM ewz_dec
+          UNION ALL SELECT * FROM ratio_wzks)
+        SELECT site, plant, category, amount, ytm_amount,
+          CAST(period_start AS TIMESTAMP) AS period_start,
+          $sqlStamp AS last_update_time
+        FROM final
+        WHERE plant IN (SELECT DISTINCT plant FROM overview)"""))
   )
 }
