@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.FixedClock
 import graft.functions.Money.cents
-import graft.jobs.{RawToStaging, StagingToApp}
+import graft.jobs.{ElectTargetEtl, RawToStaging, StagingToApp}
 import Q._
 
 /** End-to-end job transforms on the oracle surface: the three structurally
@@ -333,6 +333,95 @@ object JobQueries {
           CAST(period_start AS TIMESTAMP) AS period_start,
           $sqlStamp AS last_update_time
         FROM final
-        WHERE plant IN (SELECT DISTINCT plant FROM overview)"""))
+        WHERE plant IN (SELECT DISTINCT plant FROM overview)""")),
+
+    // ---- the scope-projection year-range plan end-to-end (reference
+    // jobs/elect_target_etl.py:16-69,178-295): latest-version selection,
+    // grid ratios, coefficient tonnage, base/previous-year decarb
+    // percentages including the collapsed loop's year-1 self-join.
+    // Determinism: amounts are integer-valued doubles (raw cents), ratios
+    // and coefficients are exact binary fractions, and every per-year sum
+    // has exactly two site addends (commutative => order-free). ----
+    Q("j05_scope_projection",
+      (s, dir) => {
+        import s.implicits._
+        val sim0 = T(s, dir, "orders")
+          .filter(year(col("o_orderdate")).between(1995, 1997))
+          .groupBy(
+            when(col("o_custkey") % 2 === 0, "S1").otherwise("S2").as("site"),
+            year(col("o_orderdate")).as("year"))
+          .agg(sum(cents(col("o_totalprice"))).cast("double").as("base_amount"))
+        val versions = Seq((1, 2026), (2, 2026), (2, 2025))
+          .toDF("version", "version_year")
+        val sim = sim0.crossJoin(versions)
+          .select(col("site"), col("year"),
+            (col("base_amount") * col("version")).as("amount"),
+            col("version"), col("version_year"))
+        val coef = Seq((1995, "S1", 0.5), (1995, "S2", 0.25),
+          (1996, "S1", 0.5), (1996, "S2", 0.25),
+          (1997, "S1", 0.5), (1997, "S2", 0.25)).toDF("year", "site", "coef")
+        val setting = (1995 to 1997).flatMap(y =>
+          Seq((y, "PPA", 25.0), (y, "solar", 25.0), (y, "REC", 25.0)))
+          .toDF("year", "category", "amount")
+        val overview = Seq(
+          (2022, 12, "scope1", "actual", 2.0),
+          (2022, 12, "scope2_location", "actual", 3.0),
+          (2022, 12, "scope2_market", "actual", 4.0)
+        ).toDF("year", "month", "category", "type", "ytm_amount")
+        val prior = Seq((1994, 5.0)).toDF("year", "amount")
+        ElectTargetEtl.decarbRenewSetting(coef, sim,
+          setting, ElectTargetEtl.baseScopeFromOverview(overview), prior,
+          Seq(1995, 1996, 1997))
+      },
+      Some(s"""WITH sim0 AS (
+          SELECT CASE WHEN CAST(o_custkey % 2 AS INTEGER) = 0
+              THEN 'S1' ELSE 'S2' END AS site,
+            CAST(year(o_orderdate) AS INTEGER) AS year,
+            CAST(${sqlSumC("o_totalprice")} AS DOUBLE) AS base_amount
+          FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1997
+          GROUP BY 1, 2),
+        sim AS (SELECT site, year, base_amount * version AS amount,
+            version, version_year
+          FROM sim0 CROSS JOIN (VALUES (1, 2026), (2, 2026), (2, 2025))
+            v(version, version_year)),
+        latest AS (SELECT site, year, amount FROM sim
+          WHERE version = (SELECT max(version) FROM sim)
+            AND version_year = (SELECT max(version_year) FROM sim)),
+        ratios AS (
+          SELECT year, CAST(1 - (25.0+25.0)/100 AS DOUBLE) AS ratio,
+            'location' AS category
+          FROM (SELECT CAST(unnest(range(1995, 1998)) AS INTEGER) AS year)
+          UNION ALL
+          SELECT year, CAST(1 - (25.0+25.0+25.0)/100 AS DOUBLE), 'market'
+          FROM (SELECT CAST(unnest(range(1995, 1998)) AS INTEGER) AS year)),
+        coef AS (SELECT * FROM (VALUES
+          (1995, 'S1', CAST(0.5 AS DOUBLE)), (1995, 'S2', CAST(0.25 AS DOUBLE)),
+          (1996, 'S1', CAST(0.5 AS DOUBLE)), (1996, 'S2', CAST(0.25 AS DOUBLE)),
+          (1997, 'S1', CAST(0.5 AS DOUBLE)), (1997, 'S2', CAST(0.25 AS DOUBLE)))
+          c(year, site, coef)),
+        t AS (SELECT l.year, r.category,
+            l.amount * r.ratio * c.coef / 1000 AS amount
+          FROM latest l
+          LEFT JOIN ratios r ON r.year = l.year
+          LEFT JOIN coef c ON c.year = l.year AND c.site = l.site),
+        loc AS (SELECT year, sum(amount) AS amount FROM t
+          WHERE category = 'location' GROUP BY 1),
+        mkt AS (SELECT year, sum(amount) AS amount FROM t
+          WHERE category = 'market' GROUP BY 1),
+        s1 AS (SELECT year, amount * (0.06/(1-0.06)) AS amount FROM loc),
+        s12 AS (SELECT year, sum(amount) AS amount FROM
+          (SELECT * FROM s1 UNION ALL SELECT * FROM mkt) u GROUP BY 1),
+        prev AS (SELECT year + 1 AS year, amount AS amount_y FROM
+          (SELECT * FROM s12 UNION ALL SELECT 1994, CAST(5.0 AS DOUBLE)) u)
+        SELECT year, amount, 'scope2_location' AS category FROM loc
+        UNION ALL SELECT year, amount, 'scope2_market' FROM mkt
+        UNION ALL SELECT year, amount, 'scope1' FROM s1
+        UNION ALL SELECT year, (amount / 4.0 - 1) * 100,
+          'scope2_decarb_simulate' FROM mkt
+        UNION ALL SELECT year, (amount / 6.0 - 1) * 100,
+          'scope1n2_decarb_simulate' FROM s12
+        UNION ALL SELECT s12.year, (s12.amount / prev.amount_y - 1) * 100,
+          'scope1n2_decarb_simulate_sbti'
+        FROM s12 LEFT JOIN prev ON prev.year = s12.year"""))
   )
 }
