@@ -73,4 +73,166 @@ object StagingCal {
     coef.withColumn("site",
         Relational.decode(col("site"), siteAliases, col("site")))
       .distinct()
+
+  /** The four scope series of one slice (reference `scope_cal_current_year`
+    * :109-139, identical to `scope_cal_target_current` :142-172): renewables
+    * union into the market offset (solar + certificates + green
+    * electricity) and the location offset (solar + green electricity), then
+    * scope-2 at both bases, the scope-1 estimate, and their sum. */
+  final case class ScopeSeries(market: DataFrame, location: DataFrame,
+                               scope1All: DataFrame, scope1n2All: DataFrame)
+
+  def scopeCalCurrentYear(elect: DataFrame, solar: DataFrame,
+                          greenEnergy: DataFrame, greenElect: DataFrame,
+                          coef: DataFrame): ScopeSeries = {
+    def renw(parts: Seq[DataFrame]) = parts.reduce(_ unionByName _)
+      .groupBy(col("site"), col("period_start"))
+      .agg(sum(col("amount")).as("amount"), sum(col("ytm_amount")).as("ytm_amount"))
+    val market = scope2(elect, renw(Seq(solar, greenEnergy, greenElect)), coef)
+    val location = scope2(elect, renw(Seq(solar, greenElect)), coef)
+    val s1 = scope1(location)
+    ScopeSeries(market, location, s1, scope1n2(s1, market))
+  }
+
+  /** Decarb-simulate percentage of a series against a base series
+    * (reference `cal_scope_simulate` :175-195 cross form /
+    * `cal_scope_simulate_fix` :198-218 keyed form): (x/y − 1)·100 for both
+    * the month amount and the YTM, re-dated to the reporting period. */
+  def calScopeSimulate(current: DataFrame, base: DataFrame,
+                       periodStart: java.sql.Date,
+                       keyed: Boolean = false): DataFrame = {
+    val left = current
+      .withColumnRenamed("amount", "amount_x")
+      .withColumnRenamed("ytm_amount", "ytm_x")
+    val right = base.select(
+      (if (keyed) Seq(col("period_start")) else Nil) ++
+        Seq(col("amount").as("amount_y"), col("ytm_amount").as("ytm_y")): _*)
+    val joined =
+      if (keyed) left.join(right, Seq("period_start"), "left")
+      else left.crossJoin(broadcast(right))
+    joined
+      .withColumn("period_start", lit(periodStart))
+      .withColumn("amount", (col("amount_x") / col("amount_y") - 1) * 100)
+      .withColumn("ytm_amount", (col("ytm_x") / col("ytm_y") - 1) * 100)
+      .select(col("period_start"), col("amount"), col("ytm_amount"))
+  }
+
+  /** Per-period rollup with a category label (reference `preprocess_sub_df`
+    * :249-255). */
+  def preprocessSubDf(df: DataFrame, category: String): DataFrame =
+    df.groupBy(col("period_start"))
+      .agg(sum(col("amount")).as("amount"), sum(col("ytm_amount")).as("ytm_amount"))
+      .withColumn("category", lit(category))
+
+  /** Stack labeled (period_start, amount, ytm_amount) series into the
+    * decarb_elec_overview long layout (reference :591-601 actual side,
+    * :875-891 target side): one row family per category, typed, with
+    * year/month split from the period. */
+  def stackOverview(parts: Seq[(DataFrame, String)], typ: String): DataFrame =
+    parts.map { case (df, cat) =>
+      df.select(col("period_start"), col("amount"), col("ytm_amount"))
+        .withColumn("category", lit(cat))
+    }.reduce(_ unionByName _)
+      .withColumn("type", lit(typ))
+      .withColumn("year", year(col("period_start")).cast("int"))
+      .withColumn("month", month(col("period_start")).cast("int"))
+      .select(col("amount"), col("ytm_amount"), col("category"), col("type"),
+        col("year"), col("month"))
+
+  /** The certificate (REC) target demand gap (reference :666-712):
+    * electricity target × total renewable ratio − solar target − green
+    * electricity target, per site (`perSite = true`) or rolled to the
+    * period total first. `totalRatio` is the 1-row
+    * sum(REC+PPA+solar)/100 aggregate (:664). */
+  def greenEnergyTargetGap(electTarget: DataFrame, solarTarget: DataFrame,
+                           grelectTarget: DataFrame, totalRatio: DataFrame,
+                           perSite: Boolean): DataFrame = {
+    val keys = if (perSite) Seq("site", "period_start") else Seq("period_start")
+    def prep(df: DataFrame, a: String, y: String) = {
+      val grouped =
+        if (perSite) df
+        else df.groupBy(col("period_start"))
+          .agg(sum(col("amount")).as("amount"), sum(col("ytm_amount")).as("ytm_amount"))
+      grouped.select(keys.map(col) :+ col("amount").as(a) :+
+        col("ytm_amount").as(y): _*)
+    }
+    prep(electTarget, "amount_x", "ytm_x")
+      .join(prep(solarTarget, "amount_y", "ytm_y"), keys, "left")
+      .join(prep(grelectTarget, "amount_z", "ytm_z"), keys, "left")
+      .crossJoin(broadcast(totalRatio.select(col("total_ratio"))))
+      .na.fill(0.0)
+      .withColumn("amount", col("amount_x") * col("total_ratio") -
+        col("amount_y") - col("amount_z"))
+      .withColumn("ytm_amount", col("ytm_x") * col("total_ratio") -
+        col("ytm_y") - col("ytm_z"))
+      .select((keys.map(col) :+ col("amount") :+ col("ytm_amount")): _*)
+  }
+
+  /** PPA target series: the electricity target scaled by the PPA ratio
+    * scalar (reference :779-785 — the per-provider melt is commented out
+    * there in favor of this ratio form). */
+  def ppaTarget(electTargetAll: DataFrame, ppaRatio: DataFrame): DataFrame =
+    electTargetAll
+      .crossJoin(broadcast(ppaRatio.select(col("ratio"))))
+      .withColumn("amount", col("amount") * col("ratio"))
+      .withColumn("ytm_amount", col("ytm_amount") * col("ratio"))
+      .select(col("period_start"), col("amount"), col("ytm_amount"))
+      .withColumn("category", lit("PPA"))
+
+  /** Energy-saving wide-month melt (reference `cal_energy_saving`
+    * :258-283): (year, jan..dec) rows to monthly periods, summed per
+    * period, YTM per year, labeled energy_efficiency with the given type.
+    * Feeds the energy_efficiency overview branch (:924-984). */
+  def calEnergySaving(df: DataFrame, category: String): DataFrame = {
+    val monthNames = Seq("jan", "feb", "mar", "apr", "may", "jun",
+      "jul", "aug", "sep", "oct", "nov", "dec")
+    val monthNum = monthNames.zipWithIndex.map { case (m, i) => m -> (i + 1) }.toMap
+    val melted = df.unpivot(Array(col("year")), monthNames.map(col).toArray,
+        "month_name", "amount")
+      .withColumn("month", monthNames.foldLeft(lit(null).cast("int")) {
+        case (acc, m) => when(col("month_name") === m, monthNum(m)).otherwise(acc)
+      })
+      .withColumn("period_start",
+        make_date(col("year"), col("month"), lit(1)))
+    val summed = melted.groupBy(col("period_start"))
+      .agg(sum(col("amount")).as("amount"))
+    Relational.ytm(
+        summed.withColumn("__yr", year(col("period_start"))),
+        Seq("__yr"), "period_start", "amount")
+      .drop("__yr")
+      .withColumn("category", lit("energy_efficiency"))
+      .withColumn("type", lit(category))
+  }
+
+  /** app.green_elec_pre_contracts refresh (reference :288-385): yearly
+    * transfer volumes per provider, area-mapped, merged onto the existing
+    * 光電-only contract rows — the net effect is a timestamp refresh of
+    * the contract rows keyed by (provider, area); the computed ytm_amount
+    * is assigned and then dropped from the projection in the reference
+    * (dead write, not ported).
+    *
+    * @param greenVol      staging.green_elect_vol year window:
+    *                      (site, plant, provider_name, category1, amount)
+    * @param areaMapping   app.decarb_ww_meter_group (provider_name, area)
+    * @param greenContract app.green_elec_pre_contracts 光電-only rows:
+    *                      (provider_name, contract_ytm_amount, year, area,
+    *                      green_elec_type, contract_price)
+    */
+  def greenElecPreContracts(greenVol: DataFrame, areaMapping: DataFrame,
+                            greenContract: DataFrame,
+                            clock: graft.core.Clock): DataFrame = {
+    val vol = greenVol
+      .filter(col("category1") === "轉供" && col("site") =!= "ALL" &&
+        col("plant") =!= "ALL")
+      .groupBy(col("provider_name")).agg(sum(col("amount")).as("amount"))
+      .join(broadcast(areaMapping.select("provider_name", "area").distinct()),
+        Seq("provider_name"), "left")
+    greenContract
+      .join(vol.select("provider_name", "area", "amount"),
+        Seq("provider_name", "area"), "left")
+      .select(col("provider_name"), col("contract_ytm_amount"), col("year"),
+        col("area"), col("green_elec_type"), col("contract_price"))
+      .withColumn("last_update_time",
+        lit(java.sql.Timestamp.valueOf(clock.today.atStartOfDay())))
+  }
 }
