@@ -283,6 +283,40 @@ object TextQueries {
           SELECT doc_id, h1||h2 AS band1, h3||h4 AS band2 FROM sig"""
       }),
 
+    // ---- corpus cleaning composed end-to-end: quality gate (token count,
+    // alphabetic ratio, ASCII-only) then exact dedup keep-lowest-id — the
+    // canonical training-data pre-filter, one plan: the quality predicates
+    // sit on the scan, the dedup is a single hash-groupBy on md5 (uniform
+    // keys, partial-aggregable — the same shape at 100 TB). ----
+    Q("t10_corpus_clean",
+      (s, dir) => {
+        val scored = T(s, dir, "documents").select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+            length(col("text")).cast("double")).as("alpha_ratio"))
+        scored
+          .filter(col("n_tokens").between(10L, 200L) &&
+            col("alpha_ratio") >= 0.81 &&
+            !col("text").rlike("[^\\x00-\\x7F]"))
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("keeper"),
+            min(col("n_tokens")).as("n_tokens"),
+            count(lit(1)).as("n_copies"))
+      },
+      Some("""WITH s AS (
+          SELECT doc_id, text,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE) AS alpha_ratio
+          FROM documents)
+        SELECT md5(text) AS fp, min(doc_id) AS keeper,
+          CAST(min(n_tokens) AS BIGINT) AS n_tokens, count(*) AS n_copies
+        FROM s
+        WHERE n_tokens BETWEEN 10 AND 200 AND alpha_ratio >= 0.81
+          AND NOT regexp_matches(text, '[^\x00-\x7F]')
+        GROUP BY md5(text)"""),
+      bench = true),
+
     // ---- SimHash: 16-bit signature from per-token md5 prefixes ----
     Q("t08_simhash",
       (s, dir) => {
