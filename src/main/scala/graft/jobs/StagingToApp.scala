@@ -276,7 +276,7 @@ object StagingToApp {
       "period_start").map(col)
     val actualUse = solarStg.filter(col("category") === "actual")
       .withColumn("category", lit("actual_use"))
-    val target = solarStg.filter(col("category") === "target")
+    val target = solarStg.filter(col("category") === "target").select(cols: _*)
     val remain = solarRemainStg.withColumn("category", lit("remain"))
       .na.fill(0.0, Seq("amount", "ytm_amount"))
       .select(cols: _*)
