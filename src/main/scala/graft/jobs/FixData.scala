@@ -27,6 +27,6 @@ object FixData {
     val zeroRows = Relational
       .antiJoinZeroFill(current, previous, keyCols, Seq("amount"))
       .withColumn("period_start", lit(periodStart))
-    current.unionByName(zeroRows.select(current.columns.map(col): _*))
+    current.unionByName(zeroRows.select(current.columns.toIndexedSeq.map(col): _*))
   }
 }

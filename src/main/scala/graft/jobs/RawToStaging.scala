@@ -86,7 +86,7 @@ object RawToStaging {
       .groupBy(groupKeys: _*)
       .agg(sum(col("amount")).as("amount"), sum(col("ytm_amount")).as("ytm_amount"))
       .withColumn("site", lit("ALL"))
-    bounded.select(rollup.columns.map(col): _*).unionByName(rollup)
+    bounded.select(rollup.columns.toIndexedSeq.map(col): _*).unionByName(rollup)
   }
 
   import graft.operators.Relational.decode
@@ -110,9 +110,9 @@ object RawToStaging {
       .agg(sum(col("amount")).as("amount"), sum(col("ytm_amount")).as("ytm_amount"))
       .withColumn("plant", lit("ALL"))
     val siteAll = data.withColumn("site", lit("ALL"))
-    data.select(rollup.columns.map(col): _*)
+    data.select(rollup.columns.toIndexedSeq.map(col): _*)
       .unionByName(rollup)
-      .unionByName(siteAll.select(rollup.columns.map(col): _*))
+      .unionByName(siteAll.select(rollup.columns.toIndexedSeq.map(col): _*))
   }
 
   /** The shared electric-bill preamble feeding the four green/grey slices

@@ -60,7 +60,7 @@ object Relational {
     val rolled = df.groupBy(detailKeys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn(allKey, lit("ALL"))
-    detail.unionByName(rolled.select(detail.columns.map(col): _*))
+    detail.unionByName(rolled.select(detail.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Broadcast dictionary decode (§2.8): recode a label column through a small
