@@ -3,9 +3,9 @@ package graft.queries
 import java.time.LocalDate
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.FixedClock
+import graft.core.{DecarbDate, FixedClock}
 import graft.functions.Money.cents
-import graft.jobs.{ElectTargetEtl, RawToStaging, StagingToApp}
+import graft.jobs.{ElectTargetEtl, RawToStaging, RenewGreenEnergy, StagingToApp}
 import Q._
 
 /** End-to-end job transforms on the oracle surface: the three structurally
@@ -422,6 +422,123 @@ object JobQueries {
           'scope1n2_decarb_simulate' FROM s12
         UNION ALL SELECT s12.year, (s12.amount / prev.amount_y - 1) * 100,
           'scope1n2_decarb_simulate_sbti'
-        FROM s12 LEFT JOIN prev ON prev.year = s12.year"""))
+        FROM s12 LEFT JOIN prev ON prev.year = s12.year""")),
+
+    // ---- the quarterly green-energy overview end-to-end (reference
+    // jobs/renew_green_energy.py:21-57,193-348): staging aggregates at the
+    // quarter close, customer netting, target-rate demand with the zero
+    // clip, purchase pricing, area mapping (unmapped → 其他) and the
+    // site='ALL'/customer='ALL' area rollup. Every amount is an exact
+    // binary-scaled integer (cents × 2^-k), so all sums are EXACT in
+    // double — order-free across any partitioning. ----
+    Q("j06_green_energy_quarter",
+      (s, dir) => {
+        import s.implicits._
+        val qw = DecarbDate.QuarterWindow(1995, "Q4", 4,
+          LocalDate.of(1995, 1, 1), LocalDate.of(1995, 12, 1))
+        val dec = java.sql.Date.valueOf("1995-12-01")
+        val base = T(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1995)
+          .groupBy(when(col("o_custkey") % 2 === 0, "S1")
+            .otherwise("S2").as("site"))
+          .agg(sum(cents(col("o_totalprice"))).cast("double").as("b"))
+        val electStg = base.select(col("site"),
+            col("b").as("amount"), col("b").as("ytm_amount"))
+          .withColumn("bo", lit("ALL"))
+          .withColumn("period_start", lit(dec))
+        val renewStg = Seq(("solar_energy", 0.25),
+            ("green_electricity", 0.125), ("green_energy", 0.0625))
+          .map { case (cat, f) =>
+            base.select(col("site"), (col("b") * f).as("amount"),
+                (col("b") * f).as("ytm_amount"))
+              .withColumn("category", lit(cat))
+              .withColumn("bo", lit("ALL"))
+              .withColumn("period_start", lit(dec))
+          }.reduce(_ unionByName _)
+        val setting = Seq((1995, "solar", 25.0), (1995, "PPA", 25.0),
+          (1995, "REC", 25.0)).toDF("year", "category", "amount")
+        val cust = Seq((1995, 4, "A1", "S1", "CustX", 1000.0, 100.0, 50.0,
+          5.0, 60.0, 140.0, 7.0, 3.0, 2.0, "note"))
+          .toDF("year", "quarter", "area", "site", "customer", "total_elect",
+            "solar", "green_elect", "green_energy", "target_renew",
+            "grey_elect", "predict_price", "green_energy_request",
+            "actual_amount", "remark")
+        val purchase = Seq((1995, "S1", "Q4", "-", 0.5, 7.0))
+          .toDF("year", "site", "quarter", "customer", "unit_price", "amount")
+        val areaMap = Seq((1995, "S1", "A1")).toDF("year", "site", "area")
+        RenewGreenEnergy.summarizeQuarter(setting, electStg, renewStg, cust,
+          purchase, areaMap, qw)
+      },
+      Some(s"""WITH base AS (
+          SELECT CASE WHEN CAST(o_custkey % 2 AS INTEGER) = 0
+              THEN 'S1' ELSE 'S2' END AS site,
+            CAST(${sqlSumC("o_totalprice")} AS DOUBLE) AS b
+          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        cust AS (SELECT 'S1' AS site, 'CustX' AS customer, 'A1' AS area,
+          CAST(1000.0 AS DOUBLE) AS total_elect, CAST(100.0 AS DOUBLE) AS solar,
+          CAST(50.0 AS DOUBLE) AS green_elect,
+          CAST(5.0 AS DOUBLE) AS green_energy,
+          CAST(60.0 AS DOUBLE) AS target_renew,
+          CAST(140.0 AS DOUBLE) AS grey_elect,
+          CAST(7.0 AS DOUBLE) AS predict_price,
+          CAST(3.0 AS DOUBLE) AS green_energy_request,
+          CAST(2.0 AS DOUBLE) AS actual_amount),
+        elect AS (SELECT base.site, b - COALESCE(c.total_elect, 0) AS total_elect
+          FROM base LEFT JOIN cust c ON c.site = base.site),
+        solar AS (SELECT base.site, b*0.25 - COALESCE(c.solar, 0) AS solar
+          FROM base LEFT JOIN cust c ON c.site = base.site),
+        grel AS (SELECT base.site, b*0.125 - COALESCE(c.green_elect, 0) AS green_elect
+          FROM base LEFT JOIN cust c ON c.site = base.site),
+        gren AS (SELECT site, b*0.0625 AS green_energy FROM base),
+        rt AS (SELECT e.site, e.total_elect, s.solar, g.green_elect,
+            n.green_energy,
+            e.total_elect * ((25.0+25.0+25.0)/100) AS target_renew,
+            e.total_elect - s.solar - g.green_elect AS grey_elect
+          FROM elect e JOIN solar s ON s.site = e.site
+          JOIN grel g ON g.site = e.site JOIN gren n ON n.site = e.site),
+        demand AS (SELECT *, greatest(
+            target_renew - solar - green_elect - green_energy, 0.0)
+            AS green_energy_request FROM rt),
+        priced AS (SELECT d.*,
+            COALESCE(p.unit_price, 0.0) AS unit_price,
+            COALESCE(p.actual_amount, 0.0) AS actual_amount,
+            COALESCE(p.unit_price, 0.0) * d.green_energy_request AS predict_price,
+            d.green_energy / d.total_elect * 100 AS ratio
+          FROM demand d LEFT JOIN (SELECT 'S1' AS site,
+            CAST(0.5 AS DOUBLE) AS unit_price,
+            CAST(7.0 AS DOUBLE) AS actual_amount) p ON p.site = d.site),
+        sites AS (SELECT site,
+            CASE site WHEN 'S1' THEN 'A1' ELSE N'其他' END AS area,
+            1995 AS year, 4 AS quarter, '' AS customer,
+            total_elect, grey_elect, target_renew, solar, green_elect,
+            green_energy, green_energy_request, unit_price, predict_price,
+            actual_amount, ratio
+          FROM priced),
+        pool AS (SELECT area, total_elect, grey_elect, target_renew, solar,
+            green_elect, green_energy, green_energy_request, unit_price,
+            predict_price, actual_amount FROM sites
+          UNION ALL
+          SELECT area, total_elect, grey_elect, target_renew, solar,
+            green_elect, green_energy, CAST(3.0 AS DOUBLE),
+            CAST(0.0 AS DOUBLE), predict_price, actual_amount FROM cust),
+        rolled AS (SELECT 1995 AS year, 4 AS quarter, area, 'ALL' AS site,
+            'ALL' AS customer,
+            sum(total_elect) AS total_elect, sum(grey_elect) AS grey_elect,
+            sum(target_renew) AS target_renew, sum(solar) AS solar,
+            sum(green_elect) AS green_elect, sum(green_energy) AS green_energy,
+            sum(green_energy_request) AS green_energy_request,
+            sum(unit_price) AS unit_price, sum(predict_price) AS predict_price,
+            sum(actual_amount) AS actual_amount,
+            sum(green_energy) / sum(total_elect) * 100 AS ratio
+          FROM pool GROUP BY 3)
+        SELECT year, quarter, site, area, customer, total_elect, grey_elect,
+          target_renew, solar, green_elect, green_energy,
+          green_energy_request, unit_price, predict_price, actual_amount,
+          ratio, CAST(NULL AS VARCHAR) AS remark
+        FROM (SELECT * FROM rolled UNION ALL
+          SELECT year, quarter, area, site, customer, total_elect,
+            grey_elect, target_renew, solar, green_elect, green_energy,
+            green_energy_request, unit_price, predict_price, actual_amount,
+            ratio FROM sites) u"""))
   )
 }
