@@ -579,16 +579,52 @@ object RelationalQueries {
           count(*) AS n, ${sqlSumC("o_totalprice")}/100.0 AS total
         FROM orders GROUP BY 1""")),
 
-    // ---- HLL sketch: approximate distinct at scale (no oracle — sketch
-    // estimates are engine-specific; the exact counterpart is q28/q16) ----
+    // ---- approximate distinct at scale via a PORTABLE sketch: k-minimum-
+    // values (KMV) over md5 hashes. Unlike HLL (whose estimates are
+    // engine-private), the k-th smallest normalized hash is a deterministic
+    // value both engines compute bit-identically, so the sketch estimate
+    // (k−1)/h_k itself sits on the hash-match surface next to the exact
+    // count. 13 hex chars = 52 bits keeps the hash exact in a double.
+    // At corpus scale the per-group full sort below becomes a bounded
+    // min-k aggregation (heap of 64 per group) — same estimate, no sort. ----
     Q("q33_approx_distinct",
       (s, dir) => {
+        val k = 64
+        val hashes = T(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            expr("CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 13), 16, 10) AS BIGINT)")
+              .as("hv"))
+          .distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("hv"))
+        val kth = hashes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === k)
+          .select(col("l_returnflag"),
+            (col("hv").cast("double") / lit(4503599627370496.0)).as("hk"))
         T(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-            countDistinct(col("l_orderkey")).as("exact_orders"))
+          .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+          .join(kth, Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            (lit((k - 1).toDouble) / col("hk")).as("kmv_estimate"),
+            col("exact_orders"))
       },
-      None),
+      Some("""WITH h AS (
+          SELECT DISTINCT l_returnflag,
+            CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 13))
+              AS BIGINT) AS hv
+          FROM lineitem),
+        r AS (SELECT l_returnflag, hv,
+            row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+          FROM h),
+        kth AS (SELECT l_returnflag,
+            CAST(hv AS DOUBLE)/4503599627370496.0 AS hk
+          FROM r WHERE rn = 64),
+        ex AS (SELECT l_returnflag,
+            count(DISTINCT l_orderkey) AS exact_orders
+          FROM lineitem GROUP BY 1)
+        SELECT ex.l_returnflag, 63.0/hk AS kmv_estimate, exact_orders
+        FROM ex JOIN kth ON kth.l_returnflag = ex.l_returnflag""")),
 
     // ---- §2.8 math: clip/round/floor/pow/safe-divide (reference: jobs/renew_green_energy.py:45-46; macc_summary:219-220,284-285) ----
     Q("q31_math_funcs",
