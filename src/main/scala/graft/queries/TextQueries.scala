@@ -44,6 +44,83 @@ object TextQueries {
     conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int")
   private val sqlTokVal = "CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER)"
 
+  /** t06/t11 shared core: exact char-4-gram Jaccard >= 0.8 pairs via a
+    * DF-capped inverted index + AllPairs prefix filtering (see t06 notes). */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    // grams dedup row-locally (array_distinct before explode): no
+    // distinct shuffle; repartition spreads the single input file's
+    // explode work across cores
+    val grams = T(s, dir, "documents").repartition(32)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, length(text) - 3), i -> substr(text, i, 4)))"))
+        .as("tok"))
+    val nDocs = T(s, dir, "documents").select(count(lit(1)).as("n_docs"))
+    // rare-gram dictionary with dense int ids ordered by ascending
+    // document frequency: position in this order IS the global rarity
+    // rank the prefix filter below keys on
+    val rare = grams.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .filter(col("df") * 10 <= col("n_docs"))
+      .withColumn("tok_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("tok"))).cast("int"))
+      .select(col("tok"), col("tok_id"))
+    // per-doc sorted gram-id set + its Jaccard-0.8 prefix (the
+    // AllPairs/PPJoin bound): J(A,B) >= t is only possible if the two
+    // docs share a gram inside their first |x| - ceil(t*|x|) + 1 rarest
+    // grams, so candidate generation joins prefix postings only — at
+    // sf0.1 this collapses the 16M raw gram co-occurrence pairs to ~1e5
+    // candidates, each verified exactly below. ceil(0.8n) is computed in
+    // integer arithmetic ((4n+4) div 5) so the bound never loses pairs
+    // to float rounding.
+    val docSets = grams.join(broadcast(rare), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tok_id"))).as("gs"))
+      .withColumn("n", size(col("gs")))
+      .withColumn("prefix", expr("slice(gs, 1, n - ((n*4 + 4) div 5) + 1)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pp = docSets.select(col("doc_id"), col("n"), explode(col("prefix")).as("tok_id"))
+    // length prune: J >= 0.8 forces 4*max(|A|,|B|) <= 5*min(|A|,|B|)
+    val cands = pp.select(col("doc_id").as("a_id"), col("n").as("na"), col("tok_id"))
+      .join(pp.select(col("doc_id").as("b_id"), col("n").as("nb"), col("tok_id")),
+        Seq("tok_id"))
+      .filter(col("a_id") < col("b_id") &&
+        greatest(col("na"), col("nb")) * 4 <= least(col("na"), col("nb")) * 5)
+      .select(col("a_id"), col("b_id")).distinct()
+    // exact verification on the two cached gram-id sets (already
+    // distinct + sorted): set intersection, then the exact Jaccard
+    cands
+      .join(broadcast(docSets.select(col("doc_id").as("a_id"),
+        col("gs").as("ga"), col("n").as("n_a"))), "a_id")
+      .join(broadcast(docSets.select(col("doc_id").as("b_id"),
+        col("gs").as("gb"), col("n").as("n_b"))), "b_id")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** The DuckDB side of [[nearDupPairs]] (shared by t06 and t11's oracle). */
+  private val sqlNearDupPairs =
+    """WITH grams AS (
+        SELECT DISTINCT doc_id, substr(text, i.i, 4) AS tok
+        FROM documents
+        CROSS JOIN (SELECT unnest(range(1, 3001)) AS i) i
+        WHERE i.i <= length(text) - 3),
+      rare AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM grams GROUP BY tok)
+               WHERE df * 10 <= (SELECT count(*) FROM documents)),
+      kept AS (SELECT grams.doc_id, grams.tok FROM grams JOIN rare USING (tok)),
+      counts AS (SELECT doc_id, count(*) AS n_tok FROM kept GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      j AS (SELECT a_id, b_id,
+              CAST(inter AS DOUBLE)/CAST(ca.n_tok + cb.n_tok - inter AS DOUBLE) AS jaccard
+            FROM pairs
+            JOIN counts ca ON pairs.a_id = ca.doc_id
+            JOIN counts cb ON pairs.b_id = cb.doc_id)
+      SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.8"""
+
   val all: Seq[Q] = Seq(
 
     // ---- token counting + char stats ----
@@ -168,78 +245,108 @@ object TextQueries {
     // integer (df·10 ≤ n_docs) so both engines keep the identical gram set,
     // and Jaccard is computed over the capped gram sets on both sides. ----
     Q("t06_ngram_jaccard",
-      (s, dir) => {
-        // grams dedup row-locally (array_distinct before explode): no
-        // distinct shuffle; repartition spreads the single input file's
-        // explode work across cores
-        val grams = T(s, dir, "documents").repartition(32)
-          .select(col("doc_id"), explode(expr(
-            "array_distinct(transform(sequence(1, length(text) - 3), i -> substr(text, i, 4)))"))
-            .as("tok"))
-        val nDocs = T(s, dir, "documents").select(count(lit(1)).as("n_docs"))
-        // rare-gram dictionary with dense int ids ordered by ascending
-        // document frequency: position in this order IS the global rarity
-        // rank the prefix filter below keys on
-        val rare = grams.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-          .crossJoin(nDocs)
-          .filter(col("df") * 10 <= col("n_docs"))
-          .withColumn("tok_id", row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("tok"))).cast("int"))
-          .select(col("tok"), col("tok_id"))
-        // per-doc sorted gram-id set + its Jaccard-0.8 prefix (the
-        // AllPairs/PPJoin bound): J(A,B) >= t is only possible if the two
-        // docs share a gram inside their first |x| - ceil(t*|x|) + 1 rarest
-        // grams, so candidate generation joins prefix postings only — at
-        // sf0.1 this collapses the 16M raw gram co-occurrence pairs to ~1e5
-        // candidates, each verified exactly below. ceil(0.8n) is computed in
-        // integer arithmetic ((4n+4) div 5) so the bound never loses pairs
-        // to float rounding.
-        val docSets = grams.join(broadcast(rare), Seq("tok"))
-          .groupBy(col("doc_id"))
-          .agg(sort_array(collect_list(col("tok_id"))).as("gs"))
-          .withColumn("n", size(col("gs")))
-          .withColumn("prefix", expr("slice(gs, 1, n - ((n*4 + 4) div 5) + 1)"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val pp = docSets.select(col("doc_id"), col("n"), explode(col("prefix")).as("tok_id"))
-        // length prune: J >= 0.8 forces 4*max(|A|,|B|) <= 5*min(|A|,|B|)
-        val cands = pp.select(col("doc_id").as("a_id"), col("n").as("na"), col("tok_id"))
-          .join(pp.select(col("doc_id").as("b_id"), col("n").as("nb"), col("tok_id")),
-            Seq("tok_id"))
-          .filter(col("a_id") < col("b_id") &&
-            greatest(col("na"), col("nb")) * 4 <= least(col("na"), col("nb")) * 5)
-          .select(col("a_id"), col("b_id")).distinct()
-        // exact verification on the two cached gram-id sets (already
-        // distinct + sorted): set intersection, then the exact Jaccard
-        cands
-          .join(broadcast(docSets.select(col("doc_id").as("a_id"),
-            col("gs").as("ga"), col("n").as("n_a"))), "a_id")
-          .join(broadcast(docSets.select(col("doc_id").as("b_id"),
-            col("gs").as("gb"), col("n").as("n_b"))), "b_id")
-          .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
-          .withColumn("jaccard", col("inter").cast("double") /
-            (col("n_a") + col("n_b") - col("inter")).cast("double"))
-          .filter(col("jaccard") >= 0.8)
-          .select(col("a_id"), col("b_id"), col("jaccard"))
-      },
-      Some("""WITH grams AS (
-          SELECT DISTINCT doc_id, substr(text, i.i, 4) AS tok
-          FROM documents
-          CROSS JOIN (SELECT unnest(range(1, 3001)) AS i) i
-          WHERE i.i <= length(text) - 3),
-        rare AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM grams GROUP BY tok)
-                 WHERE df * 10 <= (SELECT count(*) FROM documents)),
-        kept AS (SELECT grams.doc_id, grams.tok FROM grams JOIN rare USING (tok)),
-        counts AS (SELECT doc_id, count(*) AS n_tok FROM kept GROUP BY doc_id),
-        pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-                  FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2),
-        j AS (SELECT a_id, b_id,
-                CAST(inter AS DOUBLE)/CAST(ca.n_tok + cb.n_tok - inter AS DOUBLE) AS jaccard
-              FROM pairs
-              JOIN counts ca ON pairs.a_id = ca.doc_id
-              JOIN counts cb ON pairs.b_id = cb.doc_id)
-        SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.8"""),
+      (s, dir) => nearDupPairs(s, dir),
+      Some(sqlNearDupPairs),
       bench = true),
+
+    // ---- duplicate clustering: connected components over the verified
+    // near-dup pairs (t06 edges), labels converging to the component-min
+    // doc_id. The Spark side is the standard BSP iteration — each round
+    // every node takes min(own label, neighbors' labels); rounds are bounded
+    // by the component diameter (near-dup components are shallow — dup
+    // clusters are near-cliques), and each round is one small equi-join +
+    // groupBy over only the docs that appear in a dup pair, so at corpus
+    // scale this runs on the (tiny) dup subgraph, never the full corpus.
+    // The DuckDB oracle computes the same fixpoint as a recursive CTE. ----
+    Q("t11_dup_clusters",
+      (s, dir) => {
+        val pairs = nearDupPairs(s, dir).select(col("a_id"), col("b_id"))
+        val labels = graft.operators.Graph.connectedComponents(pairs)
+        val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        labels.join(broadcast(sizes), Seq("component"))
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+            col("cluster_size"))
+      },
+      Some(s"""WITH RECURSIVE dup AS ($sqlNearDupPairs),
+        nodes AS (SELECT DISTINCT doc_id FROM
+          (SELECT a_id AS doc_id FROM dup UNION ALL SELECT b_id FROM dup) u),
+        edges AS (SELECT a_id, b_id FROM dup
+          UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM dup),
+        reach(doc_id, r) AS (
+          SELECT doc_id, doc_id AS r FROM nodes
+          UNION
+          SELECT e.a_id AS doc_id, reach.r
+          FROM edges e JOIN reach ON reach.doc_id = e.b_id),
+        lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+        sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+        SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+        FROM lab JOIN sz USING (cluster_id)"""),
+      ),
+
+    // ---- TF-IDF top-terms per document. The idf is quantized to an exact
+    // integer ((N*1e6) div df) so the ranking key tf*idf_q is a BIGINT both
+    // engines compute bit-identically — the playbook rule for keeping
+    // non-integer scores on the hash-match surface. One shuffle for tf,
+    // one broadcast-joined df, one bounded per-doc window. ----
+    Q("t12_tfidf_topk",
+      (s, dir) => {
+        val toks = T(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val tf = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val nDocs = T(s, dir, "documents").select(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score_q").desc, col("tok"))
+        tf.join(broadcast(df), Seq("tok"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score_q", col("tf") * expr("(n_docs * 1000000) div df"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("tok").as("term"), col("tf"), col("score_q"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        sc AS (SELECT tf.doc_id, tf.tok, tf.tf,
+            tf.tf * ((n.n_docs * 1000000) // df.df) AS score_q
+          FROM tf JOIN df USING (tok) CROSS JOIN n),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score_q DESC, tok) AS rn FROM sc)
+        SELECT doc_id, tok AS term, tf, score_q FROM r WHERE rn <= 3""")),
+
+    // ---- deterministic stratified sampling: per-language keep rates over
+    // an md5-derived bucket of (doc_id, lang). Hash sampling is the
+    // training-data standard because it is reproducible at any scale and
+    // partitioning (no RNG state), composes with incremental ingest (a doc's
+    // fate never changes), and the strata rates are data-independent. ----
+    Q("t13_stratified_sample",
+      (s, dir) => {
+        val bucket = (conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":"), col("lang"))),
+          1, 4), 16, 10).cast("int") % 100).as("bucket")
+        val rate = when(col("lang") === "en", 50)
+          .when(col("lang") === "de", 25)
+          .when(col("lang") === "es", 20)
+          .when(col("lang") === "fr", 10)
+          .otherwise(5)
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), bucket, rate.as("rate"))
+          .filter(col("bucket") < col("rate"))
+          .select(col("doc_id"), col("lang"), col("bucket"))
+      },
+      Some("""SELECT doc_id, lang,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4))
+            AS INTEGER) % 100 AS bucket
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4))
+            AS INTEGER) % 100 <
+          CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 WHEN 'es' THEN 20
+            WHEN 'fr' THEN 10 ELSE 5 END""")),
 
     // ---- MinHash + LSH banding: 8 hashes, 4 bands × 2 rows ----
     Q("t07_minhash_lsh",

@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Value-level check of min-label connected components on a graph with a
+  * chain (worst case for propagation depth), a triangle, and a disjoint
+  * pair — labels must converge to each component's minimum id. */
+class GraphSpec extends SparkSpec {
+
+  test("connectedComponents converges to component minima") {
+    import spark.implicits._
+    // chain 1-2-3-4-5, triangle 10-11-12 (+ chord), pair 20-21
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("a", "b")
+    val got = Graph.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L)
+    assert(got == want)
+  }
+
+  test("connectedComponents on a single edge") {
+    import spark.implicits._
+    val got = Graph.connectedComponents(Seq((7L, 3L)).toDF("x", "y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 3L, 3L -> 3L))
+  }
+}
