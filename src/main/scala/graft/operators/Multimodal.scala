@@ -105,6 +105,53 @@ object Multimodal {
     }
   }
 
+  /** Real JVM audio decode via `javax.sound.sampled` (WAV/AIFF/AU PCM
+    * readers ship in the JDK): decodes the payload to samples and emits
+    * amplitude statistics in the [[MediaFeatures]] shape (byte_hist =
+    * 16-bucket |amplitude| histogram over a 0..255 scale, mean_byte = mean
+    * scaled |amplitude|). Frame sampling is literal here: only every
+    * `frameStride`-th PCM frame is read (first channel). Non-PCM16 or
+    * undecodable payloads fall back to [[FakeDecoder]] byte statistics
+    * instead of failing the task, same contract as [[ImageIoDecoder]]. */
+  object WavDecoder extends Decoder {
+    override def decode(row: MediaRow, frameStride: Int): MediaFeatures = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      val fmt = if (in == null) null else in.getFormat
+      if (fmt == null || fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        FakeDecoder.decode(row, frameStride)
+      else {
+        val frameSize = fmt.getFrameSize
+        val buf = in.readAllBytes()
+        val stride = math.max(1, frameStride)
+        val nFrames = buf.length / frameSize
+        val hist = new Array[Long](16)
+        var sum = 0L
+        var n = 0L
+        var f = 0
+        while (f < nFrames) {
+          val off = f * frameSize
+          // first channel, 16-bit little-endian signed PCM
+          val amp = math.abs(((buf(off + 1) << 8) | (buf(off) & 0xff)).toInt)
+          val v = math.min(255, amp >> 7) // 0..32768 -> 0..255
+          hist(v >> 4) += 1
+          sum += v
+          n += 1
+          f += stride
+        }
+        val mean = if (n == 0) 0.0 else sum.toDouble / n
+        MediaFeatures(row.media_id, row.mime, row.payload.length.toLong, mean,
+          hist, n.toInt)
+      }
+    }
+  }
+
   /** Partition-at-a-time featurization: the distributed shape a real decode
     * pipeline needs (per-partition decoder init, streaming iterator, no
     * per-row driver involvement). */

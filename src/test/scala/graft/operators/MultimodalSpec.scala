@@ -62,6 +62,48 @@ class MultimodalSpec extends SparkSpec {
     assert(f2.n_bytes == 3L && approx(f2.mean_byte, 2.0))
   }
 
+  test("WavDecoder decodes real PCM16 WAV bytes to exact amplitude stats") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    // 8 mono frames alternating +16384 / 0 -> scaled |amp| alternates 128, 0
+    def wav(): Array[Byte] = {
+      val samples = Array[Short](16384, 0, 16384, 0, 16384, 0, 16384, 0)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s0, i) =>
+        pcm(2 * i) = (s0 & 0xff).toByte
+        pcm(2 * i + 1) = ((s0 >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val stream = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
+        samples.length.toLong)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val bytes = wav()
+    val rows = Seq(
+      MediaRow(1L, "audio/wav", bytes),
+      MediaRow(2L, "audio/wav", Array[Byte](9, 9, 9))) // undecodable payload
+    val got = featurize(rows.toDS().repartition(2), decoder = WavDecoder,
+        frameStride = 1).collect()
+      .map(f => f.media_id -> f).toMap
+
+    val f1 = got(1L)
+    assert(f1.n_bytes == bytes.length.toLong)
+    assert(f1.frames_sampled == 8)
+    assert(approx(f1.mean_byte, (128.0 * 4 + 0.0 * 4) / 8))
+    assert(f1.byte_hist(0) == 4L && f1.byte_hist(8) == 4L && f1.byte_hist.sum == 8L)
+
+    // stride 2 reads only the +16384 frames
+    val strided = featurize(rows.take(1).toDS(), decoder = WavDecoder,
+      frameStride = 2).collect().head
+    assert(strided.frames_sampled == 4 && approx(strided.mean_byte, 128.0))
+
+    // undecodable bytes fall back to byte stats, not a task failure
+    val f2 = got(2L)
+    assert(f2.n_bytes == 3L && approx(f2.mean_byte, 9.0))
+  }
+
   test("media payloads stay distributed (no driver collect in the plan)") {
     // build media rows from the documents table's text bytes — the binary
     // column plumbing a real image/audio ingest would use
