@@ -10,30 +10,75 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  /** Connected components by iterative min-label propagation (BSP): every
-    * node repeatedly takes the min of its own label and its neighbors',
-    * converging to the component-minimum id in at most diameter rounds.
+  /** Connected components by min-label propagation with pointer jumping:
+    * each round every node takes the min of its own label and its
+    * neighbors' labels (BSP step), then follows its label one hop
+    * (label := label-of-label, the pointer-jumping step). Neighbor
+    * propagation alone is diameter-bound — a near-dup CHAIN of length d
+    * needs d rounds — while the jump step halves the remaining chain depth
+    * every round, so convergence is O(log d) rounds total.
     *
-    * Scale shape: each round is one equi-join + one groupBy over the EDGE
-    * set only — nodes outside any edge never enter the computation, and
-    * near-dup components are shallow near-cliques, so rounds stay small
-    * (the driver loop is bounded and each round's frames are persisted,
-    * unpersisted as soon as superseded). For adversarial long-chain graphs
-    * the documented upgrade is the large-star/small-star variant, which
-    * contracts chains in O(log n) rounds with the same per-round plan.
+    * Scale shape: each round is two equi-joins + one groupBy over the EDGE
+    * set only — nodes outside any edge never enter the computation; every
+    * round's frame is persisted and the superseded one dropped, so lineage
+    * stays one round deep. The driver loop carries no data, only the
+    * converged? counter — the standard iterative-algorithm shape on Spark
+    * (same as GraphX/Pregel connected components).
     *
     * @param edges two-column DataFrame of undirected edges
+    * @param localEdgeThreshold edge count at or below which a driver-side
+    *   union-find replaces the BSP loop (stats-driven strategy choice)
     * @return (id, component) — component = min node id reachable
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(
+      edges: DataFrame,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
     val Array(srcCol, dstCol) = edges.columns
     val lvl = StorageLevel.MEMORY_AND_DISK
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    val e2 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .persist(lvl)
+    // size-adaptive strategy, the same stats-driven choice a broadcast join
+    // makes: a near-dup edge set is usually orders of magnitude smaller
+    // than the corpus, and below the threshold a driver-side union-find
+    // finishes in one collect instead of log(diameter) BSP rounds each
+    // paying the per-job scheduling floor. Above it, the distributed BSP
+    // path below handles edge sets that never fit one machine.
+    val n = e2.count()
+    if (n <= localEdgeThreshold) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      e2.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        val ra = find(a); val rb = find(b)
+        // min root wins, so every tree's root is its component minimum
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        parent.getOrElseUpdate(math.min(ra, rb), math.min(ra, rb))
+      }
+      val out = parent.keysIterator.map(id => (id, find(id))).toSeq.sorted
+      e2.unpersist()
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return out.toDF("id", "component")
+    }
+    val sym = e2
+      .unionByName(e2.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(lvl)
+    // localCheckpoint each round: the new label frame references the old
+    // one several times (neighbor step + jump step), so carrying logical
+    // lineage across rounds would grow the plan exponentially and drown
+    // the driver in analysis time — the canonical iterative-DataFrame
+    // trap. Checkpointing materializes the round into block storage and
+    // makes the next round's plan start from a leaf.
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(lvl)
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {
@@ -41,17 +86,23 @@ object Graph {
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("nl")).as("min_nbr"))
         .select(col("src").as("id"), col("min_nbr"))
-      val next = labels.select(col("id"), col("label").as("old"))
+      val stepped = labels.select(col("id"), col("label").as("old"))
         .join(prop, Seq("id"), "left")
         .select(col("id"), col("old"),
-          least(col("old"), coalesce(col("min_nbr"), col("old"))).as("label"))
-        .persist(lvl)
+          least(col("old"), coalesce(col("min_nbr"), col("old"))).as("l1"))
+      // pointer jump: labels always point at real node ids, and label(l)
+      // is monotonically <= l, so one extra self-join halves chain depth
+      val next = stepped
+        .join(stepped.select(col("id").as("l1"), col("l1").as("l2")), Seq("l1"), "left")
+        .select(col("id"), col("old"),
+          least(col("l1"), coalesce(col("l2"), col("l1"))).as("label"))
+        .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next.select(col("id"), col("label"))
       rounds += 1
     }
     sym.unpersist()
+    e2.unpersist()
     labels.select(col("id"), col("label").as("component"))
   }
 }

@@ -281,7 +281,7 @@ object TextQueries {
         sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
         SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
         FROM lab JOIN sz USING (cluster_id)"""),
-      ),
+      bench = true),
 
     // ---- TF-IDF top-terms per document. The idf is quantized to an exact
     // integer ((N*1e6) div df) so the ranking key tf*idf_q is a BIGINT both
@@ -317,7 +317,8 @@ object TextQueries {
           FROM tf JOIN df USING (tok) CROSS JOIN n),
         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
             ORDER BY score_q DESC, tok) AS rn FROM sc)
-        SELECT doc_id, tok AS term, tf, score_q FROM r WHERE rn <= 3""")),
+        SELECT doc_id, tok AS term, tf, score_q FROM r WHERE rn <= 3"""),
+      bench = true),
 
     // ---- deterministic stratified sampling: per-language keep rates over
     // an md5-derived bucket of (doc_id, lang). Hash sampling is the
@@ -346,7 +347,8 @@ object TextQueries {
         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4))
             AS INTEGER) % 100 <
           CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 WHEN 'es' THEN 20
-            WHEN 'fr' THEN 10 ELSE 5 END""")),
+            WHEN 'fr' THEN 10 ELSE 5 END"""),
+      bench = true),
 
     // ---- MinHash + LSH banding: 8 hashes, 4 bands × 2 rows ----
     Q("t07_minhash_lsh",

@@ -30,4 +30,19 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(7L -> 3L, 3L -> 3L))
   }
+
+  test("distributed BSP path agrees with the local union-find path") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), // chain
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("a", "b")
+    val local = Graph.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bsp = Graph.connectedComponents(edges, localEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == bsp)
+    assert(bsp(7L) == 1L && bsp(12L) == 10L && bsp(21L) == 20L)
+  }
 }
