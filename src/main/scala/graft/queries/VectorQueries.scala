@@ -148,6 +148,96 @@ object VectorQueries {
           JOIN n nb ON dots.b_id = nb.v_id)
         SELECT label, a_id, b_id, cos_sim FROM scored WHERE cos_sim >= 0.3""")),
 
+    // ---- IVF multi-probe: rank clusters by query↔centroid cosine and
+    // probe the best TWO, the standard recall/latency lever when the true
+    // neighbor straddles a cluster boundary (s02 probes exactly one).
+    // Centroids are kept as exact element-wise SUMS of the quantized
+    // vectors — cosine against the sum equals cosine against the mean
+    // (scale-invariant), so no division ever leaves integer space and both
+    // engines rank clusters identically. At 100 TB: the centroid table is
+    // k×dim (tiny, broadcast), candidates are partitioned by cluster id,
+    // so each query reads exactly two partitions. ----
+    Q("s05_knn_ivf_multiprobe",
+      (s, dir) => {
+        VectorExpressions.register(s)
+        val e = T(s, dir, "embeddings")
+        val el = e.select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("i0", "v")))
+          .select(col("vec_id"), col("label"), (col("i0") + 1).as("i"),
+            expr("CAST(floor(v*1000.0+0.5) AS BIGINT)").as("qv"))
+        val cent = el.groupBy(col("label"), col("i"))
+          .agg(sum(col("qv")).as("sv"))
+        val cn2 = cent.groupBy(col("label"))
+          .agg(sum(col("sv") * col("sv")).as("c_n2"))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            norm2Q(col("embedding")).as("q_n2"))
+        val qel = el.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("i"), col("qv"))
+        val pdot = qel.join(broadcast(cent), Seq("i"))
+          .groupBy(col("q_id"), col("label"))
+          .agg(sum(col("qv") * col("sv")).as("dot"))
+        val pw = Window.partitionBy(col("q_id"))
+          .orderBy(col("probe_cos").desc, col("label").asc)
+        val probe = pdot
+          .join(broadcast(cn2), Seq("label"))
+          .join(broadcast(q.select(col("q_id"), col("q_n2"))), Seq("q_id"))
+          .withColumn("probe_cos", cosine(col("dot"), col("q_n2"), col("c_n2")))
+          .withColumn("rn", row_number().over(pw))
+          .filter(col("rn") <= 2)
+          .select(col("q_id"), col("label"))
+        val c = e.select(col("vec_id").as("c_id"), col("label"),
+          col("embedding").as("c_emb"), norm2Q(col("embedding")).as("c_n2"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("c_id").asc)
+        c.join(broadcast(probe), Seq("label"))
+          .join(broadcast(q), Seq("q_id"))
+          .filter(col("c_id") =!= col("q_id"))
+          .withColumn("cos_sim",
+            cosine(dotQ(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("c_id"), col("rank"), col("cos_sim"))
+      },
+      Some(s"""WITH allq AS (SELECT vec_id, label,
+            CAST(floor(embedding[i.i]*1000.0+0.5) AS BIGINT) AS qv, i.i AS i
+          FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i),
+        cent AS (SELECT label, i, CAST(sum(qv) AS BIGINT) AS sv
+          FROM allq GROUP BY 1, 2),
+        cn2 AS (SELECT label, CAST(sum(sv*sv) AS BIGINT) AS c_n2
+          FROM cent GROUP BY 1),
+        qn AS (${sqlQuantized("WHERE vec_id < 5", "q")}),
+        pdot AS (SELECT a.vec_id AS q_id, cent.label,
+            CAST(sum(a.qv*cent.sv) AS BIGINT) AS dot
+          FROM allq a JOIN cent ON a.i = cent.i
+          WHERE a.vec_id < 5 GROUP BY 1, 2),
+        probe AS (SELECT q_id, label FROM (
+            SELECT p.q_id, p.label,
+              row_number() OVER (PARTITION BY p.q_id ORDER BY
+                CAST(p.dot AS DOUBLE)/(sqrt(CAST(qn.q_n2 AS DOUBLE))*sqrt(CAST(cn2.c_n2 AS DOUBLE)))
+                DESC, p.label ASC) AS rn
+            FROM pdot p JOIN qn ON p.q_id = qn.q_id
+            JOIN cn2 ON p.label = cn2.label) r
+          WHERE rn <= 2),
+        dots AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+            CAST(sum(a.qv*b.qv) AS BIGINT) AS dot
+          FROM allq a
+          JOIN allq b ON a.i = b.i AND a.vec_id <> b.vec_id
+          JOIN probe ON probe.q_id = a.vec_id AND probe.label = b.label
+          WHERE a.vec_id < 5 GROUP BY 1, 2),
+        cn AS (${sqlQuantized("", "c")}),
+        scored AS (SELECT dots.q_id, dots.c_id,
+            CAST(dot AS DOUBLE)/(sqrt(CAST(q_n2 AS DOUBLE))*sqrt(CAST(c_n2 AS DOUBLE)))
+              AS cos_sim
+          FROM dots
+          JOIN qn ON dots.q_id = qn.q_id
+          JOIN cn ON dots.c_id = cn.c_id),
+        ranked AS (SELECT q_id, c_id,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, c_id ASC) AS INTEGER) AS rank, cos_sim
+          FROM scored)
+        SELECT q_id, c_id, rank, cos_sim FROM ranked WHERE rank <= 3""")),
+
     // ---- per-cluster vector stats (exact-integer norms) ----
     Q("s03_vector_stats",
       (s, dir) => {

@@ -46,11 +46,40 @@ object EventStream {
         col("total_value"))
   }
 
+  /** Streaming dedup-keep-first: same semantics as the batch e03 query
+    * (first event per (user_id, event_type) by event time, event_id as the
+    * tiebreak) as a continuous aggregation — min(struct(ts, event_id))
+    * per key, which is ARRIVAL-ORDER-FREE, unlike `dropDuplicates`, whose
+    * "first" is whichever row the source happened to deliver first.
+    *
+    * State is one small row per live (user_id, event_type) key. For
+    * unbounded key spaces the production variant is
+    * `dropDuplicatesWithinWatermark` (state expires with the watermark) at
+    * the cost of the arrival-order caveat above. */
+  def dedupFirst(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("first"))
+      .select(col("user_id"), col("event_type"),
+        col("first.event_id").as("event_id"), col("first.ts").as("ts"))
+  }
+
   /** Drive the streaming query over whatever files exist, synchronously, and
     * leave the result in an in-memory table (test/local harness). */
-  def runOnce(spark: SparkSession, dir: String, tableName: String): DataFrame = {
-    val q = hourlyRollup(spark, dir)
-      .writeStream
+  def runOnce(spark: SparkSession, dir: String, tableName: String): DataFrame =
+    runQuery(hourlyRollup(spark, dir), tableName)
+
+  /** Same harness for the dedup stream. */
+  def runDedupOnce(spark: SparkSession, dir: String, tableName: String): DataFrame =
+    runQuery(dedupFirst(spark, dir), tableName)
+
+  private def runQuery(df: DataFrame, tableName: String): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(tableName)

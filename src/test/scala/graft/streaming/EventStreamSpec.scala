@@ -22,4 +22,19 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming dedup-keep-first matches the batch e03 result") {
+    val dir = Files.createTempDirectory("events_dedup_stream")
+    Files.copy(Paths.get(s"$sfSmoke/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val streamed = EventStream.runDedupOnce(spark, dir.toString, "ev_dedup")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getTimestamp(3))).toSet
+    val batch = SparkEntry.queries("e03_dedup_first")(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getTimestamp(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
