@@ -100,6 +100,17 @@ object TextQueries {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** t11/t14 shared: near-dup pairs clustered to (doc_id, cluster_id =
+    * component-min doc_id, cluster_size). */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(s, dir).select(col("a_id"), col("b_id"))
+    val labels = graft.operators.Graph.connectedComponents(pairs)
+    val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(broadcast(sizes), Seq("component"))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        col("cluster_size"))
+  }
+
   /** The DuckDB side of [[nearDupPairs]] (shared by t06 and t11's oracle). */
   private val sqlNearDupPairs =
     """WITH grams AS (
@@ -120,6 +131,22 @@ object TextQueries {
             JOIN counts ca ON pairs.a_id = ca.doc_id
             JOIN counts cb ON pairs.b_id = cb.doc_id)
       SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.8"""
+
+  /** DuckDB recursive-CTE connected components over [[sqlNearDupPairs]]:
+    * a WITH RECURSIVE prefix ending in `lab(doc_id, cluster_id)` — t11 and
+    * t14 append their own final SELECT. */
+  private val sqlDupLabels =
+    s"""WITH RECURSIVE dup AS ($sqlNearDupPairs),
+      nodes AS (SELECT DISTINCT doc_id FROM
+        (SELECT a_id AS doc_id FROM dup UNION ALL SELECT b_id FROM dup) u),
+      edges AS (SELECT a_id, b_id FROM dup
+        UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM dup),
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id AS r FROM nodes
+        UNION
+        SELECT e.a_id AS doc_id, reach.r
+        FROM edges e JOIN reach ON reach.doc_id = e.b_id),
+      lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)"""
 
   val all: Seq[Q] = Seq(
 
@@ -251,37 +278,38 @@ object TextQueries {
 
     // ---- duplicate clustering: connected components over the verified
     // near-dup pairs (t06 edges), labels converging to the component-min
-    // doc_id. The Spark side is the standard BSP iteration — each round
-    // every node takes min(own label, neighbors' labels); rounds are bounded
-    // by the component diameter (near-dup components are shallow — dup
-    // clusters are near-cliques), and each round is one small equi-join +
-    // groupBy over only the docs that appear in a dup pair, so at corpus
-    // scale this runs on the (tiny) dup subgraph, never the full corpus.
-    // The DuckDB oracle computes the same fixpoint as a recursive CTE. ----
+    // doc_id via operators/Graph.connectedComponents (size-adaptive:
+    // driver union-find under 1M edges, lineage-checkpointed BSP with
+    // pointer jumping above — see Graph's scaladoc). Runs on the dup
+    // subgraph only, never the full corpus. The DuckDB oracle computes the
+    // same fixpoint as a recursive CTE — which explodes to |component|²
+    // reach rows (53 s at sf0.1 vs the engine's 2.7 s): iterative graph
+    // algorithms are where declarative SQL stops being the right tool. ----
     Q("t11_dup_clusters",
-      (s, dir) => {
-        val pairs = nearDupPairs(s, dir).select(col("a_id"), col("b_id"))
-        val labels = graft.operators.Graph.connectedComponents(pairs)
-        val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
-        labels.join(broadcast(sizes), Seq("component"))
-          .select(col("id").as("doc_id"), col("component").as("cluster_id"),
-            col("cluster_size"))
-      },
-      Some(s"""WITH RECURSIVE dup AS ($sqlNearDupPairs),
-        nodes AS (SELECT DISTINCT doc_id FROM
-          (SELECT a_id AS doc_id FROM dup UNION ALL SELECT b_id FROM dup) u),
-        edges AS (SELECT a_id, b_id FROM dup
-          UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM dup),
-        reach(doc_id, r) AS (
-          SELECT doc_id, doc_id AS r FROM nodes
-          UNION
-          SELECT e.a_id AS doc_id, reach.r
-          FROM edges e JOIN reach ON reach.doc_id = e.b_id),
-        lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+      (s, dir) => dupClusters(s, dir),
+      Some(s"""$sqlDupLabels,
         sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
         SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
         FROM lab JOIN sz USING (cluster_id)"""),
       bench = true),
+
+    // ---- the dedup pipeline's final act: the cleaned corpus. Every doc
+    // that is a non-minimum member of a dup cluster is dropped; cluster
+    // minima and untouched docs survive. One broadcast anti-join against
+    // the (tiny) loser set — the corpus itself never shuffles. ----
+    Q("t14_corpus_dedup",
+      (s, dir) => {
+        val losers = dupClusters(s, dir)
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id"))
+        T(s, dir, "documents")
+          .join(broadcast(losers), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(s"""$sqlDupLabels
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        WHERE d.doc_id NOT IN
+          (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)""")),
 
     // ---- TF-IDF top-terms per document. The idf is quantized to an exact
     // integer ((N*1e6) div df) so the ranking key tf*idf_q is a BIGINT both
