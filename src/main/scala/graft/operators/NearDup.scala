@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Exact character-n-gram Jaccard near-duplicate detection, the engine's
+  * reusable core behind the t06/t11/t14 queries.
+  *
+  * Algorithm (all thresholds kept in integer arithmetic so the result is
+  * bit-identical to a single-threaded SQL oracle):
+  *  1. distinct char n-grams per doc, generated columnar-side;
+  *  2. document-frequency cap: grams in more than capNum/capDen of the
+  *     corpus are dropped BEFORE any pair work (stop-gram posting lists are
+  *     the quadratic risk at corpus scale);
+  *  3. AllPairs/PPJoin prefix filter: gram ids are ranked by global rarity,
+  *     and J(A,B) >= tNum/tDen is only possible if the docs share a gram
+  *     inside their first |x| - ceil(t*|x|) + 1 rarest grams — candidates
+  *     come from joining those tiny prefix postings only;
+  *  4. length prune (t*max(|A|,|B|) <= min(|A|,|B|) necessary condition);
+  *  5. exact verification: set intersection of the two full gram-id sets.
+  */
+object NearDup {
+
+  /** @param docs (id, text) frame — first column the doc id, second the text
+    * @param gramLen character n-gram length
+    * @param capNum/capDen DF cap as a fraction of the corpus (keep df*capDen <= n*capNum)
+    * @param tNum/tDen Jaccard threshold as an exact rational
+    * @return (a_id, b_id, jaccard) with a_id < b_id and jaccard >= t
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      gramLen: Int = 4,
+      capNum: Int = 1, capDen: Int = 10,
+      tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    val Array(idCol, textCol) = docs.columns.take(2)
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // grams dedup row-locally (array_distinct before explode): no distinct
+    // shuffle. Docs shorter than gramLen yield NO grams — the sequence()
+    // bound must be guarded because sequence(1, 0) counts DOWN in Spark.
+    val grams = d.repartition(32)
+      .filter(length(col("text")) >= gramLen)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, length(text) - ${gramLen - 1})," +
+          s" i -> substr(text, i, $gramLen)))"))
+        .as("tok"))
+    val nDocs = d.select(count(lit(1)).as("n_docs"))
+    // rare-gram dictionary with dense int ids ordered by ascending document
+    // frequency: position in this order IS the rarity rank the prefix
+    // filter keys on
+    val rare = grams.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .filter(col("df") * capDen <= col("n_docs") * capNum)
+      .withColumn("tok_id", row_number().over(
+        Window.orderBy(col("df"), col("tok"))).cast("int"))
+      .select(col("tok"), col("tok_id"))
+    // per-doc sorted gram-id set + its prefix; ceil(t*n) in integer
+    // arithmetic ((tNum*n + tDen - 1) div tDen) so the bound never loses
+    // pairs to float rounding
+    val docSets = grams.join(broadcast(rare), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tok_id"))).as("gs"))
+      .withColumn("n", size(col("gs")))
+      .withColumn("prefix",
+        expr(s"slice(gs, 1, n - ((n*$tNum + $tDen - 1) div $tDen) + 1)"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pp = docSets.select(col("doc_id"), col("n"), explode(col("prefix")).as("tok_id"))
+    // length prune: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
+    val cands = pp.select(col("doc_id").as("a_id"), col("n").as("na"), col("tok_id"))
+      .join(pp.select(col("doc_id").as("b_id"), col("n").as("nb"), col("tok_id")),
+        Seq("tok_id"))
+      .filter(col("a_id") < col("b_id") &&
+        greatest(col("na"), col("nb")) * tNum <= least(col("na"), col("nb")) * tDen)
+      .select(col("a_id"), col("b_id")).distinct()
+    // exact verification on the two cached gram-id sets (already distinct +
+    // sorted): set intersection, then the exact Jaccard
+    val thresh: Column = lit(tNum.toDouble / tDen.toDouble)
+    cands
+      .join(broadcast(docSets.select(col("doc_id").as("a_id"),
+        col("gs").as("ga"), col("n").as("n_a"))), "a_id")
+      .join(broadcast(docSets.select(col("doc_id").as("b_id"),
+        col("gs").as("gb"), col("n").as("n_b"))), "b_id")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= thresh)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+}

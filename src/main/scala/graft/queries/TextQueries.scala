@@ -44,61 +44,12 @@ object TextQueries {
     conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int")
   private val sqlTokVal = "CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER)"
 
-  /** t06/t11 shared core: exact char-4-gram Jaccard >= 0.8 pairs via a
-    * DF-capped inverted index + AllPairs prefix filtering (see t06 notes). */
-  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    // grams dedup row-locally (array_distinct before explode): no
-    // distinct shuffle; repartition spreads the single input file's
-    // explode work across cores
-    val grams = T(s, dir, "documents").repartition(32)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, length(text) - 3), i -> substr(text, i, 4)))"))
-        .as("tok"))
-    val nDocs = T(s, dir, "documents").select(count(lit(1)).as("n_docs"))
-    // rare-gram dictionary with dense int ids ordered by ascending
-    // document frequency: position in this order IS the global rarity
-    // rank the prefix filter below keys on
-    val rare = grams.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .crossJoin(nDocs)
-      .filter(col("df") * 10 <= col("n_docs"))
-      .withColumn("tok_id", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("tok"))).cast("int"))
-      .select(col("tok"), col("tok_id"))
-    // per-doc sorted gram-id set + its Jaccard-0.8 prefix (the
-    // AllPairs/PPJoin bound): J(A,B) >= t is only possible if the two
-    // docs share a gram inside their first |x| - ceil(t*|x|) + 1 rarest
-    // grams, so candidate generation joins prefix postings only — at
-    // sf0.1 this collapses the 16M raw gram co-occurrence pairs to ~1e5
-    // candidates, each verified exactly below. ceil(0.8n) is computed in
-    // integer arithmetic ((4n+4) div 5) so the bound never loses pairs
-    // to float rounding.
-    val docSets = grams.join(broadcast(rare), Seq("tok"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("tok_id"))).as("gs"))
-      .withColumn("n", size(col("gs")))
-      .withColumn("prefix", expr("slice(gs, 1, n - ((n*4 + 4) div 5) + 1)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pp = docSets.select(col("doc_id"), col("n"), explode(col("prefix")).as("tok_id"))
-    // length prune: J >= 0.8 forces 4*max(|A|,|B|) <= 5*min(|A|,|B|)
-    val cands = pp.select(col("doc_id").as("a_id"), col("n").as("na"), col("tok_id"))
-      .join(pp.select(col("doc_id").as("b_id"), col("n").as("nb"), col("tok_id")),
-        Seq("tok_id"))
-      .filter(col("a_id") < col("b_id") &&
-        greatest(col("na"), col("nb")) * 4 <= least(col("na"), col("nb")) * 5)
-      .select(col("a_id"), col("b_id")).distinct()
-    // exact verification on the two cached gram-id sets (already
-    // distinct + sorted): set intersection, then the exact Jaccard
-    cands
-      .join(broadcast(docSets.select(col("doc_id").as("a_id"),
-        col("gs").as("ga"), col("n").as("n_a"))), "a_id")
-      .join(broadcast(docSets.select(col("doc_id").as("b_id"),
-        col("gs").as("gb"), col("n").as("n_b"))), "b_id")
-      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
-  }
+  /** t06/t11/t14 shared core: exact char-4-gram Jaccard >= 0.8 pairs via
+    * [[graft.operators.NearDup.jaccardPairs]] (DF-capped inverted index +
+    * AllPairs prefix filtering + exact verification). */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDup.jaccardPairs(
+      T(s, dir, "documents").select(col("doc_id"), col("text")))
 
   /** t11/t14 shared: near-dup pairs clustered to (doc_id, cluster_id =
     * component-min doc_id, cluster_size). */

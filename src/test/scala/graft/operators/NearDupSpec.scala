@@ -1,0 +1,77 @@
+package graft.operators
+
+import scala.util.Random
+import graft.SparkSpec
+
+/** Property check: the capped + prefix-filtered + length-pruned candidate
+  * pipeline must find EXACTLY the pairs a brute-force all-pairs Jaccard
+  * finds — the filters may only discard pairs that provably cannot reach
+  * the threshold. Random corpora with planted mutation families exercise
+  * chains, cliques, and singletons; a plain-Scala oracle recomputes
+  * everything from scratch. */
+class NearDupSpec extends SparkSpec {
+
+  private def grams(text: String, n: Int): Set[String] =
+    if (text.length < n) Set.empty
+    else (0 to text.length - n).map(i => text.substring(i, i + n)).toSet
+
+  /** brute-force reference: same DF cap, all pairs, exact Jaccard */
+  private def bruteForce(docs: Seq[(Long, String)], n: Int,
+                         capNum: Int, capDen: Int,
+                         tNum: Int, tDen: Int): Set[(Long, Long)] = {
+    val gsets = docs.map { case (id, t) => id -> grams(t, n) }.toMap
+    val df = gsets.values.flatten.groupBy(identity).map { case (g, v) => g -> v.size }
+    val keep = df.filter { case (_, d) => d * capDen <= docs.size * capNum }.keySet
+    val capped = gsets.map { case (id, gs) => id -> gs.intersect(keep) }
+    val t = tNum.toDouble / tDen.toDouble
+    (for {
+      (a, ga) <- capped.toSeq
+      (b, gb) <- capped.toSeq
+      if a < b && ga.nonEmpty && gb.nonEmpty
+      inter = ga.intersect(gb).size
+      j = inter.toDouble / (ga.size + gb.size - inter).toDouble
+      if j >= t
+    } yield (a, b)).toSet
+  }
+
+  private def randomCorpus(seed: Int): Seq[(Long, String)] = {
+    val rnd = new Random(seed)
+    val alpha = "abcd "
+    def randText(len: Int): String =
+      (1 to len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    // mutation families (near-dups at varying distances) + unrelated docs
+    val base = randText(60)
+    def mutate(s: String, k: Int): String = {
+      val arr = s.toCharArray
+      (1 to k).foreach(_ => arr(rnd.nextInt(arr.length)) = alpha(rnd.nextInt(alpha.length)))
+      new String(arr)
+    }
+    val family = (0 until 6).map(i => (i.toLong, mutate(base, i))) // chainy family
+    val singles = (10 until 25).map(i => (i.toLong, randText(20 + rnd.nextInt(40))))
+    val tiny = Seq((30L, "ab"), (31L, ""))                         // < gramLen
+    family ++ singles ++ tiny
+  }
+
+  test("jaccardPairs equals brute force on random mutation corpora") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val docs = randomCorpus(seed)
+      val got = NearDup.jaccardPairs(docs.toDF("doc_id", "text"),
+          gramLen = 4, capNum = 9, capDen = 10, tNum = 4, tDen = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = bruteForce(docs, 4, 9, 10, 4, 5)
+      assert(got == want, s"seed=$seed: got ${got.size}, want ${want.size}")
+      assert(want.nonEmpty, s"seed=$seed produced no positive pairs — weak fixture")
+    }
+  }
+
+  test("jaccardPairs at a different threshold and gram length") {
+    import spark.implicits._
+    val docs = randomCorpus(99)
+    val got = NearDup.jaccardPairs(docs.toDF("doc_id", "text"),
+        gramLen = 3, capNum = 9, capDen = 10, tNum = 2, tDen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteForce(docs, 3, 9, 10, 2, 3)
+    assert(got == want)
+  }
+}
