@@ -419,6 +419,39 @@ object TextQueries {
         GROUP BY md5(text)"""),
       bench = true),
 
+    // ---- within-doc repetition (Gopher-style quality signals): share of
+    // the most frequent token and the duplicate-token ratio. All counts are
+    // exact integers; the two ratios are single IEEE divisions of exact
+    // integers, so they hash-match cross-engine. One shuffle on
+    // (doc_id, tok), then a bounded per-doc aggregation. ----
+    Q("t15_repetition",
+      (s, dir) => {
+        val tf = T(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        tf.groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max(col("tf")).as("top_tf"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_tf"),
+            (col("top_tf").cast("double") / col("n_tokens").cast("double"))
+              .as("top_share"),
+            ((col("n_tokens") - col("n_distinct")).cast("double") /
+              col("n_tokens").cast("double")).as("dup_ratio"))
+      },
+      Some("""WITH tf AS (
+          SELECT doc_id, tok, count(*) AS tf FROM
+            (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u
+          GROUP BY 1, 2),
+        agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+            count(*) AS n_distinct, CAST(max(tf) AS BIGINT) AS top_tf
+          FROM tf GROUP BY 1)
+        SELECT doc_id, n_tokens, n_distinct, top_tf,
+          CAST(top_tf AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS top_share,
+          CAST(n_tokens - n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS dup_ratio
+        FROM agg""")),
+
     // ---- SimHash: 16-bit signature from per-token md5 prefixes ----
     Q("t08_simhash",
       (s, dir) => {
