@@ -20,10 +20,11 @@ object Graph {
     *
     * Scale shape: each round is two equi-joins + one groupBy over the EDGE
     * set only — nodes outside any edge never enter the computation; every
-    * round's frame is persisted and the superseded one dropped, so lineage
-    * stays one round deep. The driver loop carries no data, only the
-    * converged? counter — the standard iterative-algorithm shape on Spark
-    * (same as GraphX/Pregel connected components).
+    * round's frame is localCheckpoint'ed so lineage stays one round deep
+    * (superseded rounds' blocks are reclaimed by the ContextCleaner once
+    * the driver drops its reference — not synchronously). The driver loop
+    * carries no data, only the converged? counter — the standard
+    * iterative-algorithm shape on Spark (same as GraphX/Pregel CC).
     *
     * @param edges two-column DataFrame of undirected edges
     * @param localEdgeThreshold edge count at or below which a driver-side

@@ -65,10 +65,10 @@ object TextQueries {
   /** The DuckDB side of [[nearDupPairs]] (shared by t06 and t11's oracle). */
   private val sqlNearDupPairs =
     """WITH grams AS (
-        SELECT DISTINCT doc_id, substr(text, i.i, 4) AS tok
-        FROM documents
-        CROSS JOIN (SELECT unnest(range(1, 3001)) AS i) i
-        WHERE i.i <= length(text) - 3),
+        SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 4) AS tok
+        FROM (SELECT doc_id, text,
+                unnest(range(1, greatest(length(text) - 2, 1))) AS i
+              FROM documents) g),
       rare AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM grams GROUP BY tok)
                WHERE df * 10 <= (SELECT count(*) FROM documents)),
       kept AS (SELECT grams.doc_id, grams.tok FROM grams JOIN rare USING (tok)),
@@ -268,7 +268,7 @@ object TextQueries {
     // non-integer scores on the hash-match surface. One shuffle for tf,
     // one broadcast-joined df, one bounded per-doc window. ----
     Q("t12_tfidf_topk",
-      (s, dir) => {
+      (s, dir) => Q.memo(s, s"t12_tfidf_topk:$dir") {
         val toks = T(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         val tf = toks.groupBy(col("doc_id"), col("tok"))
@@ -364,7 +364,11 @@ object TextQueries {
     // of the MinHash/LSH machinery is shared with t07. ----
     Q("t09_shingle_minhash",
       (s, dir) => {
+        // the length guard matters: Spark's sequence(1, 0) counts DOWN, so
+        // an unguarded bound would fabricate shingles for texts shorter
+        // than the shingle length
         val shingles = T(s, dir, "documents")
+          .filter(length(col("text")) >= 5)
           .select(col("doc_id"), col("text"),
             explode(sequence(lit(1), length(col("text")) - 4)).as("i"))
           .select(col("doc_id"), expr("substr(text, i, 5)").as("tok"))
@@ -377,10 +381,10 @@ object TextQueries {
       Some {
         val mins = (1 to 4).map(sqlMh).mkString(", ")
         s"""WITH shingles AS (
-            SELECT DISTINCT doc_id, substr(text, i.i, 5) AS tok
-            FROM documents
-            CROSS JOIN (SELECT unnest(range(1, 1001)) AS i) i
-            WHERE i.i <= length(text) - 4),
+            SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS tok
+            FROM (SELECT doc_id, text,
+                    unnest(range(1, greatest(length(text) - 3, 1))) AS i
+                  FROM documents) g),
           sig AS (SELECT doc_id, $mins FROM shingles GROUP BY doc_id)
           SELECT doc_id, h1||h2 AS band1, h3||h4 AS band2 FROM sig"""
       }),
