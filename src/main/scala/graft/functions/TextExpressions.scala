@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the near-dup hot path: distinct character
+  * n-grams of a string column in first-occurrence order — semantically
+  * identical to `array_distinct(transform(sequence(1, length(text)-n+1),
+  * i -> substr(text, i, n)))` but generated as one tight Java loop with a
+  * hash set instead of three interpreted higher-order passes that
+  * materialize an intermediate position array and a full gram array before
+  * deduplication. Texts shorter than n yield an empty array (no
+  * descending-sequence footgun).
+  *
+  * Preference order (b) from the build rules: a scalar `Expression` with
+  * `doGenCode`, inlining into whole-stage codegen.
+  */
+object TextExpressions {
+
+  case class DistinctCharGrams(child: Expression, n: Int) extends UnaryExpression {
+
+    require(n >= 1, s"gram length must be >= 1, got $n")
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"expected string, got ${other.simpleString}")
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val set = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= s.length) {
+        set.add(s.substring(i, i + n))
+        i += 1
+      }
+      val arr = new Array[Any](set.size)
+      val it = set.iterator()
+      var k = 0
+      while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(arr)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val s = ctx.freshName("s")
+        val set = ctx.freshName("set")
+        val i = ctx.freshName("i")
+        val arr = ctx.freshName("arr")
+        val k = ctx.freshName("k")
+        val it = ctx.freshName("it")
+        // raw types: janino's generics support is not worth relying on
+        s"""
+          java.lang.String $s = $c.toString();
+          java.util.LinkedHashSet $set = new java.util.LinkedHashSet();
+          for (int $i = 0; $i + $n <= $s.length(); $i++) {
+            $set.add($s.substring($i, $i + $n));
+          }
+          Object[] $arr = new Object[$set.size()];
+          int $k = 0;
+          for (java.util.Iterator $it = $set.iterator(); $it.hasNext(); ) {
+            $arr[$k++] = org.apache.spark.unsafe.types.UTF8String.fromString(
+              (java.lang.String) $it.next());
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Register as a session function (idempotent) — the public route to a
+    * Column handle for a custom Expression. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_char_grams",
+      exprs => DistinctCharGrams(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
+  }
+
+  def charGrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_char_grams", text,
+      org.apache.spark.sql.functions.lit(n))
+}

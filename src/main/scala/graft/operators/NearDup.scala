@@ -54,15 +54,15 @@ object NearDup {
       tNum: Int, tDen: Int): DataFrame = {
     val Array(idCol, textCol) = docs.columns.take(2)
     val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    // grams dedup row-locally (array_distinct before explode): no distinct
-    // shuffle. Docs shorter than gramLen yield NO grams — the sequence()
-    // bound must be guarded because sequence(1, 0) counts DOWN in Spark.
+    // grams dedup row-locally inside one codegen'd native expression
+    // (graft.functions.TextExpressions.DistinctCharGrams): no distinct
+    // shuffle, no interpreted HOF chain, and docs shorter than gramLen
+    // yield an empty array by construction
+    graft.functions.TextExpressions.register(docs.sparkSession)
     val grams = d.repartition(32)
-      .filter(length(col("text")) >= gramLen)
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(1, length(text) - ${gramLen - 1})," +
-          s" i -> substr(text, i, $gramLen)))"))
-        .as("tok"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.charGrams(col("text"), gramLen))
+          .as("tok"))
     val nDocs = d.select(count(lit(1)).as("n_docs"))
     // rare-gram dictionary with dense int ids ordered by ascending document
     // frequency: position in this order IS the rarity rank the prefix

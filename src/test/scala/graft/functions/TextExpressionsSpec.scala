@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** DistinctCharGrams must agree with the composable HOF formulation
+  * (array_distinct + transform + substr) on every input where the HOF form
+  * is well-defined (length >= n), and return an empty array below that —
+  * where the HOF form's sequence(1, 0) would count down and fabricate
+  * grams. Covers ASCII, unicode, repeats, and both codegen and interpreted
+  * eval paths. */
+class TextExpressionsSpec extends SparkSpec {
+
+  private val samples = Seq(
+    "hello world hello",
+    "aaaaaaa",
+    "ab",
+    "",
+    "abcd",
+    "綠電綠電憑證",       // unicode labels like the reference's category enums
+    "a b a b a b",
+    "the quick brown fox jumps over the lazy dog")
+
+  test("charGrams equals the HOF formulation for length >= n") {
+    import spark.implicits._
+    TextExpressions.register(spark)
+    for (n <- Seq(1, 3, 4, 5)) {
+      val df = samples.toDF("text").filter(length(col("text")) >= n)
+        .select(
+          TextExpressions.charGrams(col("text"), n).as("native"),
+          expr(s"array_distinct(transform(sequence(1, length(text) - ${n - 1}), " +
+            s"i -> substr(text, i, $n)))").as("hof"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n")
+      }
+    }
+  }
+
+  test("charGrams yields empty array for texts shorter than n") {
+    import spark.implicits._
+    TextExpressions.register(spark)
+    val out = Seq("ab", "", "abc").toDF("text")
+      .select(TextExpressions.charGrams(col("text"), 4).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(out.forall(_.isEmpty))
+  }
+
+  test("charGrams agrees between codegen and interpreted eval") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = TextExpressions.DistinctCharGrams(Literal("abcabcab"), 3)
+    val got = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString)
+    assert(got.toSeq == Seq("abc", "bca", "cab"))
+  }
+}
