@@ -81,6 +81,79 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Rabin-Karp rolling-hash document fingerprint: the minimum polynomial
+    * hash over all n-char windows (the winnowing representation —
+    * robust to content shifts, unlike a whole-document hash). The hash of
+    * window w is `sum(code(w[j]) * B^(n-1-j)) mod M` accumulated as
+    * `h = (h*B + code) mod M`, all in exact long arithmetic
+    * (M ~ 1e9, so h*B + 65535 < 2^63 — no overflow, and a SQL oracle can
+    * reproduce the identical integer with a literal power table).
+    * Returns null for texts shorter than n. */
+  case class RollingMinHash(child: Expression, n: Int, base: Long, mod: Long)
+      extends UnaryExpression {
+
+    require(n >= 1 && base > 0 && mod > 1 && mod <= 4000000000L,
+      "need 1 <= mod <= 4e9 so h*B + char fits a long")
+
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"expected string, got ${other.simpleString}")
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      if (s.length < n) null
+      else {
+        var best = Long.MaxValue
+        var i = 0
+        while (i + n <= s.length) {
+          var h = 0L
+          var j = 0
+          while (j < n) { h = (h * base + s.charAt(i + j).toLong) % mod; j += 1 }
+          if (h < best) best = h
+          i += 1
+        }
+        best
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val s = ctx.freshName("s")
+        val best = ctx.freshName("best")
+        val h = ctx.freshName("h")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        s"""
+          java.lang.String $s = $c.toString();
+          if ($s.length() < $n) {
+            ${ev.isNull} = true;
+          } else {
+            long $best = java.lang.Long.MAX_VALUE;
+            for (int $i = 0; $i + $n <= $s.length(); $i++) {
+              long $h = 0L;
+              for (int $j = 0; $j < $n; $j++) {
+                $h = ($h * ${base}L + (long) $s.charAt($i + $j)) % ${mod}L;
+              }
+              if ($h < $best) $best = $h;
+            }
+            ${ev.value} = $best;
+          }
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Register as a session function (idempotent) — the public route to a
     * Column handle for a custom Expression. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -89,9 +162,19 @@ object TextExpressions {
     reg.createOrReplaceTempFunction("graft_char_grams",
       exprs => DistinctCharGrams(exprs(0),
         exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_rolling_min_hash",
+      exprs => RollingMinHash(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].longValue(),
+        exprs(3).eval(null).asInstanceOf[Number].longValue()), "scala_udf")
   }
 
   def charGrams(text: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_char_grams", text,
       org.apache.spark.sql.functions.lit(n))
+
+  def rollingMinHash(text: Column, n: Int, base: Long, mod: Long): Column =
+    org.apache.spark.sql.functions.call_function("graft_rolling_min_hash", text,
+      org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(base),
+      org.apache.spark.sql.functions.lit(mod))
 }

@@ -423,6 +423,34 @@ object TextQueries {
         GROUP BY md5(text)"""),
       bench = true),
 
+    // ---- rolling-hash fingerprint (winnowing): minimum Rabin-Karp
+    // polynomial hash over all 8-char windows — shift-robust, unlike the
+    // whole-document md5 of t04. Engine side is one native codegen
+    // expression (TextExpressions.RollingMinHash); the oracle reproduces
+    // the identical integer with a literal B^k mod M power table, since
+    // sum(code*B^k) mod M == the iterative (h*B + code) mod M form and
+    // every intermediate fits a BIGINT. ----
+    Q("t16_fingerprint_rolling",
+      (s, dir) => {
+        graft.functions.TextExpressions.register(s)
+        val rfp = graft.functions.TextExpressions
+          .rollingMinHash(col("text"), 8, 257L, 1000000007L)
+        T(s, dir, "documents")
+          .filter(length(col("text")) >= 8)
+          .select(col("doc_id"), rfp.as("rfp"), (rfp % 64).as("shard"))
+      },
+      Some {
+        val pw = Array.iterate(1L, 8)(p => p * 257L % 1000000007L)
+        val terms = (0 until 8)
+          .map(j => s"CAST(ascii(substr(text, CAST(i AS INTEGER) + $j, 1)) AS BIGINT) * ${pw(7 - j)}")
+          .mkString(" + ")
+        s"""WITH w AS (SELECT doc_id, text,
+              unnest(range(1, greatest(length(text) - 6, 1))) AS i
+            FROM documents WHERE length(text) >= 8),
+          h AS (SELECT doc_id, CAST(($terms) % 1000000007 AS BIGINT) AS wh FROM w)
+          SELECT doc_id, min(wh) AS rfp, min(wh) % 64 AS shard FROM h GROUP BY 1"""
+      }),
+
     // ---- within-doc repetition (Gopher-style quality signals): share of
     // the most frequent token and the duplicate-token ratio. All counts are
     // exact integers; the two ratios are single IEEE divisions of exact

@@ -45,6 +45,25 @@ class TextExpressionsSpec extends SparkSpec {
     assert(out.forall(_.isEmpty))
   }
 
+  test("rollingMinHash computes the exact min polynomial window hash") {
+    import spark.implicits._
+    TextExpressions.register(spark)
+    // reference computation in plain Scala
+    def ref(s: String, n: Int, b: Long, m: Long): Option[Long] =
+      if (s.length < n) None
+      else Some((0 to s.length - n).map { i =>
+        s.substring(i, i + n).foldLeft(0L)((h, c) => (h * b + c.toLong) % m)
+      }.min)
+    val texts = Seq("hello world, this is a rolling hash", "aaaaaaaaaa",
+      "short", "綠電綠電憑證綠電綠電憑證", "exactly8")
+    val got = texts.toDF("text")
+      .select(TextExpressions.rollingMinHash(col("text"), 8, 257L, 1000000007L))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == ref(t, 8, 257L, 1000000007L), s"text='$t'")
+    }
+  }
+
   test("charGrams agrees between codegen and interpreted eval") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.unsafe.types.UTF8String
