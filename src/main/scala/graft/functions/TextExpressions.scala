@@ -157,8 +157,7 @@ object TextExpressions {
   /** Register as a session function (idempotent) — the public route to a
     * Column handle for a custom Expression. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
+    val reg = Registration.registry(spark)
     reg.createOrReplaceTempFunction("graft_char_grams",
       exprs => DistinctCharGrams(exprs(0),
         exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")

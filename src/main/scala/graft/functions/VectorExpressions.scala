@@ -122,8 +122,7 @@ object VectorExpressions {
   /** Register the expressions as session functions (idempotent) — the public
     * route to a Column handle for a custom Expression. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
+    val reg = Registration.registry(spark)
     reg.createOrReplaceTempFunction("graft_quantized_dot",
       exprs => QuantizedDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_quantized_norm2",

@@ -23,9 +23,6 @@ import org.apache.spark.storage.StorageLevel
   */
 object NearDup {
 
-  private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Int, Int, Int, Int, Int, Int), DataFrame]()
-
   /** @param docs (id, text) frame — first column the doc id, second the text
     * @param gramLen character n-gram length
     * @param capNum/capDen DF cap as a fraction of the corpus (keep df*capDen <= n*capNum)
@@ -42,10 +39,11 @@ object NearDup {
       gramLen: Int = 4,
       capNum: Int = 1, capDen: Int = 10,
       tNum: Int = 4, tDen: Int = 5): DataFrame =
-    memo.computeIfAbsent(
-      (docs.sparkSession, docs.queryExecution.logical.semanticHash(),
-        gramLen, capNum, capDen, tNum, tDen),
-      _ => build(docs, gramLen, capNum, capDen, tNum, tDen))
+    graft.core.Memo(docs.sparkSession,
+      s"neardup:${docs.queryExecution.logical.semanticHash()}:" +
+        s"$gramLen:$capNum:$capDen:$tNum:$tDen") {
+      build(docs, gramLen, capNum, capDen, tNum, tDen)
+    }
 
   private def build(
       docs: DataFrame,

@@ -27,16 +27,9 @@ object Q {
   def T(s: SparkSession, dir: String, n: String): DataFrame =
     s.read.parquet(s"$dir/$n.parquet")
 
-  private val memoMap =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  /** Memoize a built DataFrame per (session, key). Query builders are
-    * re-invoked for every execution (warmup + measured passes + the
-    * queries sharing a sub-pipeline), so any plan that persists an
-    * intermediate must be memoized — otherwise each invocation pins a
-    * fresh cached copy in block storage for the session's lifetime. */
+  /** Memoize a built DataFrame per (session, key) — see [[graft.core.Memo]]. */
   def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    memoMap.computeIfAbsent((s, key), _ => build)
+    graft.core.Memo(s, key)(build)
 
   /** DuckDB-side exact cents: same IEEE expression as [[graft.functions.Money.cents]]. */
   def sqlCents(x: String): String = s"CAST(floor(($x)*100+0.5) AS BIGINT)"

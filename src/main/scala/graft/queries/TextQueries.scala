@@ -1,7 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import Q._
 
 /** Training-data text pipeline over the `documents` table: token stats,
@@ -12,10 +14,9 @@ import Q._
   * Scale notes (100 TB corpus):
   *  - exact dedup and fingerprinting are single hash-groupBys on md5(text) —
   *    partial-aggregable, no skew (hash keys are uniform);
-  *  - Jaccard runs on an inverted index (gram → doc postings join), never a
-  *    doc×doc cross join — and t06 enforces a document-frequency cap (grams
-  *    in > 10% of the corpus are dropped before the self-join), so no posting
-  *    list can go quadratic, exactly like production near-dup pipelines;
+  *  - Jaccard runs on a DF-capped inverted index with AllPairs prefix
+  *    filtering (operators/NearDup), never a doc×doc cross join, so no
+  *    posting list can go quadratic — the production near-dup shape;
   *  - MinHash/LSH reduces candidate generation to 4 equi-joins on band keys
   *    (shuffle on band hash = uniform), the standard sub-quadratic path;
   *  - all hashes are md5-derived so the DuckDB oracle computes bit-identical
@@ -215,13 +216,11 @@ object TextQueries {
         FROM documents GROUP BY md5(text)"""),
       bench = true),
 
-    // ---- n-gram Jaccard near-dup via inverted-index join over character
-    // 4-grams, with a document-frequency cap: grams appearing in more than
-    // 10% of the corpus are dropped BEFORE the self-join, so a stop-gram's
-    // posting list can never go quadratic — the join cost is bounded by
-    // (0.1·N)² per surviving gram instead of N². The cap compare is exact
-    // integer (df·10 ≤ n_docs) so both engines keep the identical gram set,
-    // and Jaccard is computed over the capped gram sets on both sides. ----
+    // ---- n-gram Jaccard near-dup: operators/NearDup.jaccardPairs — a
+    // DF-capped inverted index (stop-grams dropped before any pair work)
+    // with AllPairs prefix filtering and exact set-intersection
+    // verification; all thresholds in integer arithmetic so both engines
+    // keep identical gram sets and pairs. ----
     Q("t06_ngram_jaccard",
       (s, dir) => nearDupPairs(s, dir),
       Some(sqlNearDupPairs),
@@ -273,11 +272,10 @@ object TextQueries {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         val tf = toks.groupBy(col("doc_id"), col("tok"))
           .agg(count(lit(1)).as("tf"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
         val nDocs = T(s, dir, "documents").select(count(lit(1)).as("n_docs"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id"))
+        val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score_q").desc, col("tok"))
         tf.join(broadcast(df), Seq("tok"))
           .crossJoin(broadcast(nDocs))
