@@ -11,6 +11,7 @@ object Explain {
     val names = if (args.length > 2) args.drop(2).toSeq else SparkEntry.benchNames
     val spark = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet is TIMESTAMP(NANOS); read as raw longs (EventQueries)
