@@ -52,7 +52,14 @@ object Sink {
   def overwriteWhere(df: DataFrame, path: String, partitionCols: Seq[String],
                      matches: Column): Unit = {
     val spark = df.sparkSession
-    val existing = spark.read.parquet(path)
+    // first-ever write: nothing to delete, plain partition overwrite
+    val existing =
+      try spark.read.parquet(path)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          overwritePartitions(df, path, partitionCols)
+          return
+      }
     val touched = existing.filter(matches).select(partitionCols.map(col): _*).distinct()
     val kept = existing.join(touched, partitionCols).filter(!matches)
     overwritePartitions(kept.unionByName(df), path, partitionCols)
