@@ -99,6 +99,51 @@ object Relational {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** As-of join (point-in-time lookup): for every left row, attach the
+    * single most recent right row with `rightTime <= leftTime` (inclusive)
+    * within the same key group — pandas `merge_asof` / DuckDB `ASOF JOIN`
+    * semantics, which Spark has no built-in operator for.
+    *
+    * Implemented as the union+window trick rather than the naive
+    * `join(l.t >= r.t)` + argmax: the naive form materializes one row per
+    * (left, earlier-right) PAIR — quadratic per key — while this plan is one
+    * unionByName (no shuffle), one window over (keys, time) — a single
+    * shuffle on the keys, linear in |left| + |right|, skew-bounded by key
+    * cardinality. `last(_, ignoreNulls)` over the running frame carries the
+    * latest right payload forward onto each left row.
+    *
+    * Determinism: right rows at identical (keys, time) are ordered by
+    * `rightTiebreak` and the last one wins; pre-dedup the right side (or pass
+    * a unique tiebreak) for a stable result. Payload column names must be
+    * disjoint between the two sides (rename before calling).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               rightTiebreak: Seq[String] = Nil): DataFrame = {
+    val lPayload = left.columns.toIndexedSeq.filterNot(keys.contains)
+    val rPayload = right.columns.toIndexedSeq.filterNot(keys.contains)
+    require(lPayload.intersect(rPayload).isEmpty,
+      s"asofJoin payload columns must be disjoint: ${lPayload.intersect(rPayload)}")
+    def nullAs(src: DataFrame, c: String): Column =
+      lit(null).cast(src.schema(c).dataType).as(c)
+    val l2 = left.select(
+      keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
+        lPayload.map(col) ++ rPayload.map(nullAs(right, _)): _*)
+    val r2 = right.select(
+      keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
+        lPayload.map(nullAs(left, _)) ++ rPayload.map(col): _*)
+    // right rows sort before left rows at equal time => inclusive (<=) match
+    val ord = Seq(col("__t").asc, col("__side").asc) ++
+      rightTiebreak.map(col(_).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rPayload.foldLeft(l2.unionByName(r2)) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select((keys ++ lPayload ++ rPayload).map(col): _*)
+  }
+
   /** Clip at zero (§2.8): the reference's `apply(lambda x: 0 if x<0 else x)`
     * (reference: jobs/renew_green_energy.py:45-46;
     * Model/RE_purpose_optimizer.py:178-179) — as a codegen'd builtin. */

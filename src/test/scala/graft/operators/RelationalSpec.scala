@@ -65,6 +65,45 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set(("t", 3, "new"), ("u", 1, "only")))
   }
 
+  test("asofJoin attaches the latest right row at-or-before each left time") {
+    val l = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"), (2L, 7L, "p3"))
+      .toDF("k", "lt", "lv")
+    val r = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (1L, 2L, "r2"), (3L, 1L, "rx"))
+      .toDF("k", "rt", "rv")
+    val got = Relational.asofJoin(l, r, Seq("k"), "lt", "rt")
+      .select("k", "lt", "lv", "rt", "rv").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3),
+        if (x.isNullAt(4)) "" else x.getString(4))).toSet
+    assert(got == Set(
+      (1L, 10L, "p1", 10L, "r10"), // equal time matches (inclusive)
+      (1L, 20L, "p2", 15L, "r15"),
+      (1L, 5L, "p0", 2L, "r2"),
+      (2L, 7L, "p3", -1L, ""))) // no right row for key => left row kept, nulls
+  }
+
+  test("asofJoin equals the naive join-then-argmax on a random fixture") {
+    val rnd = new scala.util.Random(7)
+    val l = Seq.tabulate(200)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, i.toLong))
+      .toDF("k", "lt", "lid")
+    val r = Seq.tabulate(150)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong * 7L % 50L, i.toLong))
+      .toDF("k", "rt", "rid")
+    // deterministic right side: one row per (k, rt), max rid wins
+    val rd = Relational.latest(r, Seq("k", "rt"), Seq("rid"))
+    val fast = Relational.asofJoin(l, rd, Seq("k"), "lt", "rt")
+      .select("k", "lt", "lid", "rt", "rid")
+    val naive = l.join(rd, l("k") === rd("k") && rd("rt") <= l("lt"), "left")
+      .select(l("k"), $"lt", $"lid", $"rt", $"rid")
+    val naiveBest = Relational.latest(naive, Seq("k", "lt", "lid"), Seq("rt"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3),
+        if (x.isNullAt(4)) -1L else x.getLong(4))).toSet
+    assert(canon(fast) == canon(naiveBest))
+  }
+
   test("monthStart builds the first-of-month date") {
     val got = Seq((2024, 2)).toDF("y", "m")
       .select(Relational.monthStart($"y", $"m").cast("string")).as[String].head()
