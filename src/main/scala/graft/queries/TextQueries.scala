@@ -483,6 +483,50 @@ object TextQueries {
         FROM agg""")),
 
     // ---- SimHash: 16-bit signature from per-token md5 prefixes ----
+    // ---- benchmark decontamination: flag training docs sharing word
+    // 3-grams with a held-out eval set (doc_id < 5) — the standard n-gram
+    // contamination check run before LLM training. Shape is an inverted
+    // index on gram, never doc×doc: the eval side's distinct grams are a
+    // broadcast-sized dictionary (|eval| << |corpus| always), the train side
+    // streams through one equi-join + one count-distinct per doc. At 100 TB
+    // the train grams never materialize as a table — they are generated and
+    // joined in one pass, and the output is only the contaminated tail. ----
+    Q("t17_decontaminate",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        // word 3-grams, distinct per doc; sequence() counts DOWN when
+        // size < 3, so short docs are guarded to an empty gram set
+        val withGrams = d
+          .withColumn("words", split(col("text"), " "))
+          .withColumn("grams",
+            when(size(col("words")) >= 3,
+              array_distinct(expr(
+                "transform(sequence(1, size(words)-2)," +
+                  " j -> concat_ws(' ', slice(words, j, 3)))")))
+              .otherwise(array().cast("array<string>")))
+          .select(col("doc_id"), explode(col("grams")).as("gram"))
+        val evalGrams = withGrams.filter(col("doc_id") < 5)
+          .select(col("gram")).distinct()
+        val train = withGrams.filter(col("doc_id") >= 5)
+        val nGrams = train.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams")) // grams already distinct per doc
+        train.join(broadcast(evalGrams), Seq("gram"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(nGrams, Seq("doc_id"))
+          .select(col("doc_id"), col("n_grams"), col("n_shared"))
+      },
+      Some("""WITH g AS (
+          SELECT DISTINCT doc_id, array_to_string(words[j:j+2], ' ') AS gram
+          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w,
+            LATERAL (SELECT unnest(range(1, greatest(len(words)-2, 0)+1)) AS j) r),
+        ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5),
+        tr AS (SELECT doc_id, gram FROM g WHERE doc_id >= 5),
+        ng AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1)
+        SELECT tr.doc_id, ng.n_grams, count(*) AS n_shared
+        FROM tr JOIN ev USING (gram) JOIN ng ON tr.doc_id = ng.doc_id
+        GROUP BY tr.doc_id, ng.n_grams""")),
+
     Q("t08_simhash",
       (s, dir) => {
         val v = tokVal

@@ -238,6 +238,95 @@ object VectorQueries {
           FROM scored)
         SELECT q_id, c_id, rank, cos_sim FROM ranked WHERE rank <= 3""")),
 
+    // ---- sign-random-projection (cosine) LSH near-dup: the LSH-bucketed
+    // scale path for embedding similarity, complementing the IVF family
+    // (s02/s05). 16 deterministic integer hyperplanes (md5-derived, so both
+    // engines build bit-identical planes with no shared code) give each
+    // vector a 16-bit signature; 4 bands of 4 bits are the LSH buckets, and
+    // candidates are pairs sharing ANY band — an equi-join on
+    // (band, band_val), never a cross join. Candidates are then re-ranked
+    // with the exact quantized cosine and thresholded. Recall is the
+    // standard LSH tradeoff (P[candidate] = 1-(1-p^4)^4, p = 1-θ/π) but the
+    // output is fully deterministic, so the oracle reproduces it exactly.
+    // At 100 TB: signatures are one narrow shuffle over (vec, plane)
+    // partial sums, buckets partition the candidate join, and the
+    // hyperplane table is a 1024-row broadcast constant. ----
+    Q("s06_lsh_neardup",
+      (s, dir) => {
+        VectorExpressions.register(s)
+        val e = T(s, dir, "embeddings")
+        val el = e.select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("i0", "v")))
+          .select(col("vec_id"), (col("i0") + 1).as("i"),
+            expr("CAST(floor(v*1000.0+0.5) AS BIGINT)").as("qv"))
+        // 16 hyperplanes x 64 dims, components in [-32768, 32767] from md5 —
+        // the same strings and arithmetic the oracle computes
+        val hp = s.range(0, 16).select(col("id").as("p"))
+          .crossJoin(s.range(1, DIM + 1).select(col("id").as("i")))
+          .withColumn("h",
+            expr("CAST(conv(substr(md5(concat(CAST(p AS STRING), '_', " +
+              "CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 65536 - 32768"))
+        val bits = el.join(broadcast(hp), Seq("i"))
+          .groupBy(col("vec_id"), col("p"))
+          .agg(sum(col("qv") * col("h")).as("d"))
+          .select(col("vec_id"), col("p"),
+            when(col("d") >= 0, 1L).otherwise(0L).as("bit"))
+        val sig = bits
+          .groupBy(col("vec_id"), (col("p") / 4).cast("long").as("band"))
+          .agg(sum(expr("shiftleft(bit, CAST(p % 4 AS INT))")).as("band_val"))
+        val cand = sig.as("a")
+          .join(sig.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.band_val") === col("b.band_val") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+          .distinct()
+        val va = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+          norm2Q(col("embedding")).as("a_n2"))
+        val vb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+          norm2Q(col("embedding")).as("b_n2"))
+        cand.join(broadcast(va), Seq("a_id")).join(broadcast(vb), Seq("b_id"))
+          .withColumn("cos_sim",
+            cosine(dotQ(col("a_emb"), col("b_emb")), col("a_n2"), col("b_n2")))
+          .filter(col("cos_sim") >= 0.35)
+          .select(col("a_id"), col("b_id"), col("cos_sim"))
+      },
+      Some(s"""WITH hp AS (
+          SELECT p.p, i.i,
+            (('0x' || substr(md5(CAST(p.p AS VARCHAR) || '_' ||
+              CAST(i.i AS VARCHAR)), 1, 8))::BIGINT % 65536) - 32768 AS h
+          FROM (SELECT unnest(range(0, 16)) AS p) p
+          CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i),
+        qe AS (SELECT vec_id,
+            CAST(floor(embedding[i.i]*1000.0+0.5) AS BIGINT) AS qv, i.i AS i
+          FROM embeddings
+          CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i),
+        bits AS (SELECT vec_id, p,
+            CASE WHEN sum(qv*h) >= 0 THEN 1 ELSE 0 END AS bit
+          FROM qe JOIN hp ON qe.i = hp.i GROUP BY vec_id, p),
+        sig AS (SELECT vec_id, p // 4 AS band,
+            CAST(sum(bit << (p % 4)) AS BIGINT) AS band_val
+          FROM bits GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM sig a JOIN sig b
+            ON a.band = b.band AND a.band_val = b.band_val
+              AND a.vec_id < b.vec_id),
+        dots AS (SELECT c.a_id, c.b_id, CAST(sum(qa.qv*qb.qv) AS BIGINT) AS dot
+          FROM cand c
+          JOIN qe qa ON qa.vec_id = c.a_id
+          JOIN qe qb ON qb.vec_id = c.b_id AND qa.i = qb.i
+          GROUP BY 1, 2),
+        n AS (SELECT vec_id, CAST(sum(qv*qv) AS BIGINT) AS n2
+          FROM qe GROUP BY 1)
+        SELECT d.a_id, d.b_id,
+          CAST(dot AS DOUBLE)/(sqrt(CAST(na.n2 AS DOUBLE))*sqrt(CAST(nb.n2 AS DOUBLE)))
+            AS cos_sim
+        FROM dots d
+        JOIN n na ON d.a_id = na.vec_id
+        JOIN n nb ON d.b_id = nb.vec_id
+        WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(na.n2 AS DOUBLE))*sqrt(CAST(nb.n2 AS DOUBLE)))
+          >= 0.35""")),
+
     // ---- per-cluster vector stats (exact-integer norms) ----
     Q("s03_vector_stats",
       (s, dir) => {
