@@ -152,6 +152,121 @@ object Multimodal {
     }
   }
 
+  /** Real multi-frame ("video") decode + frame sampling via the JDK's
+    * `javax.imageio` SEQUENCE API: any container ImageIO can enumerate
+    * (multi-page TIFF ships a JDK reader since Java 9; animated GIF too)
+    * is read frame-at-a-time and only every `frameStride`-th frame is
+    * decoded — `reader.read(i)` seeks without materializing skipped frames,
+    * which is the property that matters at scale (decode cost ∝ sampled
+    * frames, not container length). Features are luminance statistics
+    * pooled over the sampled frames; `frames_sampled` counts decoded
+    * frames. Single-frame images degrade gracefully (1 frame sampled);
+    * undecodable payloads fall back to [[FakeDecoder]]. */
+  object FrameSampleDecoder extends Decoder {
+    override def decode(row: MediaRow, frameStride: Int): MediaFeatures = {
+      val iis =
+        try javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(row.payload))
+        catch { case _: java.io.IOException => null }
+      val readers =
+        if (iis == null) java.util.Collections.emptyIterator[javax.imageio.ImageReader]()
+        else javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) FakeDecoder.decode(row, frameStride)
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val nFrames = reader.getNumImages(true)
+          val stride = math.max(1, frameStride)
+          val hist = new Array[Long](16)
+          var sum = 0L
+          var n = 0L
+          var sampled = 0
+          var f = 0
+          while (f < nFrames) {
+            val img = reader.read(f)
+            sampled += 1
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+                hist(lum >> 4) += 1
+                sum += lum
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            f += stride
+          }
+          val mean = if (n == 0) 0.0 else sum.toDouble / n
+          MediaFeatures(row.media_id, row.mime, row.payload.length.toLong, mean,
+            hist, sampled)
+        } catch {
+          case _: java.io.IOException => FakeDecoder.decode(row, frameStride)
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
+      }
+    }
+  }
+
+  /** Resize output: fixed-size grayscale thumbnail plus its 64-bit
+    * average-hash (aHash) — the perceptual fingerprint that puts IMAGES on
+    * the same near-dup machinery as text (hamming-close ahash = candidate
+    * pair, bucketable by 16-bit bands exactly like SimHash). */
+  final case class Thumb(
+      media_id: Long,
+      w: Int,
+      h: Int,
+      gray: Array[Byte],
+      ahash: Long)
+
+  /** Real resize via `java.awt` bilinear scaling to a `w`×`h` grayscale
+    * thumbnail (the standard decode→resize→featurize step of an image
+    * training pipeline), partition-at-a-time like [[featurize]]. The aHash
+    * bit i is 1 iff pixel i is above the thumbnail mean; undecodable
+    * payloads yield a null-free all-zero thumbnail so the pipeline never
+    * drops rows mid-shuffle. */
+  def thumbnails(ds: Dataset[MediaRow], w: Int = 8, h: Int = 8): Dataset[Thumb] = {
+    require(w * h <= 64, s"ahash needs w*h <= 64, got ${w * h}")
+    implicit val enc = Encoders.product[Thumb]
+    ds.mapPartitions { it =>
+      it.map { row =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) Thumb(row.media_id, w, h, new Array[Byte](w * h), 0L)
+        else {
+          val small = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val g = small.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val gray = new Array[Byte](w * h)
+          small.getRaster.getDataElements(0, 0, w, h, gray)
+          var sum = 0L
+          var i = 0
+          while (i < gray.length) { sum += gray(i) & 0xff; i += 1 }
+          val mean = sum.toDouble / gray.length
+          var hash = 0L
+          i = 0
+          while (i < gray.length) {
+            if ((gray(i) & 0xff) > mean) hash |= (1L << i)
+            i += 1
+          }
+          Thumb(row.media_id, w, h, gray, hash)
+        }
+      }
+    }
+  }
+
   /** Partition-at-a-time featurization: the distributed shape a real decode
     * pipeline needs (per-partition decoder init, streaming iterator, no
     * per-row driver involvement). */

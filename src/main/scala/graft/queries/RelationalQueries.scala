@@ -645,6 +645,52 @@ object RelationalQueries {
         floor(c_acctbal/1000.0)*1000.0 AS bal_floor_k,
         pow(2.0, c_nationkey) AS compound,
         CASE WHEN c_nationkey <> 0 THEN c_acctbal/c_nationkey END AS per_nation
-        FROM customer WHERE c_custkey % 20 = 0"""))
+        FROM customer WHERE c_custkey % 20 = 0""")),
+
+    // ---- single-pass histogram quantiles: the 100 TB quantile path.
+    // q23's exact percentile needs a per-group sort of every value; this
+    // sketch buckets prices into fixed $100 cells (bounded cardinality:
+    // ~1.1k buckets/group), so the whole query is one map-side-combinable
+    // groupBy + a window over the tiny bucket table — mergeable across
+    // partitions by construction, the property a distributed quantile needs.
+    // The answer is the bucket's inclusive upper bound: deterministic,
+    // exact-integer, and within one cell width of the true quantile. ----
+    Q("q35_histogram_quantile",
+      (s, dir) => {
+        val buckets = T(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            cents(col("l_extendedprice")).as("pc"))
+          .groupBy(col("flag"), expr("pc div 10000").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val wCum = Window.partitionBy(col("flag")).orderBy(col("bucket"))
+        val wAll = Window.partitionBy(col("flag"))
+        def pick(p: Double): org.apache.spark.sql.Column =
+          (min(when(col("cum") >= ceil(lit(p) * col("total")), col("bucket")))
+            + 1) * 10000
+        buckets
+          .withColumn("cum", sum(col("n")).over(wCum))
+          .withColumn("total", sum(col("n")).over(wAll))
+          .groupBy(col("flag"))
+          .agg(max(col("total")).as("n_rows"),
+            pick(0.5).as("p50_upper_cents"),
+            pick(0.95).as("p95_upper_cents"),
+            pick(0.99).as("p99_upper_cents"))
+      },
+      Some(s"""WITH b AS (
+          SELECT l_returnflag AS flag,
+            ${sqlCents("l_extendedprice")} // 10000 AS bucket, count(*) AS n
+          FROM lineitem GROUP BY 1, 2),
+        c AS (SELECT flag, bucket, n,
+            CAST(sum(n) OVER (PARTITION BY flag ORDER BY bucket) AS BIGINT) AS cum,
+            CAST(sum(n) OVER (PARTITION BY flag) AS BIGINT) AS total
+          FROM b)
+        SELECT flag, max(total) AS n_rows,
+          (min(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE)*total)
+            THEN bucket END)+1)*10000 AS p50_upper_cents,
+          (min(CASE WHEN cum >= ceil(CAST(0.95 AS DOUBLE)*total)
+            THEN bucket END)+1)*10000 AS p95_upper_cents,
+          (min(CASE WHEN cum >= ceil(CAST(0.99 AS DOUBLE)*total)
+            THEN bucket END)+1)*10000 AS p99_upper_cents
+        FROM c GROUP BY 1"""))
   )
 }

@@ -343,6 +343,47 @@ object VectorQueries {
           CAST(sum(v_n2) AS BIGINT) AS sum_n2,
           min(sqrt(CAST(v_n2 AS DOUBLE))/1000.0) AS min_norm,
           max(sqrt(CAST(v_n2 AS DOUBLE))/1000.0) AS max_norm
-        FROM n GROUP BY 1"""))
+        FROM n GROUP BY 1""")),
+
+    // ---- k-means TRAINING (Lloyd's): builds the IVF coarse index the
+    // search queries probe, instead of consuming a given label. Exact
+    // integer distances + the rational round-half-up centroid formula make
+    // every iteration hash-identical across engines; the oracle unrolls the
+    // same two assignment passes in SQL. See operators/KMeans for the
+    // 100 TB design (map-only assignment against broadcast centroids, one
+    // k·dim-group shuffle per recenter). ----
+    Q("s07_kmeans_train",
+      (s, dir) => {
+        val (assign, _) = graft.operators.KMeans.lloyd(
+          T(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+        assign.select(col("id").as("vec_id"), col("cluster"), col("dist"))
+      },
+      Some(s"""WITH el AS (SELECT vec_id, i.i AS i,
+            CAST(floor(embedding[i.i]*1000.0+0.5) AS BIGINT) AS qv
+          FROM embeddings
+          CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i),
+        seeds AS (SELECT vec_id,
+            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8) s),
+        c0 AS (SELECT cluster, i, qv AS cv FROM seeds JOIN el USING (vec_id)),
+        d1 AS (SELECT el.vec_id, c0.cluster,
+            CAST(sum((qv-cv)*(qv-cv)) AS BIGINT) AS dist
+          FROM el JOIN c0 USING (i) GROUP BY 1, 2),
+        a1 AS (SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+            FROM d1) x WHERE rn = 1),
+        c1 AS (SELECT cluster, i,
+            CAST(floor((2.0*CAST(sum(qv) AS BIGINT)+count(*))
+              /(2.0*count(*))) AS BIGINT) AS cv
+          FROM a1 JOIN el USING (vec_id) GROUP BY 1, 2),
+        d2 AS (SELECT el.vec_id, c1.cluster,
+            CAST(sum((qv-cv)*(qv-cv)) AS BIGINT) AS dist
+          FROM el JOIN c1 USING (i) GROUP BY 1, 2)
+        SELECT vec_id, cluster, dist FROM (
+          SELECT vec_id, cluster, dist,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+          FROM d2) x WHERE rn = 1"""),
+      bench = true)
   )
 }

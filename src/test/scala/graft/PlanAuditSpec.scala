@@ -28,4 +28,27 @@ class PlanAuditSpec extends SparkSpec {
     val cols = scans(df).flatMap(_.requiredSchema.fieldNames).toSet
     assert(cols == Set("doc_id", "text"), s"scan read $cols")
   }
+
+  test("q35 histogram quantile has no global sort (bucketed, not sorted)") {
+    val df = SparkEntry.queries("q35_histogram_quantile")(spark, sfSmoke)
+    // exchanges are inserted by EnsureRequirements: audit the executed plan.
+    // Window sorts over the tiny per-flag bucket tables are fine; what must
+    // NOT appear is the rangepartitioning exchange of a global sort over the
+    // raw rows, which is what an exact quantile would need.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), s"global sort in plan:\n$plan")
+    assert(plan.contains("hashpartitioning"), s"expected hash shuffle:\n$plan")
+    // scan is pruned to the two columns the sketch needs
+    val cols = scans(df).flatMap(_.requiredSchema.fieldNames).toSet
+    assert(cols == Set("l_returnflag", "l_extendedprice"), s"scan read $cols")
+  }
+
+  test("s07 k-means assignment pass is map-only over the scan") {
+    val df = SparkEntry.queries("s07_kmeans_train")(spark, sfSmoke)
+    // the returned frame is the final assignment: literal centroids mean
+    // its executed plan is scan -> project, with no exchange at all
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assignment should be map-only:\n$plan")
+  }
 }

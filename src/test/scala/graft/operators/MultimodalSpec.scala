@@ -104,6 +104,93 @@ class MultimodalSpec extends SparkSpec {
     assert(f2.n_bytes == 3L && approx(f2.mean_byte, 9.0))
   }
 
+  test("FrameSampleDecoder samples every Nth frame of a real multi-frame TIFF") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // 5-frame multi-page TIFF; frame f is a 2x2 solid gray level f*60
+    def tiff(nFrames: Int): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until nFrames) {
+        val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+        val v = f * 60
+        for (y <- 0 until 2; x <- 0 until 2)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      out.toByteArray
+    }
+    val bytes = tiff(5)
+    val all = featurize(Seq(MediaRow(1L, "image/tiff", bytes)).toDS(),
+      decoder = FrameSampleDecoder, frameStride = 1).collect().head
+    assert(all.frames_sampled == 5)
+    // gray level v has luminance v; frames 0,60,120,180,240 -> mean 120
+    assert(approx(all.mean_byte, (0 + 60 + 120 + 180 + 240) / 5.0))
+
+    val strided = featurize(Seq(MediaRow(1L, "image/tiff", bytes)).toDS(),
+      decoder = FrameSampleDecoder, frameStride = 2).collect().head
+    assert(strided.frames_sampled == 3) // frames 0, 2, 4
+    assert(approx(strided.mean_byte, (0 + 120 + 240) / 3.0))
+
+    // single-frame PNG degrades to 1 sampled frame; junk falls back
+    val png = {
+      val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+      val o = new ByteArrayOutputStream(); ImageIO.write(img, "png", o); o.toByteArray
+    }
+    val one = featurize(Seq(MediaRow(2L, "image/png", png)).toDS(),
+      decoder = FrameSampleDecoder, frameStride = 4).collect().head
+    assert(one.frames_sampled == 1)
+    val junk = featurize(Seq(MediaRow(3L, "video/x", Array[Byte](5, 5))).toDS(),
+      decoder = FrameSampleDecoder, frameStride = 1).collect().head
+    assert(junk.n_bytes == 2L && approx(junk.mean_byte, 5.0))
+  }
+
+  test("thumbnails resize to fixed grayscale and aHash separates halves") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // 32x32: left half black, right half white
+    def png(): Array[Byte] = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32)
+        img.setRGB(x, y, if (x < 16) 0x000000 else 0xffffff)
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "image/png", png()),
+      MediaRow(2L, "image/png", Array[Byte](1))) // undecodable
+    val got = thumbnails(rows.toDS().repartition(2), 8, 8).collect()
+      .map(t => t.media_id -> t).toMap
+
+    val t1 = got(1L)
+    assert(t1.w == 8 && t1.h == 8 && t1.gray.length == 64)
+    // every row of the thumbnail: 4 dark then 4 light pixels
+    for (y <- 0 until 8) {
+      assert((t1.gray(y * 8) & 0xff) < 64, s"row $y left should be dark")
+      assert((t1.gray(y * 8 + 7) & 0xff) > 192, s"row $y right should be light")
+    }
+    // aHash: bit set exactly on the light right half of each row
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val bit = (t1.ahash >> (y * 8 + x)) & 1L
+      assert(bit == (if (x >= 4) 1L else 0L), s"ahash bit ($x,$y)")
+    }
+    // identical images have hamming distance 0 by construction (determinism)
+    val again = thumbnails(rows.take(1).toDS(), 8, 8).collect().head
+    assert(again.ahash == t1.ahash && again.gray.sameElements(t1.gray))
+
+    val t2 = got(2L)
+    assert(t2.ahash == 0L && t2.gray.forall(_ == 0))
+  }
+
   test("media payloads stay distributed (no driver collect in the plan)") {
     // build media rows from the documents table's text bytes — the binary
     // column plumbing a real image/audio ingest would use
