@@ -68,6 +68,34 @@ object EventStream {
         col("first.event_id").as("event_id"), col("first.ts").as("ts"))
   }
 
+  /** Stream-stream watermarked interval join (click attribution): each
+    * purchase joins every click by the same user in the preceding 30
+    * minutes. This is the remaining stateful-streaming shape after
+    * aggregation (hourlyRollup), dedup (dedupFirst), and sessionization
+    * (SessionStream): a two-sided join whose buffered state Spark bounds
+    * from the watermark + the time-range predicate — clicks older than
+    * (watermark − 30 min) are evicted, so state is O(rate × window), not
+    * O(history). The batch equivalent (same predicate over the static
+    * table) is proven equal in EventStreamSpec. */
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(eventType: String, prefix: String): DataFrame =
+      spark.readStream
+        .schema(rawSchema)
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === eventType)
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    side("purchase", "p").join(side("click", "c"),
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Drive the streaming query over whatever files exist, synchronously, and
     * leave the result in an in-memory table (test/local harness). */
   def runOnce(spark: SparkSession, dir: String, tableName: String): DataFrame =
@@ -77,10 +105,17 @@ object EventStream {
   def runDedupOnce(spark: SparkSession, dir: String, tableName: String): DataFrame =
     runQuery(dedupFirst(spark, dir), tableName)
 
-  private def runQuery(df: DataFrame, tableName: String): DataFrame = {
+  /** Same harness for the join stream (append mode — stream-stream inner
+    * joins emit rows exactly once, so append is the natural mode). */
+  def runAttributionOnce(spark: SparkSession, dir: String,
+                         tableName: String): DataFrame =
+    runQuery(clickAttribution(spark, dir), tableName, mode = "append")
+
+  private def runQuery(df: DataFrame, tableName: String,
+                       mode: String = "complete"): DataFrame = {
     val spark = df.sparkSession
     val q = df.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(tableName)
       .start()
