@@ -41,4 +41,28 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bucketed_b")
     }
   }
+
+  test("period-partitioned layout prunes to one directory on a period filter") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the Sink/medallion layout: one directory per period. A period filter
+    // must become a PartitionFilter (pruned at listing time — zero I/O for
+    // other periods), not a data filter that reads every file.
+    val dir = java.nio.file.Files.createTempDirectory("part_prune").toString
+    val df = Seq(("2024-01", 1L, 10.0), ("2024-02", 2L, 20.0),
+      ("2024-03", 3L, 30.0)).toDF("period", "k", "v")
+    df.repartition(1).write.partitionBy("period").mode("overwrite").parquet(dir)
+
+    val rd = spark.read.parquet(dir).filter(col("period") === "2024-02")
+    // execute THIS dataset so its own scan node carries the metrics
+    val rows = rd.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L))
+    val scan = rd.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    val pf = scan.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.contains("period"), s"no partition filter: ${scan.metadata}")
+    // executed metric: exactly the matching partition's single file was read
+    assert(scan.metrics("numFiles").value == 1L,
+      s"expected 1 file read, got ${scan.metrics("numFiles").value}")
+  }
 }
