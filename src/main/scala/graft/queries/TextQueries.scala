@@ -527,6 +527,37 @@ object TextQueries {
         FROM tr JOIN ev USING (gram) JOIN ng ON tr.doc_id = ng.doc_id
         GROUP BY tr.doc_id, ng.n_grams""")),
 
+    // ---- sequence packing: assign documents to fixed-token-budget training
+    // sequences (the batching-prep step after cleaning/dedup). Greedy
+    // contiguous fill in doc order, SHARDED: each 100-doc shard packs
+    // independently, so at corpus scale packing is one bounded-key window
+    // per shard (embarrassingly parallel), not a global sort — the bins a
+    // trainer reads are (shard, bin) pairs. A doc whose tokens straddle a
+    // boundary belongs to the bin where it starts, at the given offset. ----
+    Q("t18_sequence_pack",
+      (s, dir) => {
+        val B = 256L
+        val d = T(s, dir, "documents").select(col("doc_id"),
+          expr("doc_id div 100").as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d.withColumn("start", sum(col("n_tok")).over(w) - col("n_tok"))
+          .select(col("doc_id"), col("shard"), col("n_tok"),
+            expr(s"start div $B").as("bin"),
+            (col("start") % B).as("offset"))
+      },
+      Some("""WITH t AS (SELECT doc_id, doc_id // 100 AS shard,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (SELECT doc_id, shard, n_tok,
+            CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id)
+              AS BIGINT) - n_tok AS start
+          FROM t)
+        SELECT doc_id, shard, n_tok, start // 256 AS bin,
+          start % 256 AS offset
+        FROM c""")),
+
     Q("t08_simhash",
       (s, dir) => {
         val v = tokVal
