@@ -40,7 +40,7 @@ object VectorQueries {
     s"""SELECT vec_id AS ${alias}_id, label AS ${alias}_label,
           CAST(sum(qv*qv) AS BIGINT) AS ${alias}_n2
         FROM (SELECT vec_id, label,
-                CAST(floor(embedding[i.i]*1000.0+0.5) AS BIGINT) AS qv
+                CAST(floor(CAST(embedding[i.i] AS DOUBLE)*1000.0+0.5) AS BIGINT) AS qv
               FROM embeddings
               CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i
               $filter) x
@@ -48,11 +48,11 @@ object VectorQueries {
 
   private def sqlDots(qFilter: String): String =
     s"""qe AS (SELECT vec_id AS q_id,
-            CAST(floor(embedding[i.i]*1000.0+0.5) AS BIGINT) AS qv, i.i AS i
+            CAST(floor(CAST(embedding[i.i] AS DOUBLE)*1000.0+0.5) AS BIGINT) AS qv, i.i AS i
           FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i
           $qFilter),
         ce AS (SELECT vec_id AS c_id, label AS c_label,
-            CAST(floor(embedding[i.i]*1000.0+0.5) AS BIGINT) AS cv, i.i AS i
+            CAST(floor(CAST(embedding[i.i] AS DOUBLE)*1000.0+0.5) AS BIGINT) AS cv, i.i AS i
           FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i),
         dots AS (SELECT q_id, c_id, CAST(sum(qv*cv) AS BIGINT) AS dot
                  FROM qe JOIN ce ON qe.i = ce.i AND q_id <> c_id
@@ -132,7 +132,7 @@ object VectorQueries {
           .select(col("label"), col("a_id"), col("b_id"), col("cos_sim"))
       },
       Some(s"""WITH qe AS (SELECT vec_id, label,
-            CAST(floor(embedding[i.i]*1000.0+0.5) AS BIGINT) AS qv, i.i AS i
+            CAST(floor(CAST(embedding[i.i] AS DOUBLE)*1000.0+0.5) AS BIGINT) AS qv, i.i AS i
           FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i),
         dots AS (SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
               CAST(sum(a.qv*b.qv) AS BIGINT) AS dot
@@ -200,7 +200,7 @@ object VectorQueries {
           .select(col("q_id"), col("c_id"), col("rank"), col("cos_sim"))
       },
       Some(s"""WITH allq AS (SELECT vec_id, label,
-            CAST(floor(embedding[i.i]*1000.0+0.5) AS BIGINT) AS qv, i.i AS i
+            CAST(floor(CAST(embedding[i.i] AS DOUBLE)*1000.0+0.5) AS BIGINT) AS qv, i.i AS i
           FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i),
         cent AS (SELECT label, i, CAST(sum(qv) AS BIGINT) AS sv
           FROM allq GROUP BY 1, 2),
@@ -298,7 +298,7 @@ object VectorQueries {
           FROM (SELECT unnest(range(0, 16)) AS p) p
           CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i),
         qe AS (SELECT vec_id,
-            CAST(floor(embedding[i.i]*1000.0+0.5) AS BIGINT) AS qv, i.i AS i
+            CAST(floor(CAST(embedding[i.i] AS DOUBLE)*1000.0+0.5) AS BIGINT) AS qv, i.i AS i
           FROM embeddings
           CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i),
         bits AS (SELECT vec_id, p,
@@ -359,7 +359,7 @@ object VectorQueries {
         assign.select(col("id").as("vec_id"), col("cluster"), col("dist"))
       },
       Some(s"""WITH el AS (SELECT vec_id, i.i AS i,
-            CAST(floor(embedding[i.i]*1000.0+0.5) AS BIGINT) AS qv
+            CAST(floor(CAST(embedding[i.i] AS DOUBLE)*1000.0+0.5) AS BIGINT) AS qv
           FROM embeddings
           CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i),
         seeds AS (SELECT vec_id,
