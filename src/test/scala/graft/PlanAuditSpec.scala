@@ -43,6 +43,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(cols == Set("l_returnflag", "l_extendedprice"), s"scan read $cols")
   }
 
+  test("q12 top-n rank filter pushes down to WindowGroupLimit") {
+    // rank().over(w) <= n must become a per-partition bounded group limit
+    // (partial map-side + final), so at scale each task keeps a k-row heap
+    // per group instead of sorting and shuffling every row of the group —
+    // Spark's InferWindowGroupLimit does this as long as the filter sits
+    // directly on the rank column; this test fails if a refactor breaks
+    // that pattern.
+    val df = SparkEntry.queries("q12_rank_topn")(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
+  }
+
   test("s07 k-means assignment pass is map-only over the scan") {
     val df = SparkEntry.queries("s07_kmeans_train")(spark, sfSmoke)
     // the returned frame is the final assignment: literal centroids mean
