@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling — the data-quality pass an ingest pipeline runs before
+  * trusting a new drop: per-column row/null/distinct counts in ONE scan.
+  *
+  * Reference scope: the reference eyeballs frames ad hoc (`print(df)` in
+  * the jobs modules, passim); a 100 TB ingest needs the machine-readable
+  * form.
+  *
+  * Scale design: columns are melted to (column, value) long format with
+  * `stack` (codegen'd, no shuffle), then one aggregation with #cols groups.
+  * Values are compared as canonical strings only for distinct-COUNTING —
+  * counts are representation-independent, so the result is engine-neutral
+  * and exact. For cardinalities where exact distinct is too hot, swap the
+  * `count_distinct` for the KMV sketch (q33) — same plan shape.
+  *
+  * The expectation form [[checkNotNull]] turns the profile into a gate:
+  * violations (null keys, empty frames) fail fast instead of poisoning
+  * downstream joins — the `raise`-on-bad-frame pattern of the reference's
+  * jobs, distributed.
+  */
+object Profile {
+
+  /** (column, n_rows, n_null, n_distinct) per listed column, one scan. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.forall(df.columns.contains),
+      s"unknown columns in ${cols.mkString(",")}")
+    val stacked = cols.map(c =>
+      s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    df.selectExpr(s"stack(${cols.size}, $stacked) AS (column, value)")
+      .groupBy(col("column"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("value"))).as("n_null"),
+        count_distinct(col("value")).as("n_distinct"))
+  }
+
+  /** Null-check gate: rows of (column, n_null) for listed columns that
+    * contain ANY null — empty result = frame passes. */
+  def checkNotNull(df: DataFrame, cols: Seq[String]): DataFrame =
+    profile(df, cols)
+      .filter(col("n_null") > 0)
+      .select(col("column"), col("n_null"))
+}

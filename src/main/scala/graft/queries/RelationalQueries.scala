@@ -691,6 +691,32 @@ object RelationalQueries {
             THEN bucket END)+1)*10000 AS p95_upper_cents,
           (min(CASE WHEN cum >= ceil(CAST(0.99 AS DOUBLE)*total)
             THEN bucket END)+1)*10000 AS p99_upper_cents
-        FROM c GROUP BY 1"""))
+        FROM c GROUP BY 1""")),
+
+    // ---- dataset profiling (operators/Profile): per-column row/null/
+    // distinct counts in one scan — the ingest data-quality gate. Counting
+    // distincts is representation-independent, so the canonical-string melt
+    // the engine uses and the oracle's native count(DISTINCT col) agree
+    // exactly. ----
+    Q("q36_profile",
+      (s, dir) => {
+        import graft.operators.Profile
+        Profile.profile(T(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+            "l_shipdate"))
+      },
+      Some("""SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+          count(*) - count(l_orderkey) AS n_null,
+          count(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+        UNION ALL SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+          count(DISTINCT l_quantity) FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', count(*),
+          count(*) - count(l_extendedprice),
+          count(DISTINCT l_extendedprice) FROM lineitem
+        UNION ALL SELECT 'l_returnflag', count(*),
+          count(*) - count(l_returnflag),
+          count(DISTINCT l_returnflag) FROM lineitem
+        UNION ALL SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+          count(DISTINCT l_shipdate) FROM lineitem"""))
   )
 }
