@@ -527,6 +527,36 @@ object TextQueries {
         FROM tr JOIN ev USING (gram) JOIN ng ON tr.doc_id = ng.doc_id
         GROUP BY tr.doc_id, ng.n_grams""")),
 
+    // ---- token-budget mixture sampling: take ~B tokens per SOURCE (the
+    // data-mixture step — each domain contributes a fixed token budget to
+    // the training mix, not a fixed doc count). Docs are ordered by a
+    // deterministic md5 shuffle inside each source and kept while the
+    // running token total stays within budget, so the sample is reproducible
+    // at any partitioning and incremental re-runs keep the same prefix.
+    // One bounded-key window per source — no global sort. ----
+    Q("t19_token_budget_sample",
+      (s, dir) => {
+        val B = 600L
+        val d = T(s, dir, "documents").select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          md5(col("doc_id").cast("string")).as("shuffle_key"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("shuffle_key"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d.withColumn("cum", sum(col("n_tok")).over(w))
+          .filter(col("cum") <= B)
+          .select(col("doc_id"), col("source"), col("n_tok"), col("cum"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+            md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+          FROM documents),
+        c AS (SELECT doc_id, source, n_tok,
+            CAST(sum(n_tok) OVER (PARTITION BY source
+              ORDER BY shuffle_key, doc_id) AS BIGINT) AS cum
+          FROM t)
+        SELECT doc_id, source, n_tok, cum FROM c WHERE cum <= 600""")),
+
     // ---- sequence packing: assign documents to fixed-token-budget training
     // sequences (the batching-prep step after cleaning/dedup). Greedy
     // contiguous fill in doc order, SHARDED: each 100-doc shard packs
