@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator tier: the native as-of join (graft.plans.AsofJoinNode
+    // -> AsofJoinExec); AsofJoin.asof also self-registers per session for
+    // sessions built without this static conf
+    ext.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
     ext.injectFunction((FunctionIdentifier("graft_quantized_dot"),
       info("graft_quantized_dot",
         "exact quantized (1e-3) integer dot product of two array<float>"),

@@ -117,6 +117,43 @@ object EventQueries {
           ON p.user_id = c.user_id AND p.p_ts >= c.c_ts"""),
       bench = true),
 
+    // ---- the SAME as-of semantics through the custom whole-operator tier:
+    // graft.plans.AsofJoin (native LogicalPlan -> AsofJoinExec sorted merge,
+    // injected via GraftExtensions). Identical oracle as e05, so the gate
+    // proves the custom physical operator AND the composed form against
+    // DuckDB's native ASOF independently. ----
+    Q("e06_asof_native",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_event_id"),
+            col("ts").as("p_ts"), col("value").as("p_value"))
+        val c = graft.operators.Relational.latest(
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id").as("c_event_id"),
+              col("ts").as("c_ts")),
+          Seq("user_id", "c_ts"), Seq("c_event_id"))
+        graft.plans.AsofJoin
+          .asof(p, c, Seq("user_id"), "p_ts", "c_ts")
+          .withColumn("gap_sec",
+            unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
+      },
+      Some("""WITH p AS (
+          SELECT user_id, event_id AS p_event_id, CAST(ts AS TIMESTAMP) AS p_ts,
+            value AS p_value
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, c_event_id, c_ts FROM (
+            SELECT user_id, event_id AS c_event_id, CAST(ts AS TIMESTAMP) AS c_ts,
+              row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click') x
+          WHERE rn = 1)
+        SELECT p.user_id, p_event_id, p_ts, p_value, c_event_id, c_ts,
+          date_diff('second', c_ts, p_ts) AS gap_sec
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.p_ts >= c.c_ts""")),
+
     // ---- sessionization: 30-min-gap sessions via gaps-and-islands (the batch
     // equivalent of session_window / flatMapGroupsWithState) ----
     Q("e04_sessionize",

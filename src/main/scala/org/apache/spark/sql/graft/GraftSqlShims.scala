@@ -1,0 +1,29 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
+
+/** The one compiler-permission shim the custom-operator tier needs:
+  * `Dataset.ofRows` (LogicalPlan → DataFrame) is `private[sql]`, so the
+  * bridge lives under `org.apache.spark.sql` — the documented pattern for
+  * third-party Catalyst operators (same access scope the built-in DSv2
+  * connectors use). No Spark internals are modified. */
+object GraftSqlShims {
+
+  /** Wrap a resolved logical plan as a DataFrame on this session. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame. */
+  def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Idempotently add an extra planner strategy to this session. */
+  def addStrategy(spark: SparkSession,
+                  strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[ClassicSparkSession]
+    val present = cs.experimental.extraStrategies.exists(_.getClass == strategy.getClass)
+    if (!present)
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
+  }
+}
