@@ -1,0 +1,122 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, NearDup}
+
+/** The training-data side's MainDag: one composed corpus pipeline
+  * clean → exact dedup → near-dup cluster dedup → eval-set decontamination
+  * → per-source token-budget sampling → sequence packing, reusing the same
+  * operators the oracle queries exercise individually (t10/t05/t11-t14/
+  * t17/t18/t19 semantics).
+  *
+  * Every stage is a pure DataFrame transform; the composition stays lazy
+  * except the near-dup clustering (operators/Graph materializes its
+  * fixpoint). Stage counts are collected once at the end for the summary —
+  * one action, not one per stage.
+  *
+  * Scale notes: each stage keeps the shapes proven by its operator query —
+  * hash-groupBy dedup, inverted-index near-dup (never doc×doc), broadcast
+  * eval grams, bounded per-source windows. The pipeline's only driver-side
+  * data are the dup-cluster labels (bounded by dup density) and the stage
+  * summary.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      minTokens: Long = 10L,
+      maxTokens: Long = 200L,
+      minAlphaRatio: Double = 0.81,
+      asciiOnly: Boolean = true,
+      /** drop a train doc sharing at least this many word-3-grams with eval */
+      decontamMinShared: Long = 5L,
+      tokenBudgetPerSource: Long = 600L,
+      packBudget: Long = 256L,
+      shardSize: Long = 100L)
+
+  /** (packed corpus, per-stage doc counts). `docs` and `evalDocs` both need
+    * (doc_id, text, source); eval docs are typically a separate, small set. */
+  def run(docs: DataFrame, evalDocs: DataFrame,
+          cfg: Config = Config()): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // 1. quality filter (t10's rules) + token count computed once
+    val scored = docs
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text")).cast("double"))
+    val clean = scored.filter(
+      col("n_tok").between(cfg.minTokens, cfg.maxTokens) &&
+        col("alpha_ratio") >= cfg.minAlphaRatio &&
+        (if (cfg.asciiOnly) !col("text").rlike("[^\\x00-\\x7F]") else lit(true)))
+
+    // 2. exact dedup, keep-min doc_id per identical text (t05 semantics)
+    val wFp = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val exact = clean.withColumn("__rn", row_number().over(wFp))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    // 3. near-dup cluster dedup: Jaccard pairs -> connected components ->
+    //    keep each cluster's min doc_id (t11/t14 semantics)
+    val pairs = NearDup.jaccardPairs(exact.select(col("doc_id"), col("text")))
+      .select(col("a_id"), col("b_id"))
+    val losers = Graph.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    val deduped = exact.join(broadcast(losers), Seq("doc_id"), "left_anti")
+
+    // 4. decontamination: drop train docs sharing >= minShared word-3-grams
+    //    with the eval set (t17 semantics turned into a filter)
+    def grams(d: DataFrame): DataFrame = d
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("grams",
+        when(size(col("words")) >= 3,
+          array_distinct(expr(
+            "transform(sequence(1, size(words)-2)," +
+              " j -> concat_ws(' ', slice(words, j, 3)))")))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val evalGrams = grams(evalDocs).select(col("gram")).distinct()
+    val contaminated = grams(deduped)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= cfg.decontamMinShared)
+      .select(col("doc_id"))
+    val decontaminated = deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+
+    // 5. per-source token budget (t19 semantics): md5-shuffle prefix
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sampled = decontaminated
+      .withColumn("__cum", sum(col("n_tok")).over(wSrc))
+      .filter(col("__cum") <= cfg.tokenBudgetPerSource)
+      .drop("__cum")
+
+    // 6. sequence packing (t18 semantics): shard-parallel greedy fill
+    val wPack = Window
+      .partitionBy(expr(s"doc_id div ${cfg.shardSize}"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = sampled
+      .withColumn("shard", expr(s"doc_id div ${cfg.shardSize}"))
+      .withColumn("start", sum(col("n_tok")).over(wPack) - col("n_tok"))
+      .withColumn("bin", expr(s"start div ${cfg.packBudget}"))
+      .withColumn("offset", col("start") % cfg.packBudget)
+      .drop("start", "alpha_ratio")
+
+    val summary = Seq(
+      "0_input" -> docs.count(),
+      "1_clean" -> clean.count(),
+      "2_exact_dedup" -> exact.count(),
+      "3_neardup_dedup" -> deduped.count(),
+      "4_decontaminated" -> decontaminated.count(),
+      "5_sampled" -> sampled.count(),
+      "6_packed" -> packed.count()
+    ).toDF("stage", "n_docs")
+    (packed, summary)
+  }
+}
