@@ -13,8 +13,9 @@ import graft.operators.{Graph, NearDup}
   *
   * Every stage is a pure DataFrame transform; the composition stays lazy
   * except the near-dup clustering (operators/Graph materializes its
-  * fixpoint). Stage counts are collected once at the end for the summary —
-  * one action, not one per stage.
+  * fixpoint). The post-dedup frame is persisted before the summary counts
+  * so the expensive near-dup stage runs once, not once per downstream
+  * count.
   *
   * Scale notes: each stage keeps the shapes proven by its operator query —
   * hash-groupBy dedup, inverted-index near-dup (never doc×doc), broadcast
@@ -65,7 +66,11 @@ object CorpusPipeline {
     val losers = Graph.connectedComponents(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
+    // cut the expensive prefix here: stages 4-6 and four summary counts
+    // all read this frame, and without the persist each would re-run the
+    // near-dup candidate join and clustering
     val deduped = exact.join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 4. decontamination: drop train docs sharing >= minShared word-3-grams
     //    with the eval set (t17 semantics turned into a filter)

@@ -62,6 +62,7 @@ object KMeans {
       q.orderBy(col("id")).limit(k).collect().zipWithIndex.map { case (r, j) =>
         (j.toLong, r.getSeq[Long](1).toArray)
       }.toSeq
+    require(centroids.nonEmpty, "k-means needs a non-empty input")
 
     // map-only pass: id, qv, best = struct(dist, cluster) over literal centroids
     def assign(cents: Seq[(Long, Array[Long])]): DataFrame = {

@@ -24,7 +24,10 @@ import org.apache.spark.sql.graft.GraftSqlShims
   * time; unmatched left rows keep nulls. Right rows with equal (keys, time)
   * are resolved by last-in-sort-order — pre-dedup the right side for a
   * stable pick, same caveat as the composed form. A null left time matches
-  * nothing; null right times match nothing.
+  * nothing; null right times match nothing. Null KEYS group together and
+  * can match each other (grouping semantics, like the composed window form
+  * and pandas merge_asof) — unlike a SQL equi-join predicate, which would
+  * drop them; filter null keys first if SQL semantics are needed.
   *
   * Scale: one hash shuffle per side (same cost as any shuffled join), sort
   * within partitions, then a streaming merge — state is ONE buffered right
