@@ -13,9 +13,10 @@ import graft.operators.{Graph, NearDup}
   *
   * Every stage is a pure DataFrame transform; the composition stays lazy
   * except the near-dup clustering (operators/Graph materializes its
-  * fixpoint). The post-dedup frame is persisted before the summary counts
-  * so the expensive near-dup stage runs once, not once per downstream
-  * count.
+  * fixpoint). The two expensive cuts (post-dedup, post-decontamination)
+  * are persisted while the summary counts materialize and released before
+  * returning; the returned corpus is itself cached — the caller unpersists
+  * it when done.
   *
   * Scale notes: each stage keeps the shapes proven by its operator query —
   * hash-groupBy dedup, inverted-index near-dup (never doc×doc), broadcast
@@ -73,16 +74,10 @@ object CorpusPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 4. decontamination: drop train docs sharing >= minShared word-3-grams
-    //    with the eval set (t17 semantics turned into a filter)
-    def grams(d: DataFrame): DataFrame = d
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("grams",
-        when(size(col("words")) >= 3,
-          array_distinct(expr(
-            "transform(sequence(1, size(words)-2)," +
-              " j -> concat_ws(' ', slice(words, j, 3)))")))
-          .otherwise(array().cast("array<string>")))
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    //    with the eval set (t17 semantics turned into a filter, via the
+    //    SAME gram definition the oracle-proven query uses)
+    def grams(d: DataFrame): DataFrame =
+      NearDup.wordGrams(d.select(col("doc_id"), col("text")), 3)
     val evalGrams = grams(evalDocs).select(col("gram")).distinct()
     val contaminated = grams(deduped)
       .join(broadcast(evalGrams), Seq("gram"))
@@ -90,7 +85,11 @@ object CorpusPipeline {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= cfg.decontamMinShared)
       .select(col("doc_id"))
+    // second cut: the gram explode above is the next-most-expensive stage,
+    // and stages 5-6, three summary counts, and the caller's consumption of
+    // the returned frame all sit downstream of it
     val decontaminated = deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 5. per-source token budget (t19 semantics): md5-shuffle prefix
     val wSrc = Window.partitionBy(col("source"))
@@ -112,6 +111,7 @@ object CorpusPipeline {
       .withColumn("bin", expr(s"start div ${cfg.packBudget}"))
       .withColumn("offset", col("start") % cfg.packBudget)
       .drop("start", "alpha_ratio")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val summary = Seq(
       "0_input" -> docs.count(),
@@ -122,6 +122,11 @@ object CorpusPipeline {
       "5_sampled" -> sampled.count(),
       "6_packed" -> packed.count()
     ).toDF("stage", "n_docs")
+    // the counts above materialized every cache; the returned `packed` is
+    // itself cached, so the two upstream cuts can be released here — the
+    // caller holds exactly one pinned frame and unpersists it when done
+    deduped.unpersist()
+    decontaminated.unpersist()
     (packed, summary)
   }
 }

@@ -52,7 +52,9 @@ object KMeans {
   def lloyd(df: DataFrame, idCol: String, vecCol: String, k: Int,
             iters: Int): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"k=$k iters=$iters must be positive")
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val firstDim = df.select(size(col(vecCol))).take(1)
+    require(firstDim.nonEmpty, "k-means needs a non-empty input")
+    val dim = firstDim.head.getInt(0)
     val q = df.select(col(idCol).as("id"),
       expr(s"transform($vecCol, v -> CAST(floor(v*1000.0+0.5) AS BIGINT))")
         .as("qv"))
@@ -62,7 +64,6 @@ object KMeans {
       q.orderBy(col("id")).limit(k).collect().zipWithIndex.map { case (r, j) =>
         (j.toLong, r.getSeq[Long](1).toArray)
       }.toSeq
-    require(centroids.nonEmpty, "k-means needs a non-empty input")
 
     // map-only pass: id, qv, best = struct(dist, cluster) over literal centroids
     def assign(cents: Seq[(Long, Array[Long])]): DataFrame = {

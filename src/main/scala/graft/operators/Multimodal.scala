@@ -171,8 +171,13 @@ object Multimodal {
       val readers =
         if (iis == null) java.util.Collections.emptyIterator[javax.imageio.ImageReader]()
         else javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) FakeDecoder.decode(row, frameStride)
-      else {
+      if (!readers.hasNext) {
+        // no reader claims the payload: close the stream (it may hold a
+        // temp-file handle) before falling back, or undecodable corpora
+        // leak one fd per row
+        if (iis != null) iis.close()
+        FakeDecoder.decode(row, frameStride)
+      } else {
         val reader = readers.next()
         try {
           reader.setInput(iis)
@@ -206,7 +211,10 @@ object Multimodal {
           MediaFeatures(row.media_id, row.mime, row.payload.length.toLong, mean,
             hist, sampled)
         } catch {
-          case _: java.io.IOException => FakeDecoder.decode(row, frameStride)
+          // ImageIO throws unchecked exceptions on corrupt-but-recognized
+          // payloads (malformed headers) — a bad row must fall back, not
+          // kill the task
+          case scala.util.control.NonFatal(_) => FakeDecoder.decode(row, frameStride)
         } finally {
           reader.dispose()
           iis.close()
@@ -237,9 +245,11 @@ object Multimodal {
     implicit val enc = Encoders.product[Thumb]
     ds.mapPartitions { it =>
       it.map { row =>
+        // NonFatal, not just IOException: ImageIO can throw unchecked
+        // exceptions on corrupt-but-recognized payloads
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) Thumb(row.media_id, w, h, new Array[Byte](w * h), 0L)
         else {
           val small = new java.awt.image.BufferedImage(

@@ -45,6 +45,23 @@ object NearDup {
       build(docs, gramLen, capNum, capDen, tNum, tDen)
     }
 
+  /** Distinct word n-grams per doc as (doc_id, gram) — the decontamination
+    * unit (t17 and jobs/CorpusPipeline share this one definition). Guards
+    * Spark's `sequence(1, x)` counting DOWN when x < 1: docs shorter than
+    * `n` words yield an empty gram set, not reversed garbage. */
+  def wordGrams(docs: DataFrame, n: Int): DataFrame = {
+    val Array(idCol, textCol) = docs.columns.take(2)
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("words"))
+      .withColumn("grams",
+        when(size(col("words")) >= n,
+          array_distinct(expr(
+            s"transform(sequence(1, size(words)-${n - 1})," +
+              s" j -> concat_ws(' ', slice(words, j, $n)))")))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+  }
+
   private def build(
       docs: DataFrame,
       gramLen: Int,

@@ -24,13 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  /** (column, n_rows, n_null, n_distinct) per listed column, one scan. */
+  /** (column, n_rows, n_null, n_distinct) per listed column, one scan.
+    * The melt is built from typed Columns (no SQL-string splicing), so any
+    * legal column name — quotes, backticks, spaces — profiles cleanly. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.forall(df.columns.contains),
       s"unknown columns in ${cols.mkString(",")}")
-    val stacked = cols.map(c =>
-      s"'$c', CAST(`$c` AS STRING)").mkString(", ")
-    df.selectExpr(s"stack(${cols.size}, $stacked) AS (column, value)")
+    val melted = cols.map(c =>
+      struct(lit(c).as("column"), col(c).cast("string").as("value")))
+    df.select(explode(array(melted: _*)).as("cv"))
+      .select(col("cv.column").as("column"), col("cv.value").as("value"))
       .groupBy(col("column"))
       .agg(count(lit(1)).as("n_rows"),
         (count(lit(1)) - count(col("value"))).as("n_null"),

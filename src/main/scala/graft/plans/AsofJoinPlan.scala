@@ -94,6 +94,12 @@ case class AsofJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
 
+  /** output rows keep the left child's key clustering (zipPartitions is
+    * partition-preserving) — without this, a downstream groupBy/join on the
+    * same keys would re-shuffle what is already co-partitioned */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
     copy(left = newLeft, right = newRight)
@@ -199,9 +205,26 @@ object AsofJoin {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not in [${p.output.map(_.name).mkString(",")}]"))
+    // the exec compares times as exact longs; reject types that would
+    // silently truncate (double) or crash in the merge loop (decimal/string)
+    import org.apache.spark.sql.types._
+    def checkTime(a: Attribute): Attribute = {
+      val ok = a.dataType match {
+        case TimestampType | TimestampNTZType | DateType => true
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+      require(ok, s"as-of time column ${a.name} must be an integral/" +
+        s"timestamp type, got ${a.dataType.simpleString}")
+      a
+    }
+    val lPay = lPlan.output.map(_.name).filterNot(keys.contains)
+    val rPay = rPlan.output.map(_.name).filterNot(keys.contains)
+    require(lPay.intersect(rPay).isEmpty,
+      s"asof payload columns must be disjoint: ${lPay.intersect(rPay).mkString(",")}")
     val node = AsofJoinNode(lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime))
+      checkTime(attr(lPlan, leftTime)), checkTime(attr(rPlan, rightTime)))
     GraftSqlShims.ofRows(spark, node)
   }
 }

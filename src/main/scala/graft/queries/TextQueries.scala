@@ -494,17 +494,10 @@ object TextQueries {
     Q("t17_decontaminate",
       (s, dir) => {
         val d = T(s, dir, "documents")
-        // word 3-grams, distinct per doc; sequence() counts DOWN when
-        // size < 3, so short docs are guarded to an empty gram set
-        val withGrams = d
-          .withColumn("words", split(col("text"), " "))
-          .withColumn("grams",
-            when(size(col("words")) >= 3,
-              array_distinct(expr(
-                "transform(sequence(1, size(words)-2)," +
-                  " j -> concat_ws(' ', slice(words, j, 3)))")))
-              .otherwise(array().cast("array<string>")))
-          .select(col("doc_id"), explode(col("grams")).as("gram"))
+        // shared word-3-gram definition (also the pipeline's): see
+        // operators/NearDup.wordGrams for the sequence()-counts-DOWN guard
+        val withGrams = graft.operators.NearDup.wordGrams(
+          d.select(col("doc_id"), col("text")), 3)
         val evalGrams = withGrams.filter(col("doc_id") < 5)
           .select(col("gram")).distinct()
         val train = withGrams.filter(col("doc_id") >= 5)
