@@ -50,6 +50,58 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("append-mode watermark finalizes windows and drops late rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("late_stream")
+    // write one staged parquet FILE per micro-batch into the watched dir
+    def addBatch(name: String,
+                 rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val stage = Files.createTempDirectory(s"stage_$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.copy(Paths.get(part), dir.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val base = 1704103200L // 2024-01-01T10:00:00Z, epoch seconds
+    def nanos(offsetMin: Long): Long = (base + offsetMin * 60) * 1000000000L
+
+    // batch 1: three purchases inside [10:00, 11:00) + one at 13:30 that
+    // advances the watermark to 11:30 AFTER the batch
+    addBatch("b1", Seq(
+      (1L, nanos(0), 1L, "purchase", 10.0, "{}"),
+      (2L, nanos(10), 2L, "purchase", 10.0, "{}"),
+      (3L, nanos(20), 3L, "purchase", 10.0, "{}"),
+      (4L, nanos(210), 4L, "purchase", 10.0, "{}")))
+
+    val q = EventStream.hourlyRollup(spark, dir.toString)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_rollup").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE purchase at 10:15 (before the 11:30 watermark —
+      // its window is already finalized, so it must be dropped) plus an
+      // on-time row pushing the watermark past 13:30's window
+      addBatch("b2", Seq(
+        (5L, nanos(15), 5L, "purchase", 99.0, "{}"),
+        (6L, nanos(420), 6L, "purchase", 10.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("late_rollup")
+      .select(col("hour").cast("long"), col("event_type"), col("n"),
+        col("total_value"))
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    // the 10:00 window finalized with the three ON-TIME rows; the late
+    // event 5 (value 99.0) is not in it
+    assert(out(base) == ((3L, 30.0)), s"10:00 window wrong: ${out.get(base)}")
+    // the 13:00 window finalized once the watermark passed it
+    assert(out(base + 3 * 3600) == ((1L, 10.0)))
+  }
+
   test("streaming dedup-keep-first matches the batch e03 result") {
     val dir = Files.createTempDirectory("events_dedup_stream")
     Files.copy(Paths.get(s"$sfSmoke/events.parquet"),
