@@ -38,6 +38,16 @@ class AsofJoinPlanSpec extends SparkSpec {
     assert(native.size == 400) // every left row exactly once
     assert(native.exists(_._4.isEmpty)) // keys 8,9 have no right rows
     assert(native.exists(_._4.nonEmpty))
+
+    // third, independent witness: a plain-Scala scan over the same corpus
+    val rightRows = right.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, xs) => k -> xs.sortBy(_._2) }
+    val scalar = left.as[(Long, Long, String)].collect().map { case (k, lt, lv) =>
+      val m = rightRows.getOrElse(k, Array.empty[(Long, Long, Long)])
+        .filter(_._2 <= lt).lastOption
+      (k, lt, lv, m.map(_._2), m.map(_._3))
+    }.toSet
+    assert(native == scalar)
   }
 
   test("boundary semantics: right time == left time matches (inclusive)") {
