@@ -63,15 +63,18 @@ object TextQueries {
         col("cluster_size"))
   }
 
-  /** The DuckDB side of [[nearDupPairs]] (shared by t06 and t11's oracle). */
-  private val sqlNearDupPairs =
-    """WITH grams AS (
+  /** The DuckDB side of [[nearDupPairs]] (shared by t06, t11's oracle, and
+    * the t20 pipeline rollup), parameterized over the source CTE/table —
+    * the DF cap is relative to THAT corpus, exactly like the engine's
+    * `jaccardPairs(input)`. */
+  private def sqlNearDupPairsFrom(src: String): String =
+    s"""WITH grams AS (
         SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 4) AS tok
         FROM (SELECT doc_id, text,
                 unnest(range(1, greatest(length(text) - 2, 1))) AS i
-              FROM documents) g),
+              FROM $src) g),
       rare AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM grams GROUP BY tok)
-               WHERE df * 10 <= (SELECT count(*) FROM documents)),
+               WHERE df * 10 <= (SELECT count(*) FROM $src)),
       kept AS (SELECT grams.doc_id, grams.tok FROM grams JOIN rare USING (tok)),
       counts AS (SELECT doc_id, count(*) AS n_tok FROM kept GROUP BY doc_id),
       pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
@@ -84,12 +87,12 @@ object TextQueries {
             JOIN counts cb ON pairs.b_id = cb.doc_id)
       SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.8"""
 
-  /** DuckDB recursive-CTE connected components over [[sqlNearDupPairs]]:
-    * a WITH RECURSIVE prefix ending in `lab(doc_id, cluster_id)` — t11 and
-    * t14 append their own final SELECT. */
-  private val sqlDupLabels =
-    s"""WITH RECURSIVE dup AS ($sqlNearDupPairs),
-      nodes AS (SELECT DISTINCT doc_id FROM
+  private val sqlNearDupPairs = sqlNearDupPairsFrom("documents")
+
+  /** Connected-components CTE chain over a `dup(a_id, b_id, …)` CTE,
+    * ending in `lab(doc_id, cluster_id)` — shared by t11/t14/t20. */
+  private val sqlCcTail =
+    """nodes AS (SELECT DISTINCT doc_id FROM
         (SELECT a_id AS doc_id FROM dup UNION ALL SELECT b_id FROM dup) u),
       edges AS (SELECT a_id, b_id FROM dup
         UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM dup),
@@ -99,6 +102,13 @@ object TextQueries {
         SELECT e.a_id AS doc_id, reach.r
         FROM edges e JOIN reach ON reach.doc_id = e.b_id),
       lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)"""
+
+  /** DuckDB recursive-CTE connected components over [[sqlNearDupPairs]]:
+    * a WITH RECURSIVE prefix ending in `lab(doc_id, cluster_id)` — t11 and
+    * t14 append their own final SELECT. */
+  private val sqlDupLabels =
+    s"""WITH RECURSIVE dup AS ($sqlNearDupPairs),
+      $sqlCcTail"""
 
   val all: Seq[Q] = Seq(
 
@@ -549,6 +559,63 @@ object TextQueries {
               ORDER BY shuffle_key, doc_id) AS BIGINT) AS cum
           FROM t)
         SELECT doc_id, source, n_tok, cum FROM c WHERE cum <= 600""")),
+
+    // ---- the ENTIRE corpus pipeline (jobs/CorpusPipeline) on the gate:
+    // clean → exact dedup → near-dup cluster dedup → decontaminate →
+    // token-budget sample → pack, reported as per-stage doc counts and
+    // hash-matched against one composed DuckDB query that chains the same
+    // stage formulations (incl. the recursive-CTE connected components on
+    // the CLEANED corpus). eval set = doc_id < 5, train = the rest — the
+    // t17 convention. ----
+    Q("t20_corpus_pipeline",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+        val (_, summary) = graft.jobs.CorpusPipeline.run(
+          d.filter(col("doc_id") >= 5), d.filter(col("doc_id") < 5))
+        summary
+      },
+      Some(s"""WITH RECURSIVE
+        train AS (SELECT doc_id, text, source FROM documents WHERE doc_id >= 5),
+        scored AS (SELECT doc_id, text, source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+            CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE) AS alpha_ratio
+          FROM train),
+        clean AS (SELECT * FROM scored
+          WHERE n_tok BETWEEN 10 AND 200 AND alpha_ratio >= 0.81
+            AND NOT regexp_matches(text, '[^\\x00-\\x7F]')),
+        exactd AS (SELECT doc_id, text, source, n_tok FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(text)
+              ORDER BY doc_id) AS rn
+            FROM clean) x WHERE rn = 1),
+        dup AS (${sqlNearDupPairsFrom("exactd")}),
+        $sqlCcTail,
+        dedup AS (SELECT * FROM exactd WHERE doc_id NOT IN
+          (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)),
+        eg AS (SELECT DISTINCT array_to_string(words[j:j+2], ' ') AS gram
+          FROM (SELECT string_split(text, ' ') AS words FROM documents
+                WHERE doc_id < 5) w,
+            LATERAL (SELECT unnest(range(1, greatest(len(words)-2, 0)+1)) AS j) r),
+        tg AS (SELECT DISTINCT doc_id, array_to_string(words[j:j+2], ' ') AS gram
+          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM dedup) w,
+            LATERAL (SELECT unnest(range(1, greatest(len(words)-2, 0)+1)) AS j) r),
+        contam AS (SELECT doc_id FROM (
+            SELECT tg.doc_id, count(*) AS c FROM tg JOIN eg USING (gram)
+            GROUP BY 1) x WHERE c >= 5),
+        decon AS (SELECT * FROM dedup WHERE doc_id NOT IN
+          (SELECT doc_id FROM contam)),
+        samp AS (SELECT * FROM (
+            SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum
+            FROM decon) x WHERE cum <= 600)
+        SELECT '0_input' AS stage, (SELECT count(*) FROM train) AS n_docs
+        UNION ALL SELECT '1_clean', (SELECT count(*) FROM clean)
+        UNION ALL SELECT '2_exact_dedup', (SELECT count(*) FROM exactd)
+        UNION ALL SELECT '3_neardup_dedup', (SELECT count(*) FROM dedup)
+        UNION ALL SELECT '4_decontaminated', (SELECT count(*) FROM decon)
+        UNION ALL SELECT '5_sampled', (SELECT count(*) FROM samp)
+        UNION ALL SELECT '6_packed', (SELECT count(*) FROM samp)""")),
 
     // ---- sequence packing: assign documents to fixed-token-budget training
     // sequences (the batching-prep step after cleaning/dedup). Greedy
