@@ -102,6 +102,48 @@ class EventStreamSpec extends SparkSpec {
     assert(out(base + 3 * 3600) == ((1L, 10.0)))
   }
 
+  test("foreachBatch warehouse sink converges to the batch rollup across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wh_stream")
+    val wh = Files.createTempDirectory("wh_out").toString
+    def addBatch(name: String,
+                 rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val stage = Files.createTempDirectory(s"whstage_$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.copy(Paths.get(part), dir.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val base = 1704103200L // 2024-01-01T10:00:00Z
+    def nanos(offsetMin: Long): Long = (base + offsetMin * 60) * 1000000000L
+
+    addBatch("b1", Seq(
+      (1L, nanos(0), 1L, "purchase", 10.0, "{}"),
+      (2L, nanos(10), 2L, "click", 1.0, "{}")))
+    val q = EventStream.rollupToWarehouse(spark, dir.toString, wh)
+    try {
+      q.processAllAvailable()
+      // second batch UPDATES hour 10:00's purchase rollup (in-watermark)
+      // and adds a new hour — the changed partition must be overwritten
+      // idempotently, the click partition left alone
+      addBatch("b2", Seq(
+        (3L, nanos(30), 3L, "purchase", 5.0, "{}"),
+        (4L, nanos(70), 4L, "click", 2.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(wh)
+      .select(col("hour_key"), col("event_type"), col("n"), col("total_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01-10", "purchase", 2L, 15.0), // updated, not duplicated
+      ("2024-01-01-10", "click", 1L, 1.0), // untouched by batch 2
+      ("2024-01-01-11", "click", 1L, 2.0)))
+  }
+
   test("streaming dedup-keep-first matches the batch e03 result") {
     val dir = Files.createTempDirectory("events_dedup_stream")
     Files.copy(Paths.get(s"$sfSmoke/events.parquet"),
