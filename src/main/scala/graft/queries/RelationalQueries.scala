@@ -693,6 +693,47 @@ object RelationalQueries {
             THEN bucket END)+1)*10000 AS p99_upper_cents
         FROM c GROUP BY 1""")),
 
+    // ---- native CUBE: all four grains of (flag, status) in ONE pass with
+    // map-side partial aggregation — the generalization of q15/q32's
+    // rollup; grouping_id() disambiguates real nulls from subtotal rows. ----
+    Q("q37_cube",
+      (s, dir) => {
+        T(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().as("gid"),
+            sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+            col("sum_price_cents"), col("n"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
+          ${sqlSumC("l_extendedprice")} AS sum_price_cents, count(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
+    // ---- full-row set ops (beyond the reference's key-set difference):
+    // INTERSECT/EXCEPT are aggregate-shaped (one shuffle on the full row),
+    // not join-shaped. ----
+    Q("q38_setops",
+      (s, dir) => {
+        val a = T(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"), col("o_orderstatus"))
+        val b = T(s, dir, "orders").filter(col("o_orderpriority") === "2-HIGH")
+          .select(col("o_custkey"), col("o_orderstatus"))
+        a.intersect(b).withColumn("op", lit("both"))
+          .unionByName(a.except(b).withColumn("op", lit("urgent_only")))
+      },
+      Some("""WITH a AS (SELECT o_custkey, o_orderstatus FROM orders
+          WHERE o_orderpriority = '1-URGENT'),
+        b AS (SELECT o_custkey, o_orderstatus FROM orders
+          WHERE o_orderpriority = '2-HIGH')
+        SELECT o_custkey, o_orderstatus, 'both' AS op
+        FROM (SELECT * FROM a INTERSECT SELECT * FROM b) x
+        UNION ALL
+        SELECT o_custkey, o_orderstatus, 'urgent_only' AS op
+        FROM (SELECT * FROM a EXCEPT SELECT * FROM b) y""")),
+
     // ---- dataset profiling (operators/Profile): per-column row/null/
     // distinct counts in one scan — the ingest data-quality gate. Counting
     // distincts is representation-independent, so the canonical-string melt
