@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // -> AsofJoinExec); AsofJoin.asof also self-registers per session for
     // sessions built without this static conf
     ext.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
+    // optimizer tier: teach Catalyst the as-of node's algebra — these run
+    // inside the fixed-point operator-optimization batch, so filters pushed
+    // through the node keep flowing down to the parquet scans
+    ext.injectOptimizerRule(_ => graft.plans.AsofFilterPushdown)
+    ext.injectOptimizerRule(_ => graft.plans.AsofPayloadPruning)
     ext.injectFunction((FunctionIdentifier("graft_quantized_dot"),
       info("graft_quantized_dot",
         "exact quantized (1e-3) integer dot product of two array<float>"),

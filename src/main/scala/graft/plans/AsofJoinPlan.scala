@@ -192,6 +192,7 @@ object AsofJoin {
            leftTime: String, rightTime: String): DataFrame = {
     val spark = left.sparkSession
     GraftSqlShims.addStrategy(spark, new AsofJoinStrategy)
+    GraftSqlShims.addOptimizations(spark, Seq(AsofFilterPushdown, AsofPayloadPruning))
     // re-alias both sides so the node's captured attribute ids are fresh
     // aliases: when the two inputs share lineage (e.g. both filtered from
     // one frame), the analyzer's relation deduplication rewrites ids INSIDE

@@ -154,6 +154,46 @@ object EventQueries {
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.p_ts >= c.c_ts""")),
 
+    // ---- a filter + narrow projection WRITTEN ABOVE the native as-of join:
+    // without the engine's optimizer rules (plans.AsofFilterPushdown /
+    // AsofPayloadPruning, injected via GraftExtensions) the custom node is an
+    // optimization barrier — the filter would run post-join and both scans
+    // would read every column. With them, the p_value predicate pushes into
+    // the left scan, the user_id key predicate mirrors into BOTH scans'
+    // PushedFilters, and the unused c_event_id payload column drops out of
+    // the right ReadSchema (plan-asserted in AsofOptimizationSpec). ----
+    Q("e07_asof_pushdown",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_event_id"),
+            col("ts").as("p_ts"), col("value").as("p_value"))
+        val c = graft.operators.Relational.latest(
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id").as("c_event_id"),
+              col("ts").as("c_ts")),
+          Seq("user_id", "c_ts"), Seq("c_event_id"))
+        graft.plans.AsofJoin
+          .asof(p, c, Seq("user_id"), "p_ts", "c_ts")
+          .filter(col("user_id") < 75 && col("p_value") > 100.0)
+          .select(col("user_id"), col("p_event_id"), col("p_ts"), col("c_ts"))
+      },
+      Some("""WITH p AS (
+          SELECT user_id, event_id AS p_event_id, CAST(ts AS TIMESTAMP) AS p_ts,
+            value AS p_value
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, c_event_id, c_ts FROM (
+            SELECT user_id, event_id AS c_event_id, CAST(ts AS TIMESTAMP) AS c_ts,
+              row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click') x
+          WHERE rn = 1)
+        SELECT p.user_id, p_event_id, p_ts, c_ts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
+        WHERE p.user_id < 75 AND p.p_value > 100""")),
+
     // ---- sessionization: 30-min-gap sessions via gaps-and-islands (the batch
     // equivalent of session_window / flatMapGroupsWithState) ----
     Q("e04_sessionize",

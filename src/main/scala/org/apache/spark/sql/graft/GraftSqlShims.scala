@@ -26,4 +26,17 @@ object GraftSqlShims {
     if (!present)
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
   }
+
+  /** Idempotently add extra optimizer rules to this session (the imperative
+    * twin of `SparkSessionExtensions.injectOptimizerRule`; these run in the
+    * optimizer's final user-provided fixed-point batch). */
+  def addOptimizations(spark: SparkSession,
+                       rules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
+                         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]): Unit = {
+    val cs = spark.asInstanceOf[ClassicSparkSession]
+    val fresh = rules.filterNot(r =>
+      cs.experimental.extraOptimizations.exists(_.getClass == r.getClass))
+    if (fresh.nonEmpty)
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations ++ fresh
+  }
 }
