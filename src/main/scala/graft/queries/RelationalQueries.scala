@@ -734,6 +734,47 @@ object RelationalQueries {
         SELECT o_custkey, o_orderstatus, 'urgent_only' AS op
         FROM (SELECT * FROM a EXCEPT SELECT * FROM b) y""")),
 
+    // ---- range join via BUCKET EXPANSION (generalizes J5's equi+interval
+    // shape, reference jobs/staging_to_app.py:122-140, to a PURE interval
+    // join with no equi key). A naive interval predicate forces a
+    // nested-loop join testing every (row, interval) pair — O(|L|·|I|),
+    // the oracle's formulation and exactly what dies at 100 TB once the
+    // interval side grows. The engine instead explodes each interval into
+    // the months it covers (bounded: len/30 + 2 buckets) and equi-joins on
+    // the row's month bucket, so each fact row meets only the intervals
+    // overlapping its month; the exact BETWEEN then runs as a post-filter.
+    // PlanAuditSpec pins the join to a hash join, not a nested loop.
+    // Intervals here are deterministic md5-derived 45-day brand promo
+    // windows so both engines construct identical inputs. ----
+    Q("q39_range_bucket_join",
+      (s, dir) => {
+        val iv = T(s, dir, "part").select(col("p_brand")).distinct()
+          .withColumn("promo_start", date_add(to_date(lit("1995-01-01")),
+            (conv(substring(md5(col("p_brand")), 1, 4), 16, 10).cast("int") % 300) * 3))
+          .withColumn("promo_end", date_add(col("promo_start"), lit(45)))
+        val buckets = iv.withColumn("bucket",
+          explode(expr("sequence(trunc(promo_start, 'MM'), trunc(promo_end, 'MM'), interval 1 month)")))
+        T(s, dir, "lineitem")
+          .select(to_date(col("l_shipdate")).as("ship_date"), col("l_extendedprice"))
+          .withColumn("bucket", trunc(col("ship_date"), "MM"))
+          .join(broadcast(buckets), Seq("bucket"))
+          .filter(col("ship_date").between(col("promo_start"), col("promo_end")))
+          .groupBy(col("p_brand"), col("promo_start"))
+          .agg(count(lit(1)).as("n_ship"),
+            (sum(cents(col("l_extendedprice"))) / 100.0).as("revenue"))
+      },
+      Some(s"""WITH iv AS (SELECT p_brand,
+            DATE '1995-01-01'
+              + ((CAST(('0x' || substr(md5(p_brand), 1, 4)) AS INTEGER) % 300) * 3)
+              AS promo_start
+          FROM (SELECT DISTINCT p_brand FROM part) b),
+        iv2 AS (SELECT p_brand, promo_start, promo_start + 45 AS promo_end FROM iv)
+        SELECT p_brand, promo_start, count(*) AS n_ship,
+          ${sqlSumC("l_extendedprice")}/100.0 AS revenue
+        FROM lineitem JOIN iv2
+          ON CAST(l_shipdate AS DATE) BETWEEN promo_start AND promo_end
+        GROUP BY 1, 2""")),
+
     // ---- dataset profiling (operators/Profile): per-column row/null/
     // distinct counts in one scan — the ingest data-quality gate. Counting
     // distincts is representation-independent, so the canonical-string melt

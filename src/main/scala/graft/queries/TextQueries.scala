@@ -648,6 +648,52 @@ object TextQueries {
           start % 256 AS offset
         FROM c""")),
 
+    // ---- chunk-level (sub-document) dedup: the RefinedWeb/CCNet-style pass
+    // that removes REPEATED PASSAGES across documents (boilerplate, quoted
+    // headers) while keeping the host documents. The corpus has no natural
+    // paragraph breaks, so the segmenter is fixed 8-word windows; the same
+    // operator applies to split(text, '\\n\\n') verbatim. First occurrence
+    // (by doc_id, position) survives; each document is reassembled from its
+    // surviving chunks in order. Scale shape: segmentation is columnar
+    // (split → slice — no UDF), dedup is ONE window over md5-uniform chunk
+    // keys, reassembly is one groupBy(doc_id) with an in-group sort of a
+    // bounded list (a document's own chunks) — no global sort anywhere. ----
+    Q("t21_chunk_dedup",
+      (s, dir) => {
+        val C = 8
+        val chunks = T(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+          .select(col("doc_id"), posexplode(expr(
+            s"""transform(sequence(0, cast(ceil(size(words) / $C.0) as int) - 1),
+                i -> array_join(slice(words, i * $C + 1, $C), ' '))""")))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+            col("col").as("chunk"))
+        val firstSeen = Window.partitionBy(col("chunk"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+        chunks.withColumn("rn", row_number().over(firstSeen))
+          .filter(col("rn") === 1)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(
+              transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+                x => x("chunk")), " ").as("text_clean"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents),
+        w AS (SELECT doc_id, i, words[i] AS w
+          FROM d, (SELECT unnest(range(1, 5001)) AS i) r
+          WHERE i <= len(words)),
+        c AS (SELECT doc_id, (i - 1) // 8 AS chunk_idx,
+            string_agg(w, ' ' ORDER BY i) AS chunk
+          FROM w GROUP BY 1, 2),
+        k AS (SELECT doc_id, chunk_idx, chunk,
+            row_number() OVER (PARTITION BY chunk
+              ORDER BY doc_id, chunk_idx) AS rn
+          FROM c)
+        SELECT doc_id, count(*) AS n_kept,
+          string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_clean
+        FROM k WHERE rn = 1 GROUP BY doc_id""")),
+
     Q("t08_simhash",
       (s, dir) => {
         val v = tokVal

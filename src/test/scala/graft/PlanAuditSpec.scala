@@ -55,6 +55,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
   }
 
+  test("q39 bucketed range join plans as a hash join, never a nested loop") {
+    // the whole point of the bucket expansion: a pure interval predicate
+    // would force BroadcastNestedLoopJoin (every row × every interval);
+    // the month-bucket equi-key turns it into a hash join
+    val df = SparkEntry.queries("q39_range_bucket_join")(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"nested-loop join leaked:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected hash join on bucket:\n$plan")
+  }
+
+  test("t21 chunk dedup reads only (doc_id, text) and has no global sort") {
+    val df = SparkEntry.queries("t21_chunk_dedup")(spark, sfSmoke)
+    val cols = scans(df).flatMap(_.requiredSchema.fieldNames).toSet
+    assert(cols == Set("doc_id", "text"), s"scan read $cols")
+    // reassembly sorts inside each doc's collected list, not globally
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), s"global sort in plan:\n$plan")
+  }
+
   test("s07 k-means assignment pass is map-only over the scan") {
     val df = SparkEntry.queries("s07_kmeans_train")(spark, sfSmoke)
     // the returned frame is the final assignment: literal centroids mean
