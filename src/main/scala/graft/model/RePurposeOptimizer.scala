@@ -82,10 +82,11 @@ object RePurposeOptimizer {
 
   /** Closed-form greedy with the rank-1 budget cap: returns `df` +
     * price_rank + `takeCol`. Orders by `rankOn` ('first'-rank ties broken
-    * by `tiebreak`), partitions by year. */
-  private def cappedGreedy(df: DataFrame, rankOn: Column, budget: Column,
-                           cap: Column, rank1Rate: Double, takeCol: String,
-                           tiebreak: Seq[Column]): DataFrame = {
+    * by `tiebreak`), partitions by year. Public: m03 puts this form on the
+    * oracle gate over the synthetic tables. */
+  def cappedGreedy(df: DataFrame, rankOn: Column, budget: Column,
+                   cap: Column, rank1Rate: Double, takeCol: String,
+                   tiebreak: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(col("year")).orderBy(rankOn.asc +: tiebreak.map(_.asc): _*)
     val prevW = w.rowsBetween(Window.unboundedPreceding, -1)
     val withRank = df

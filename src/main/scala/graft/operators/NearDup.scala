@@ -120,4 +120,40 @@ object NearDup {
       .filter(col("jaccard") >= thresh)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
+
+  /** Chunk-level (sub-document) dedup — the RefinedWeb/CCNet-style pass
+    * that removes repeated passages ACROSS documents while keeping the host
+    * documents. Documents are segmented into fixed `chunkWords`-word
+    * windows (swap the segmenter for split on "\n\n" verbatim when the
+    * corpus has paragraph breaks); the first occurrence of each chunk (by
+    * id, then position) survives; each document is reassembled from its
+    * surviving chunks in order. Documents whose every chunk is a repeat
+    * disappear from the output (fully-absorbed duplicates).
+    *
+    * Scale shape: segmentation is columnar split→slice (no UDF), dedup is
+    * ONE window over uniform chunk keys, reassembly sorts only inside each
+    * document's own collected chunk list — no global sort (plan-audited in
+    * PlanAuditSpec via t21).
+    *
+    * @return (idCol, n_kept, text_clean)
+    */
+  def chunkDedup(docs: DataFrame, chunkWords: Int = 8,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = docs
+      .select(col(idCol), split(col(textCol), " ").as("__words"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(__words) / $chunkWords.0) as int) - 1),
+            i -> array_join(slice(__words, i * $chunkWords + 1, $chunkWords), ' '))""")))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk"))
+    val firstSeen = Window.partitionBy(col("chunk"))
+      .orderBy(col(idCol), col("chunk_idx"))
+    chunks.withColumn("__rn", row_number().over(firstSeen))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            x => x("chunk")), " ").as("text_clean"))
+  }
 }

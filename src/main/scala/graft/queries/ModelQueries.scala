@@ -54,6 +54,48 @@ object ModelQueries {
         FROM r"""),
       bench = true),
 
+    // ---- the rank-1-capped greedy (RePurposeOptimizer.cappedGreedy): the
+    // reference's chinese-contract-rate rule — the cheapest item may take at
+    // most half the year's budget (RE_purpose_optimizer.py:196-200) — still
+    // collapses to one window pass: take₁ = min(rate·B, cap₁) broadcast via
+    // a year window, later ranks clamp against B − take₁ − Σ later caps.
+    // Caps are exact integer cents so the window sums are order-free. ----
+    Q("m03_capped_greedy",
+      (s, dir) => {
+        val items = T(s, dir, "customer").select(
+          (col("c_nationkey") % 5).cast("int").as("year"),
+          col("c_custkey").as("area"),
+          col("c_acctbal").as("price"),
+          cents(greatest(col("c_acctbal"), lit(0.0))).cast("double").as("cap"))
+          .withColumn("budget", lit(1.0e7))
+        graft.model.RePurposeOptimizer.cappedGreedy(items,
+            rankOn = col("price"), budget = col("budget"), cap = col("cap"),
+            rank1Rate = 0.5, takeCol = "allocated", tiebreak = Seq(col("area")))
+          .select(col("year"), col("area"), col("price_rank"),
+            (col("allocated") / 100.0).as("allocated"))
+      },
+      Some(s"""WITH items AS (
+          SELECT CAST(c_nationkey % 5 AS INTEGER) AS year, c_custkey AS area,
+            c_acctbal AS price,
+            CAST(${sqlCents("greatest(c_acctbal, 0.0)")} AS DOUBLE) AS cap,
+            1.0e7 AS budget
+          FROM customer),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY year
+            ORDER BY price ASC, area ASC) AS INTEGER) AS price_rank FROM items),
+        t AS (SELECT *,
+            max(CASE WHEN price_rank = 1 THEN least(0.5*budget, cap)
+                ELSE 0.0 END) OVER (PARTITION BY year) AS take1,
+            COALESCE(sum(CASE WHEN price_rank >= 2 THEN cap END)
+              OVER (PARTITION BY year ORDER BY price ASC, area ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+              AS later_consumed
+          FROM r)
+        SELECT year, area, price_rank,
+          CASE WHEN price_rank = 1 THEN least(0.5*budget, cap)
+               ELSE greatest(0.0, least(cap, budget - take1 - later_consumed))
+          END / 100.0 AS allocated
+        FROM t""")),
+
     // ---- WACC discounting via a literal factor lookup (broadcast join) ----
     Q("m02_wacc_discount",
       (s, dir) => {

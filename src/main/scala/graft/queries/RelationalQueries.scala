@@ -773,7 +773,8 @@ object RelationalQueries {
           ${sqlSumC("l_extendedprice")}/100.0 AS revenue
         FROM lineitem JOIN iv2
           ON CAST(l_shipdate AS DATE) BETWEEN promo_start AND promo_end
-        GROUP BY 1, 2""")),
+        GROUP BY 1, 2"""),
+      bench = true),
 
     // ---- dataset profiling (operators/Profile): per-column row/null/
     // distinct counts in one scan — the ingest data-quality gate. Counting

@@ -648,6 +648,30 @@ object TextQueries {
           start % 256 AS offset
         FROM c""")),
 
+    // ---- unigram-rarity quality signal: the portable analogue of a
+    // perplexity filter (CCNet scores docs with a language model; with no
+    // model in either engine, corpus-level token document-frequency is the
+    // deterministic stand-in — a doc whose tokens are rare corpus-wide is
+    // an outlier worth flagging). Scale shape: the document-frequency
+    // dictionary is vocabulary-sized -> broadcast (the t12 pattern); the
+    // per-doc score is one partial-aggregable groupBy; exact integer df
+    // sums, double division only at the surface. ----
+    Q("t22_token_rarity",
+      (s, dir) => {
+        val p = postings(s, dir)
+        val dfreq = p.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        p.join(broadcast(dfreq), Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_distinct"), sum(col("df")).as("sum_df"),
+            (sum(col("df")).cast("double") / count(lit(1))).as("avg_df"))
+      },
+      Some(s"""WITH toks AS ($sqlPostings),
+        dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok)
+        SELECT doc_id, count(*) AS n_distinct,
+          CAST(sum(df) AS BIGINT) AS sum_df,
+          CAST(CAST(sum(df) AS BIGINT) AS DOUBLE) / count(*) AS avg_df
+        FROM toks JOIN dfreq USING (tok) GROUP BY doc_id""")),
+
     // ---- chunk-level (sub-document) dedup: the RefinedWeb/CCNet-style pass
     // that removes REPEATED PASSAGES across documents (boilerplate, quoted
     // headers) while keeping the host documents. The corpus has no natural
@@ -659,25 +683,8 @@ object TextQueries {
     // keys, reassembly is one groupBy(doc_id) with an in-group sort of a
     // bounded list (a document's own chunks) — no global sort anywhere. ----
     Q("t21_chunk_dedup",
-      (s, dir) => {
-        val C = 8
-        val chunks = T(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("words"))
-          .select(col("doc_id"), posexplode(expr(
-            s"""transform(sequence(0, cast(ceil(size(words) / $C.0) as int) - 1),
-                i -> array_join(slice(words, i * $C + 1, $C), ' '))""")))
-          .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
-            col("col").as("chunk"))
-        val firstSeen = Window.partitionBy(col("chunk"))
-          .orderBy(col("doc_id"), col("chunk_idx"))
-        chunks.withColumn("rn", row_number().over(firstSeen))
-          .filter(col("rn") === 1)
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_kept"),
-            array_join(
-              transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
-                x => x("chunk")), " ").as("text_clean"))
-      },
+      (s, dir) => graft.operators.NearDup.chunkDedup(
+        T(s, dir, "documents").select(col("doc_id"), col("text")), chunkWords = 8),
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
             FROM documents),
         w AS (SELECT doc_id, i, words[i] AS w
@@ -692,7 +699,8 @@ object TextQueries {
           FROM c)
         SELECT doc_id, count(*) AS n_kept,
           string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_clean
-        FROM k WHERE rn = 1 GROUP BY doc_id""")),
+        FROM k WHERE rn = 1 GROUP BY doc_id"""),
+      bench = true),
 
     Q("t08_simhash",
       (s, dir) => {
