@@ -34,6 +34,28 @@ object AnnIndex {
       .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
   }
 
+  /** Incremental maintenance: assign NEW vectors to the existing centroids
+    * (KMeans.assignTo — map-only, no retraining) and append them into the
+    * cluster-partitioned layout. Probes keep pruning to the same
+    * directories; each append adds one file per touched cluster, so probe
+    * I/O grows by one file per increment — rebuild (compact) when the
+    * increment count matters, exactly like any LSM-ish layout. Returns the
+    * refreshed per-cluster counts. */
+  def append(newVectors: DataFrame, idCol: String, vecCol: String,
+             path: String): DataFrame = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val k = cents.agg(countDistinct(col("cluster"))).head().getLong(0).toInt
+    val assign = KMeans.assignTo(newVectors, idCol, vecCol, cents)
+    newVectors
+      .join(assign.select(col("id").as(idCol), col("cluster")), idCol)
+      .repartition(k, col("cluster"))
+      .write.partitionBy("cluster").mode("append")
+      .parquet(s"$path/vectors")
+    spark.read.parquet(s"$path/vectors")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
+  }
+
   /** Exact integer squared distance of a quantized query to each stored
     * centroid, on the driver — k·dim longs, the same scalar math the
     * trainer uses. */

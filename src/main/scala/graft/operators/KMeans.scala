@@ -49,6 +49,35 @@ object KMeans {
     * @param iters   assignment passes, ≥ 1
     * @return assignments (id, cluster, dist) and centroids (cluster, i, cv)
     */
+  /** Map-only assignment of each row to its nearest centroid (exact
+    * quantized integers, ties to the lower cluster id — the same total
+    * order as the trainer) against a STORED long-format centroid frame
+    * (cluster, i, cv). This is the index-MAINTENANCE path: new vectors
+    * join an existing IVF index without retraining (AnnIndex.append). The
+    * centroid matrix is collected (k·dim ≤ KBs) and re-embedded as
+    * literals, so the pass is one scan — no join, no shuffle. */
+  def assignTo(df: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame): DataFrame = {
+    val cents = centroids.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (c, xs) => (c, xs.sortBy(_._2).map(_._3)) }
+      .toSeq.sortBy(_._1)
+    require(cents.nonEmpty, "assignTo needs at least one centroid")
+    val q = df.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, v -> CAST(floor(v*1000.0+0.5) AS BIGINT))")
+        .as("qv"))
+    val distStructs: Seq[Column] = cents.map { case (j, cv) =>
+      val litC = array(cv.map(lit(_)): _*)
+      struct(
+        aggregate(zip_with(col("qv"), litC, (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, d) => acc + d).as("dist"),
+        lit(j).as("cluster"))
+    }
+    q.withColumn("best", array_min(array(distStructs: _*)))
+      .select(col("id"), col("best.cluster").as("cluster"),
+        col("best.dist").as("dist"))
+  }
+
   def lloyd(df: DataFrame, idCol: String, vecCol: String, k: Int,
             iters: Int): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"k=$k iters=$iters must be positive")

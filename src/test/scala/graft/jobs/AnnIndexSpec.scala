@@ -51,4 +51,41 @@ class AnnIndexSpec extends SparkSpec {
       .map { case (id, _, a) => (-cos(a), id) }.sorted.take(5).map(_._2).toSeq
     assert(rows.map(_.getLong(0)).toSeq == expected)
   }
+
+  test("append assigns to the scalar-nearest centroid and stays searchable") {
+    val e = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("ann_index_append").toString
+
+    // build on the first half, append the second half without retraining
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val extra = e.filter(col("vec_id") % 2 === 1)
+    AnnIndex.build(base, "vec_id", "embedding", k = 8, iters = 3, path)
+    val counts = AnnIndex.append(extra, "vec_id", "embedding", path)
+    assert(counts.agg(sum(col("n_vectors"))).head().getLong(0) == e.count())
+
+    // every appended vector landed in the cluster a scalar nearest-centroid
+    // scan picks (ties to lower id, like the trainer)
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.sortBy(_._2).map(_._3) }
+    def nearest(v: Array[Long]): Long =
+      cents.toSeq.map { case (c, cv) =>
+        (cv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.min._2
+    val placed = spark.read.parquet(s"$path/vectors")
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("cluster").cast("long"), col("embedding"))
+      .collect()
+    assert(placed.length == extra.count())
+    placed.foreach { r =>
+      assert(r.getLong(1) == nearest(quant(r.getSeq[Float](2).toArray)),
+        s"vec ${r.getLong(0)} in cluster ${r.getLong(1)}")
+    }
+
+    // an appended vector is findable as its own top hit through the probe
+    val qv = extra.orderBy(col("vec_id")).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val hit = AnnIndex.search(spark, path, qv, k = 1, nProbe = 1).head()
+    assert(hit.getDouble(2) > 0.999999)
+  }
 }
