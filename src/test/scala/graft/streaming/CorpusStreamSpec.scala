@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The streaming corpus ingest must apply the batch pipeline's clean gates,
+  * drop exact duplicates ACROSS micro-batches (state, not per-batch
+  * dedup), and append each admitted doc to the warehouse exactly once. */
+class CorpusStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 12 4-letter words: n_tok=12 in [10,200], alpha_ratio 48/59 ≈ 0.814 ≥ 0.81
+  private def mkText(seed: String): String =
+    (1 to 12).map(i => s"${seed.charAt(i % seed.length)}abc").mkString(" ")
+
+  private def addBatch(dir: java.nio.file.Path, name: String,
+                       rows: Seq[(Long, String, String, String, Long)]): Unit = {
+    val stage = Files.createTempDirectory(s"corpus_stage_$name")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = Files.list(stage).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.copy(Paths.get(part), dir.resolve(s"$name.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("cross-batch dedup: a duplicate arriving in a later batch is dropped") {
+    val dir = Files.createTempDirectory("corpus_stream")
+    val wh = Files.createTempDirectory("corpus_wh").toString
+    val ckpt = Files.createTempDirectory("corpus_ckpt").toString
+    val t1 = mkText("one"); val t2 = mkText("two"); val t4 = mkText("four")
+
+    addBatch(dir, "b1", Seq(
+      (1L, t1, "en", "web", t1.length.toLong),
+      (2L, t2, "en", "web", t2.length.toLong),
+      (3L, "too short", "en", "web", 9L))) // fails the clean gate
+    val q = CorpusStream.ingestToWarehouse(spark, dir.toString, wh, ckpt)
+    try {
+      q.processAllAvailable()
+      addBatch(dir, "b2", Seq(
+        (4L, t4, "en", "books", t4.length.toLong),
+        (5L, t1, "en", "web", t1.length.toLong))) // exact dup of doc 1
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(wh)
+      .select(col("doc_id"), col("fp"), col("source"))
+      .as[(Long, String, String)].collect()
+    // doc 3 cleaned out, doc 5 deduped against batch-1 state, no double-writes
+    assert(got.map(_._1).sorted.toSeq == Seq(1L, 2L, 4L))
+    assert(got.map(_._2).distinct.length == 3)
+    // the partitioned layout carries the source key
+    assert(got.filter(_._1 == 4L).head._3 == "books")
+  }
+
+  test("streaming admit set equals the batch clean+dedup on the real corpus") {
+    val dir = Files.createTempDirectory("corpus_stream_full")
+    Files.copy(Paths.get(s"$sfSmoke/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val got = CorpusStream.runOnce(spark, dir.toString, "corpus_stream_full")
+      .select(col("fp")).as[String].collect().toSet
+
+    val batch = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text")).cast("double"))
+      .filter(col("n_tok").between(10, 200) && col("alpha_ratio") >= 0.81 &&
+        !col("text").rlike("[^\\x00-\\x7F]"))
+      .select(md5(col("text")).as("fp")).distinct()
+      .as[String].collect().toSet
+    assert(got == batch && got.nonEmpty)
+  }
+}
