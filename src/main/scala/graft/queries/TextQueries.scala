@@ -648,6 +648,39 @@ object TextQueries {
           start % 256 AS offset
         FROM c""")),
 
+    // ---- within-document repetition TRIM: collapse consecutive repeated
+    // tokens (the cleaning transform behind t15's repetition MEASUREMENT —
+    // stuttered crawl text like "click click click here" is the classic
+    // case). Backreference regexes would do this in one call but RE2-based
+    // engines (the DuckDB oracle) lack them, so the portable columnar form
+    // is a per-doc lag window: keep token where token != previous, then
+    // reassemble in order. One window partitioned by doc_id (group size =
+    // doc length, bounded), in-group reassembly — no global sort. ----
+    Q("t23_repetition_trim",
+      (s, dir) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        T(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .withColumn("prev", lag(col("col"), 1).over(w))
+          .filter(col("prev").isNull || col("col") =!= col("prev"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(
+              transform(array_sort(collect_list(struct(col("pos"), col("col")))),
+                x => x("col")), " ").as("text_trim"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents),
+        w AS (SELECT doc_id, i, words[i] AS w
+          FROM d, (SELECT unnest(range(1, 5001)) AS i) r
+          WHERE i <= len(words)),
+        k AS (SELECT doc_id, i, w,
+            lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+          FROM w)
+        SELECT doc_id, count(*) AS n_kept,
+          string_agg(w, ' ' ORDER BY i) AS text_trim
+        FROM k WHERE prev IS NULL OR w <> prev GROUP BY doc_id""")),
+
     // ---- unigram-rarity quality signal: the portable analogue of a
     // perplexity filter (CCNet scores docs with a language model; with no
     // model in either engine, corpus-level token document-frequency is the
