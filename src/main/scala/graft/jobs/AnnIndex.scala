@@ -52,8 +52,9 @@ object AnnIndex {
       .repartition(k, col("cluster"))
       .write.partitionBy("cluster").mode("append")
       .parquet(s"$path/vectors")
-    spark.read.parquet(s"$path/vectors")
-      .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
+    // counts of the INCREMENT only — rescanning the whole layout for a
+    // return value would cost O(full index) read I/O per append
+    assign.groupBy(col("cluster")).agg(count(lit(1)).as("n_appended"))
   }
 
   /** Exact integer squared distance of a quantized query to each stored
@@ -61,10 +62,8 @@ object AnnIndex {
     * trainer uses. */
   private[graft] def probeClusters(spark: SparkSession, path: String,
                                    q: Array[Long], nProbe: Int): Seq[Long] = {
-    val cents = spark.read.parquet(s"$path/centroids").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-      .groupBy(_._1).map { case (c, xs) => c -> xs.sortBy(_._2).map(_._3) }
-    cents.toSeq.map { case (c, cv) =>
+    val cents = KMeans.parseCentroids(spark.read.parquet(s"$path/centroids").collect())
+    cents.map { case (c, cv) =>
       (cv.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, c)
     }.sorted.take(nProbe).map(_._2)
   }

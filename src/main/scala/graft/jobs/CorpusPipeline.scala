@@ -37,6 +37,21 @@ object CorpusPipeline {
       packBudget: Long = 256L,
       shardSize: Long = 100L)
 
+  /** Stage-1 quality gate (t10's rules), shared by the batch pipeline, the
+    * streaming ingest (CorpusStream), and their specs — ONE definition so
+    * the streaming admit set can never silently diverge from the batch one.
+    * Adds `n_tok` and `alpha_ratio`, keeps rows passing the gates. */
+  def clean(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    docs
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text")).cast("double"))
+      .filter(
+        col("n_tok").between(cfg.minTokens, cfg.maxTokens) &&
+          col("alpha_ratio") >= cfg.minAlphaRatio &&
+          (if (cfg.asciiOnly) !col("text").rlike("[^\\x00-\\x7F]") else lit(true)))
+
   /** (packed corpus, per-stage doc counts). `docs` and `evalDocs` both need
     * (doc_id, text, source); eval docs are typically a separate, small set. */
   def run(docs: DataFrame, evalDocs: DataFrame,
@@ -45,15 +60,7 @@ object CorpusPipeline {
     import spark.implicits._
 
     // 1. quality filter (t10's rules) + token count computed once
-    val scored = docs
-      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-      .withColumn("alpha_ratio",
-        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-          length(col("text")).cast("double"))
-    val clean = scored.filter(
-      col("n_tok").between(cfg.minTokens, cfg.maxTokens) &&
-        col("alpha_ratio") >= cfg.minAlphaRatio &&
-        (if (cfg.asciiOnly) !col("text").rlike("[^\\x00-\\x7F]") else lit(true)))
+    val clean = this.clean(docs, cfg)
 
     // 2. exact dedup, keep-min doc_id per identical text (t05 semantics)
     val wFp = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))

@@ -116,7 +116,10 @@ object RePurposeOptimizer {
                  greenContracts: DataFrame, ppaTargetPct: DataFrame,
                  chineseContractRate: Double = 0.5): DataFrame = {
     val site = siteMax(aiElect, solar, priced)
-    val area = site.groupBy(col("year"), col("area"))
+    // pandas groupby DROPS null group keys (an unmapped site has no area);
+    // Spark keeps them — filter to match the reference's rollup
+    val area = site.filter(col("area").isNotNull)
+      .groupBy(col("year"), col("area"))
       .agg(sum(col("site_maxamount")).as("area_maxamount"),
         sum(col("amount")).as("ai_amount"), max(col("price")).as("price"))
       .join(broadcast(greenContracts), Seq("year", "area"), "left")
@@ -191,7 +194,13 @@ object RePurposeOptimizer {
       .withColumn("carbon_coeff",
         when(col("carbon_coeff").isNull && col("site") === "WVN", wvnDefaultCoeff)
           .otherwise(col("carbon_coeff")))
-    val area = site.groupBy(col("year"), col("area"), col("category"))
+    // pandas groupby DROPS null group keys: a site matching NO price row
+    // carries a null category (the max+1 price fill), and an unmapped site
+    // a null area — the reference's rollup silently excludes both; without
+    // this filter a phantom null-category row would consume loop budget and
+    // then vanish at the takes join (null never equals null)
+    val area = site.filter(col("area").isNotNull && col("category").isNotNull)
+      .groupBy(col("year"), col("area"), col("category"))
       .agg(sum(col("solar_amount")).as("solar_amount"),
         sum(col("site_maxamount")).as("area_maxamount"),
         sum(col("amount")).as("ai_amount"),
@@ -202,8 +211,12 @@ object RePurposeOptimizer {
           clipNonNeg(col("area_maxamount") - col("green_contract_addition_ytm_amount")))
         .otherwise(clipNonNeg(col("ai_amount") - col("solar_amount")
           - col("green_contract_addition_ytm_amount"))))
-    // per-year totals over the DISTINCT area rows (both categories repeat
-    // the area-level solar/ai/addition values — ref :311-313)
+    // per-year totals over the by-VALUE distinct area rows — ported
+    // verbatim from the reference's drop_duplicates (ref :311-313). Note
+    // the shared quirk: if an area's PPA and REC rows ever disagree on
+    // solar/ai (sites priced in only one category), BOTH rows survive the
+    // value-dedup and the totals double-count, in the reference exactly as
+    // here
     val totals = area.select(col("year"), col("area"), col("solar_amount"),
         col("ai_amount"), col("green_contract_addition_ytm_amount")).distinct()
       .groupBy(col("year"))
@@ -214,14 +227,19 @@ object RePurposeOptimizer {
       .withColumn("rec_remain_ytm_total", clipNonNeg(
         col("__ai_total") * col("__pct") / 100 - col("__solar_total") - col("__add_total")))
       .select(col("year"), col("rec_remain_ytm_total"))
+    val withTotals = area.join(broadcast(totals), Seq("year"), "left")
+      .withColumn("__stand", col("price") - col("carbon_coeff"))
+    // a row whose carbon coefficient is entirely missing has a null
+    // adjusted price: pandas rank() gives NaN a NaN rank, so the
+    // reference's rank-matched loop never allocates to it (ref :278-281) —
+    // rank (and loop) only the rows with a real adjusted price
     val rankW = Window.partitionBy(col("year"))
-      .orderBy((col("price") - col("carbon_coeff")).asc, col("area").asc, col("category").asc)
-    val ranked = area.join(broadcast(totals), Seq("year"), "left")
+      .orderBy(col("__stand").asc, col("area").asc, col("category").asc)
+    val ranked = withTotals.filter(col("__stand").isNotNull)
       .withColumn("price_rank", row_number().over(rankW))
     // ---- the coupled loop runs on the collected tiny table (see Scaladoc) ----
     val rows = ranked.select(col("year").cast("int"), col("area"), col("category"),
-        col("solar_amount"), col("ai_amount"), col("price"),
-        coalesce(col("carbon_coeff"), lit(0.0)),
+        col("solar_amount"), col("ai_amount"), col("price"), col("carbon_coeff"),
         col("green_contract_addition_ytm_amount"), col("area_remain_maxamount"),
         col("rec_remain_ytm_total"), col("price_rank"))
       .as[(Int, String, String, Double, Double, Double, Double, Double, Double, Double, Int)]
@@ -232,7 +250,8 @@ object RePurposeOptimizer {
     }
     val takesDf = takes.toSeq.map { case ((y, a, c), t) => (y, a, c, t) }
       .toDF("year", "area", "category", "rec_addition")
-    ranked.join(broadcast(takesDf), Seq("year", "area", "category"), "left")
+    withTotals.drop("__stand")
+      .join(broadcast(takesDf), Seq("year", "area", "category"), "left")
       .na.fill(0.0, Seq("rec_addition"))
       .withColumn("rec_green_contract_addition_ytm_amount",
         when(col("category") === "PPA",
@@ -242,7 +261,10 @@ object RePurposeOptimizer {
 
   /** Stage 3 (ref :338-383): (rate, amount, cost) serving tables. Solar rows
     * price 0; PPA→green_elect, REC→green_energy with cost = amount·price/1000;
-    * worldwide rollup rows labeled 全集團; rate = round(amount/ai·100, 1). */
+    * worldwide rollup rows labeled 全集團; rate = round(amount/ai·100, 1).
+    * The solar rows and the worldwide ai denominator dedup by VALUE
+    * (drop_duplicates, ref :339-341,364-366) — the same asymmetric-pricing
+    * quirk documented at recStage's totals applies, verbatim. */
   def results(recFrame: DataFrame, stampTime: java.sql.Timestamp):
       (DataFrame, DataFrame, DataFrame) = {
     val solarRows = recFrame.select(col("area"), col("year"),

@@ -36,6 +36,29 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** `best = struct(dist, cluster)` over literal centroid arrays — the ONE
+    * distance kernel (exact quantized integers, ties to the lower cluster
+    * id via the struct total order) shared by the trainer's per-iteration
+    * assignment and the maintenance-path assignTo. Expects a `qv` column. */
+  private def bestCentroid(cents: Seq[(Long, Array[Long])]): Column = {
+    val distStructs: Seq[Column] = cents.map { case (j, cv) =>
+      val litC = array(cv.map(lit(_)): _*)
+      struct(
+        aggregate(zip_with(col("qv"), litC, (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, d) => acc + d).as("dist"),
+        lit(j).as("cluster"))
+    }
+    array_min(array(distStructs: _*))
+  }
+
+  /** Parse a collected long-format centroid frame (cluster, i, cv) into the
+    * driver-side matrix shape; shared with AnnIndex's probe. */
+  private[graft] def parseCentroids(
+      rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Array[Long])] =
+    rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (c, xs) => (c, xs.sortBy(_._2).map(_._3)) }
+      .toSeq.sortBy(_._1)
+
   /** (assignments, centroids) after `iters` assignment passes.
     *
     * `iters = n` means: assign against the seeds, then (recenter → reassign)
@@ -49,35 +72,6 @@ object KMeans {
     * @param iters   assignment passes, ≥ 1
     * @return assignments (id, cluster, dist) and centroids (cluster, i, cv)
     */
-  /** Map-only assignment of each row to its nearest centroid (exact
-    * quantized integers, ties to the lower cluster id — the same total
-    * order as the trainer) against a STORED long-format centroid frame
-    * (cluster, i, cv). This is the index-MAINTENANCE path: new vectors
-    * join an existing IVF index without retraining (AnnIndex.append). The
-    * centroid matrix is collected (k·dim ≤ KBs) and re-embedded as
-    * literals, so the pass is one scan — no join, no shuffle. */
-  def assignTo(df: DataFrame, idCol: String, vecCol: String,
-               centroids: DataFrame): DataFrame = {
-    val cents = centroids.collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-      .groupBy(_._1).map { case (c, xs) => (c, xs.sortBy(_._2).map(_._3)) }
-      .toSeq.sortBy(_._1)
-    require(cents.nonEmpty, "assignTo needs at least one centroid")
-    val q = df.select(col(idCol).as("id"),
-      expr(s"transform($vecCol, v -> CAST(floor(v*1000.0+0.5) AS BIGINT))")
-        .as("qv"))
-    val distStructs: Seq[Column] = cents.map { case (j, cv) =>
-      val litC = array(cv.map(lit(_)): _*)
-      struct(
-        aggregate(zip_with(col("qv"), litC, (x, c) => (x - c) * (x - c)),
-          lit(0L), (acc, d) => acc + d).as("dist"),
-        lit(j).as("cluster"))
-    }
-    q.withColumn("best", array_min(array(distStructs: _*)))
-      .select(col("id"), col("best.cluster").as("cluster"),
-        col("best.dist").as("dist"))
-  }
-
   def lloyd(df: DataFrame, idCol: String, vecCol: String, k: Int,
             iters: Int): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"k=$k iters=$iters must be positive")
@@ -95,16 +89,8 @@ object KMeans {
       }.toSeq
 
     // map-only pass: id, qv, best = struct(dist, cluster) over literal centroids
-    def assign(cents: Seq[(Long, Array[Long])]): DataFrame = {
-      val distStructs: Seq[Column] = cents.map { case (j, cv) =>
-        val litC = array(cv.map(lit(_)): _*)
-        struct(
-          aggregate(zip_with(col("qv"), litC, (x, c) => (x - c) * (x - c)),
-            lit(0L), (acc, d) => acc + d).as("dist"),
-          lit(j).as("cluster"))
-      }
-      q.withColumn("best", array_min(array(distStructs: _*)))
-    }
+    def assign(cents: Seq[(Long, Array[Long])]): DataFrame =
+      q.withColumn("best", bestCentroid(cents))
 
     for (_ <- 1 until iters) {
       // one shuffle, k·dim groups, partial-aggregated map-side
@@ -137,5 +123,24 @@ object KMeans {
       .select(col("id"), col("best.cluster").as("cluster"),
         col("best.dist").as("dist"))
     (finalAssign, centDf)
+  }
+
+  /** Map-only assignment of each row to its nearest centroid against a
+    * STORED long-format centroid frame (cluster, i, cv) — the
+    * index-MAINTENANCE path: new vectors join an existing IVF index
+    * without retraining (AnnIndex.append). Same kernel ([[bestCentroid]])
+    * and therefore the same total order as the trainer; the centroid
+    * matrix is collected (k·dim ≤ KBs) and re-embedded as literals, so
+    * the pass is one scan — no join, no shuffle. */
+  def assignTo(df: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame): DataFrame = {
+    val cents = parseCentroids(centroids.collect())
+    require(cents.nonEmpty, "assignTo needs at least one centroid")
+    df.select(col(idCol).as("id"),
+        expr(s"transform($vecCol, v -> CAST(floor(v*1000.0+0.5) AS BIGINT))")
+          .as("qv"))
+      .withColumn("best", bestCentroid(cents))
+      .select(col("id"), col("best.cluster").as("cluster"),
+        col("best.dist").as("dist"))
   }
 }

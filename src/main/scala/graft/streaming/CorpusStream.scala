@@ -35,37 +35,34 @@ object CorpusStream {
     StructField("n_chars", LongType)))
 
   /** Clean + fingerprint + cross-batch exact dedup over a growing document
-    * directory. Output: (doc_id, fp, text, lang, source, n_tok). */
+    * directory. The clean gate IS the batch pipeline's
+    * (CorpusPipeline.clean — one definition, so the streaming admit set
+    * cannot silently diverge). Output: (doc_id, fp, text, lang, source,
+    * n_tok). */
   def ingest(spark: SparkSession, dir: String,
              cfg: CorpusPipeline.Config = CorpusPipeline.Config()): DataFrame =
-    spark.readStream
-      .schema(docSchema)
-      .parquet(dir)
-      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-      .withColumn("alpha_ratio",
-        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-          length(col("text")).cast("double"))
-      .filter(
-        col("n_tok").between(cfg.minTokens, cfg.maxTokens) &&
-          col("alpha_ratio") >= cfg.minAlphaRatio &&
-          (if (cfg.asciiOnly) !col("text").rlike("[^\\x00-\\x7F]") else lit(true)))
+    CorpusPipeline.clean(
+        spark.readStream.schema(docSchema).parquet(dir), cfg)
       .withColumn("fp", md5(col("text")))
       .dropDuplicates("fp")
       .select(col("doc_id"), col("fp"), col("text"), col("lang"),
         col("source"), col("n_tok"))
 
-  /** Append every newly admitted document into a source-partitioned corpus
-    * directory. Admitted docs are emitted exactly once (append mode +
-    * dedup state), so a plain append write is idempotent-per-document; the
-    * checkpoint makes restarts resume, not re-admit. */
+  /** Write every newly admitted document into a batch-partitioned corpus
+    * directory. foreachBatch is at-least-once (a crash between the write
+    * and the checkpoint commit replays the batch), so the write is keyed
+    * by batch_id with dynamic partition OVERWRITE — a replayed batch
+    * rewrites its own partition instead of appending duplicates. */
   def ingestToWarehouse(spark: SparkSession, dir: String, corpusPath: String,
                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     ingest(spark, dir).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          batch.write.mode("append").partitionBy("source").parquet(corpusPath)
+          graft.core.Sink.overwritePartitions(
+            batch.withColumn("batch_id", lit(batchId)),
+            corpusPath, Seq("batch_id", "source"))
       }
       .start()
 

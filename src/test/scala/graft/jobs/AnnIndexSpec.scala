@@ -61,7 +61,10 @@ class AnnIndexSpec extends SparkSpec {
     val extra = e.filter(col("vec_id") % 2 === 1)
     AnnIndex.build(base, "vec_id", "embedding", k = 8, iters = 3, path)
     val counts = AnnIndex.append(extra, "vec_id", "embedding", path)
-    assert(counts.agg(sum(col("n_vectors"))).head().getLong(0) == e.count())
+    // append reports the increment's counts (no full-index rescan)...
+    assert(counts.agg(sum(col("n_appended"))).head().getLong(0) == extra.count())
+    // ...and the layout now holds the whole corpus
+    assert(spark.read.parquet(s"$path/vectors").count() == e.count())
 
     // every appended vector landed in the cluster a scalar nearest-centroid
     // scan picks (ties to lower id, like the trainer)

@@ -130,6 +130,35 @@ class RePurposeOptimizerSpec extends SparkSpec {
       .map(_.getTimestamp(0)).toSeq == Seq(stamp))
   }
 
+  test("null carbon coeff never allocates; unpriced sites vanish like pandas") {
+    // s2 (area B) has a REC price but NO carbon-coef row (and is not WVN):
+    // its adjusted price is null -> pandas rank gives NaN -> the reference
+    // loop never matches it. s3 (area C) matches NO price row at all: its
+    // null category drops at the rollup (pandas groupby drops null keys),
+    // so it neither consumes budget nor appears in the output.
+    val ai = Seq(("s1", "A", 2027, 10000.0, 100.0), ("s2", "B", 2027, 10000.0, 100.0),
+      ("s3", "C", 2027, 99999.0, 100.0))
+      .toDF("site", "area", "year", "amount", "green_full_ratio")
+    val noSolar = Seq.empty[(String, String, Int, Double)]
+      .toDF("site", "area", "year", "solar_amount")
+    val ppaP = Seq(("s1", 2027, 3.0)).toDF("p_site", "p_year", "price")
+    val recP = Seq(("s1", 2027, 5.0), ("s2", 2027, 1.0)).toDF("p_site", "p_year", "price")
+    val cf = Seq((2027, "s1", 0.5)).toDF("year", "site", "carbon_coeff")
+    val noContracts = Seq.empty[(Int, String, Double)]
+      .toDF("year", "area", "contract_ytm_amount")
+    val additions = RePurposeOptimizer.greenStage(ai, noSolar, ppaP, noContracts,
+      Seq((2027, 0.0)).toDF("year", "amount")) // zero PPA budget
+    val got = RePurposeOptimizer.recStage(ai, noSolar, ppaP, recP, cf, additions,
+        Seq((2027, 50.0)).toDF("year", "amount")) // budget = 20000*50% = 10000
+      .select(col("area"), col("category"),
+        col("rec_green_contract_addition_ytm_amount"))
+      .as[(String, String, Double)].collect().toSet
+    // B-REC is the cheapest raw price (1) but unranked -> rank 1 is A-PPA
+    // (stand 2.5), which takes the whole budget via the unfloored tail
+    assert(got == Set(
+      ("A", "PPA", 10000.0), ("A", "REC", 0.0), ("B", "REC", 0.0)))
+  }
+
   test("stage-1 closed form equals the naive sequential rank loop") {
     // independent witness: replay the reference's rank-at-a-time loop in
     // plain Scala over the same area table and compare every allocation

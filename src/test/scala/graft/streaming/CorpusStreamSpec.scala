@@ -61,13 +61,9 @@ class CorpusStreamSpec extends SparkSpec {
     val got = CorpusStream.runOnce(spark, dir.toString, "corpus_stream_full")
       .select(col("fp")).as[String].collect().toSet
 
-    val batch = spark.read.parquet(s"$sfSmoke/documents.parquet")
-      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-      .withColumn("alpha_ratio",
-        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-          length(col("text")).cast("double"))
-      .filter(col("n_tok").between(10, 200) && col("alpha_ratio") >= 0.81 &&
-        !col("text").rlike("[^\\x00-\\x7F]"))
+    // the REAL batch gate (shared definition), not an inline re-statement
+    val batch = graft.jobs.CorpusPipeline.clean(
+        spark.read.parquet(s"$sfSmoke/documents.parquet"))
       .select(md5(col("text")).as("fp")).distinct()
       .as[String].collect().toSet
     assert(got == batch && got.nonEmpty)
