@@ -49,4 +49,21 @@ object Pipeline {
           Some(job.name)
       }
     }
+
+  /** Single-flight guard for expensive jobs — the reference's
+    * maxsize-1 model-job queue (reference: utils/indicator_queue.py:5-17,
+    * used to keep one simulator run in flight at a time): a second submit
+    * while one is running is REJECTED, not queued. `submit` returns
+    * Left("busy") immediately in that case; the caller (the reference's
+    * HTTP layer) surfaces it to the user. Thread-safe; the permit is
+    * released on success AND failure. */
+  final class SingleFlight(name: String = "model job") {
+    private val running = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    def isBusy: Boolean = running.get()
+
+    def submit[A](work: => A): Either[String, A] =
+      if (!running.compareAndSet(false, true)) Left(s"$name is busy")
+      else try Right(work) finally running.set(false)
+  }
 }

@@ -69,6 +69,29 @@ class JobsSpec extends SparkSpec {
       ("success", "ok_job"), ("failure", "boom: nope"), ("success", "after_boom")))
   }
 
+  test("single-flight guard rejects a concurrent submit and recovers after failure") {
+    val guard = new Pipeline.SingleFlight("simulator")
+    // a submit racing a running one is rejected, not queued (the
+    // reference's maxsize-1 queue raises QueueFull)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val first = new Thread(() => {
+      guard.submit { started.countDown(); gate.await(); "done" }
+      ()
+    })
+    first.start()
+    started.await()
+    assert(guard.isBusy)
+    assert(guard.submit("second") == Left("simulator is busy"))
+    gate.countDown(); first.join()
+    // a failing work unit propagates its exception AND releases the permit
+    intercept[RuntimeException] {
+      guard.submit[String] { throw new RuntimeException("boom") }
+    }
+    assert(!guard.isBusy)
+    assert(guard.submit("third") == Right("third"))
+  }
+
   test("scope2/scope1 emission math matches the reference formulas") {
     val elect = Seq(
       ("S1", d("2026-01-01"), 1000.0, 1000.0),
