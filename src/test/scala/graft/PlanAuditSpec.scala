@@ -74,6 +74,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), s"global sort in plan:\n$plan")
   }
 
+  test("small dims auto-broadcast from file-size stats, no hint needed") {
+    // the queries hint broadcast() explicitly for clarity, but the hints
+    // are not load-bearing: Catalyst's size estimation broadcasts a small
+    // parquet dim on its own, so an unhinted user query gets the same plan
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+    val n = spark.read.parquet(s"$sfSmoke/nation.parquet")
+    val j = li.join(n, col("l_suppkey") % 25 === col("n_nationkey"))
+      .groupBy(col("n_name")).count()
+    val plan = j.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim not auto-broadcast:\n$plan")
+  }
+
   test("s07 k-means assignment pass is map-only over the scan") {
     val df = SparkEntry.queries("s07_kmeans_train")(spark, sfSmoke)
     // the returned frame is the final assignment: literal centroids mean

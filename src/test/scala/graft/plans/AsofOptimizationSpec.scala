@@ -88,6 +88,35 @@ class AsofOptimizationSpec extends SparkSpec {
     assert(plan.contains("l_val"), s"filter-referenced column over-pruned:\n$plan")
   }
 
+  test("negative case: a predicate over right payload stays above the node") {
+    val l = spark.read.parquet(s"$dir/left")
+    val r = spark.read.parquet(s"$dir/right")
+    val q = AsofJoin.asof(l, r, Seq("k"), "lt", "rt")
+      // references the nullable right payload: NOT pushable (pushing it
+      // into the right child would turn unmatched-null rows into drops)
+      .filter(col("r_val") > 50 && col("k") < 5)
+      .select(col("k"), col("lt"), col("r_val"))
+    val opt = q.queryExecution.optimizedPlan
+    val above = opt.collect {
+      case f: Filter if f.find(_.isInstanceOf[AsofJoinNode]).isDefined => f
+    }
+    // the r_val conjunct must remain above the node...
+    assert(above.nonEmpty && above.head.condition.references.map(_.name).toSet == Set("r_val"),
+      s"right-payload predicate must not push:\n$opt")
+    // ...while the k < 5 key conjunct still pushed into both children
+    val node = opt.collect { case a: AsofJoinNode => a }.head
+    assert(node.left.collectFirst { case f: Filter => f }.isDefined)
+    assert(node.right.collectFirst { case f: Filter => f }.isDefined)
+    // semantics: matches the composed form with the same post-filter
+    val expected = Relational.asofJoin(l.drop("extra_l"), r.drop("extra_r"),
+        Seq("k"), "lt", "rt")
+      .filter(col("r_val") > 50 && col("k") < 5)
+      .select(col("k"), col("lt"), col("r_val"))
+      .as[(Long, Long, Option[Long])].collect().toSeq.sorted
+    val got = q.as[(Long, Long, Option[Long])].collect().toSeq.sorted
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("pushdown through the node composes with the window in e07's shape") {
     // right side behind a row_number window (Relational.latest): the mirrored
     // key filter must still flow through the window to the scan

@@ -54,6 +54,29 @@ class CorpusStreamSpec extends SparkSpec {
     assert(got.filter(_._1 == 4L).head._3 == "books")
   }
 
+  test("restart from the checkpoint restores dedup state — no re-admission") {
+    val dir = Files.createTempDirectory("corpus_restart")
+    val wh = Files.createTempDirectory("corpus_restart_wh").toString
+    val ckpt = Files.createTempDirectory("corpus_restart_ckpt").toString
+    val t1 = mkText("alpha"); val t6 = mkText("beta")
+
+    addBatch(dir, "b1", Seq((1L, t1, "en", "web", t1.length.toLong)))
+    val q1 = CorpusStream.ingestToWarehouse(spark, dir.toString, wh, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+
+    // a NEW query on the SAME checkpoint: the dropDuplicates state must be
+    // restored, so the duplicate of doc 1 arriving after the restart drops
+    addBatch(dir, "b2", Seq(
+      (6L, t6, "en", "web", t6.length.toLong),
+      (7L, t1, "en", "web", t1.length.toLong))) // dup of pre-restart doc 1
+    val q2 = CorpusStream.ingestToWarehouse(spark, dir.toString, wh, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(wh).select(col("doc_id"))
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 6L))
+  }
+
   test("streaming admit set equals the batch clean+dedup on the real corpus") {
     val dir = Files.createTempDirectory("corpus_stream_full")
     Files.copy(Paths.get(s"$sfSmoke/documents.parquet"),
