@@ -39,12 +39,14 @@ object KMeans {
   /** `best = struct(dist, cluster)` over literal centroid arrays — the ONE
     * distance kernel (exact quantized integers, ties to the lower cluster
     * id via the struct total order) shared by the trainer's per-iteration
-    * assignment and the maintenance-path assignTo. Expects a `qv` column. */
-  private def bestCentroid(cents: Seq[(Long, Array[Long])]): Column = {
+    * assignment, the maintenance-path assignTo, and Pq's per-subspace
+    * encoder. `in` is the quantized BIGINT vector column to score. */
+  private[graft] def bestCentroid(cents: Seq[(Long, Array[Long])],
+                                  in: Column = col("qv")): Column = {
     val distStructs: Seq[Column] = cents.map { case (j, cv) =>
       val litC = array(cv.map(lit(_)): _*)
       struct(
-        aggregate(zip_with(col("qv"), litC, (x, c) => (x - c) * (x - c)),
+        aggregate(zip_with(in, litC, (x, c) => (x - c) * (x - c)),
           lit(0L), (acc, d) => acc + d).as("dist"),
         lit(j).as("cluster"))
     }
