@@ -65,4 +65,38 @@ class ScaleSpec extends SparkSpec {
     assert(scan.metrics("numFiles").value == 1L,
       s"expected 1 file read, got ${scan.metrics("numFiles").value}")
   }
+
+  test("bucketed range join hash-joins even when neither side can broadcast") {
+    // q39's technique beyond the broadcast regime: with broadcasting off
+    // (the 100 TB case of a large interval side), the month-bucket equi-key
+    // still gives Catalyst a hash/sort-merge join — the naive interval
+    // predicate alone would degenerate to a cartesian nested loop
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val rows = (0 until 2000)
+        .map(i => (i.toLong, java.sql.Date.valueOf(s"1995-0${i % 9 + 1}-15")))
+        .toDF("id", "d")
+        .withColumn("bucket", trunc(col("d"), "MM"))
+      val intervals = (0 until 500)
+        .map { i =>
+          val s = java.sql.Date.valueOf(s"1995-0${i % 9 + 1}-01")
+          (i.toLong, s, java.sql.Date.valueOf(s"1995-0${i % 9 + 1}-20"))
+        }.toDF("iv_id", "start", "end")
+        .withColumn("bucket",
+          explode(expr("sequence(trunc(start,'MM'), trunc(end,'MM'), interval 1 month)")))
+      val joined = rows.join(intervals, Seq("bucket"))
+        .filter(col("d").between(col("start"), col("end")))
+        .groupBy(col("iv_id")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"degenerated to a nested loop:\n$plan")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"expected a keyed join on bucket:\n$plan")
+      // sanity: day 15 falls inside every [1st, 20th] window of its month
+      assert(joined.agg(sum(col("n"))).head().getLong(0) > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }
