@@ -66,6 +66,30 @@ class ScaleSpec extends SparkSpec {
       s"expected 1 file read, got ${scan.metrics("numFiles").value}")
   }
 
+  test("sorted writes enable parquet row-group skipping on selective filters") {
+    // the data-layout lever beyond directory partitioning: sorting within
+    // files clusters each key range into few row groups, so the reader's
+    // min/max stats skip the rest — scan output rows collapse from |file|
+    // to ~|row group| on a selective predicate
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rg_skip").toString
+    val n = 200000L
+    spark.range(n).select(col("id").as("k"), (col("id") % 997).as("v"))
+      .orderBy(col("k")) // sorted -> tight per-row-group min/max on k
+      .coalesce(1)
+      .write.option("parquet.block.size", 128 * 1024) // many small row groups
+      .mode("overwrite").parquet(dir)
+    val res = spark.read.parquet(dir).filter(col("k") === 123456L)
+    assert(res.count() == 1)
+    val scan = res.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val rowsRead = scan.metrics("numOutputRows").value
+    // without skipping this is 200k; with stats it is one row group's worth
+    assert(rowsRead < n / 4, s"row groups not skipped: read $rowsRead of $n")
+  }
+
   test("bucketed range join hash-joins even when neither side can broadcast") {
     // q39's technique beyond the broadcast regime: with broadcasting off
     // (the 100 TB case of a large interval side), the month-bucket equi-key
