@@ -119,7 +119,25 @@ object Relational {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
-               rightTiebreak: Seq[String] = Nil): DataFrame = {
+               rightTiebreak: Seq[String] = Nil): DataFrame =
+    asofCore(left, right, keys, leftTime, rightTime, rightTiebreak,
+      forward = false)
+
+  /** Forward as-of join: every left row picks the EARLIEST right row with
+    * equal keys and right time >= left time (pandas merge_asof
+    * direction='forward') — "the next event after", e.g. the first click
+    * following an impression. Same single-shuffle union+window shape as the
+    * backward form, with the window order reversed. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTime: String, rightTime: String,
+                      rightTiebreak: Seq[String] = Nil): DataFrame =
+    asofCore(left, right, keys, leftTime, rightTime, rightTiebreak,
+      forward = true)
+
+  private def asofCore(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTime: String, rightTime: String,
+                       rightTiebreak: Seq[String],
+                       forward: Boolean): DataFrame = {
     val lPayload = left.columns.toIndexedSeq.filterNot(keys.contains)
     val rPayload = right.columns.toIndexedSeq.filterNot(keys.contains)
     require(lPayload.intersect(rPayload).isEmpty,
@@ -129,16 +147,25 @@ object Relational {
     val l2 = left.select(
       keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
         lPayload.map(col) ++ rPayload.map(nullAs(right, _)): _*)
-    val r2 = right.select(
+    // a null right time can never match (same contract as the native
+    // AsofJoinExec) — drop those rows before the union so window order
+    // placement cannot resurrect them
+    val r2 = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
         lPayload.map(nullAs(left, _)) ++ rPayload.map(col): _*)
-    // right rows sort before left rows at equal time => inclusive (<=) match
-    val ord = Seq(col("__t").asc, col("__side").asc) ++
-      rightTiebreak.map(col(_).asc)
+    // right rows sort before left rows at equal time => inclusive match in
+    // both directions; forward scans time DESCENDING so `last` picks the
+    // minimum right time >= left time
+    val tOrd = if (forward) col("__t").desc else col("__t").asc
+    val ord = Seq(tOrd, col("__side").asc) ++ rightTiebreak.map(col(_).asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rPayload.foldLeft(l2.unionByName(r2)) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      // a null LEFT time matches nothing either; mask instead of filter so
+      // the left row itself still survives with null payload
+      d.withColumn(c,
+        when(col("__t").isNull, lit(null))
+          .otherwise(last(col(c), ignoreNulls = true).over(w)))
     }
     filled.filter(col("__side") === 1)
       .select((keys ++ lPayload ++ rPayload).map(col): _*)

@@ -154,6 +154,47 @@ object EventQueries {
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.p_ts >= c.c_ts""")),
 
+    // ---- FORWARD as-of join (pandas merge_asof direction='forward'): for
+    // each view, the FIRST subsequent click by the same user — time-to-
+    // conversion analysis. Engine: Relational.asofJoinForward (the same
+    // one-shuffle union+window, descending scan). The oracle is fully
+    // independent: a correlated min-subquery picks the next click time,
+    // then a join on the deduped (user, ts) key recovers its id. ----
+    Q("e08_asof_forward",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("v_event_id"),
+            col("ts").as("v_ts"))
+        val c = graft.operators.Relational.latest(
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id").as("c_event_id"),
+              col("ts").as("c_ts")),
+          Seq("user_id", "c_ts"), Seq("c_event_id"))
+        graft.operators.Relational
+          .asofJoinForward(v, c, Seq("user_id"), "v_ts", "c_ts")
+          .withColumn("wait_sec",
+            unix_timestamp(col("c_ts")) - unix_timestamp(col("v_ts")))
+      },
+      Some("""WITH v AS (
+          SELECT user_id, event_id AS v_event_id, CAST(ts AS TIMESTAMP) AS v_ts
+          FROM events WHERE event_type = 'view'),
+        c AS (
+          SELECT user_id, c_event_id, c_ts FROM (
+            SELECT user_id, event_id AS c_event_id, CAST(ts AS TIMESTAMP) AS c_ts,
+              row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click') x
+          WHERE rn = 1),
+        m AS (
+          SELECT v.user_id, v_event_id, v_ts,
+            (SELECT min(c_ts) FROM c
+             WHERE c.user_id = v.user_id AND c.c_ts >= v.v_ts) AS c_ts
+          FROM v)
+        SELECT m.user_id, v_event_id, v_ts, c.c_event_id, m.c_ts,
+          date_diff('second', v_ts, m.c_ts) AS wait_sec
+        FROM m LEFT JOIN c ON c.user_id = m.user_id AND c.c_ts = m.c_ts""")),
+
     // ---- a filter + narrow projection WRITTEN ABOVE the native as-of join:
     // without the engine's optimizer rules (plans.AsofFilterPushdown /
     // AsofPayloadPruning, injected via GraftExtensions) the custom node is an

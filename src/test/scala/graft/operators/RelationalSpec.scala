@@ -82,6 +82,58 @@ class RelationalSpec extends SparkSpec {
       (2L, 7L, "p3", -1L, ""))) // no right row for key => left row kept, nulls
   }
 
+  test("asofJoinForward attaches the earliest right row at-or-after each left time") {
+    val l = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 7L, "p3"))
+      .toDF("k", "lt", "lv")
+    val r = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (1L, 2L, "r2"), (3L, 1L, "rx"))
+      .toDF("k", "rt", "rv")
+    val got = Relational.asofJoinForward(l, r, Seq("k"), "lt", "rt")
+      .select("k", "lt", "lv", "rt", "rv").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3),
+        if (x.isNullAt(4)) "" else x.getString(4))).toSet
+    assert(got == Set(
+      (1L, 10L, "p1", 10L, "r10"), // equal time matches (inclusive)
+      (1L, 20L, "p2", -1L, ""),    // nothing after 20
+      (2L, 7L, "p3", -1L, "")))
+  }
+
+  test("asofJoinForward equals the naive join-then-argmin on a random fixture") {
+    val rnd = new scala.util.Random(11)
+    val l = Seq.tabulate(200)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, i.toLong))
+      .toDF("k", "lt", "lid")
+    val r = Seq.tabulate(150)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong * 7L % 50L, i.toLong))
+      .toDF("k", "rt", "rid")
+    val rd = Relational.latest(r, Seq("k", "rt"), Seq("rid"))
+    val fast = Relational.asofJoinForward(l, rd, Seq("k"), "lt", "rt")
+      .select("k", "lt", "lid", "rt", "rid")
+    val naive = l.join(rd, l("k") === rd("k") && rd("rt") >= l("lt"), "left")
+      .select(l("k"), $"lt", $"lid", (-$"rt").as("neg_rt"), $"rid")
+    // argmin rt == argmax (-rt)
+    val naiveBest = Relational.latest(naive, Seq("k", "lt", "lid"), Seq("neg_rt"))
+      .withColumn("rt", -$"neg_rt").drop("neg_rt")
+      .select("k", "lt", "lid", "rt", "rid")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3),
+        if (x.isNullAt(4)) -1L else x.getLong(4))).toSet
+    assert(canon(fast) == canon(naiveBest))
+  }
+
+  test("asof null times never match in either direction, left rows survive") {
+    val l = Seq((1L, Some(10L), "a"), (1L, None, "b")).toDF("k", "lt", "lv")
+    val r = Seq((1L, Some(5L), "r5"), (1L, Some(12L), "r12"), (1L, None, "rnull"))
+      .toDF("k", "rt", "rv")
+    val back = Relational.asofJoin(l, r, Seq("k"), "lt", "rt")
+      .select("lv", "rv").as[(String, Option[String])].collect().toSet
+    assert(back == Set(("a", Some("r5")), ("b", None)))
+    val fwd = Relational.asofJoinForward(l, r, Seq("k"), "lt", "rt")
+      .select("lv", "rv").as[(String, Option[String])].collect().toSet
+    assert(fwd == Set(("a", Some("r12")), ("b", None)))
+  }
+
   test("asofJoin equals the naive join-then-argmax on a random fixture") {
     val rnd = new scala.util.Random(7)
     val l = Seq.tabulate(200)(i =>
