@@ -384,6 +384,43 @@ object VectorQueries {
           SELECT vec_id, cluster, dist,
             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
           FROM d2) x WHERE rn = 1"""),
-      bench = true)
+      bench = true),
+
+    // ---- product-quantization encode (operators/Pq) on the hash gate:
+    // codebooks are the lloyd SEEDS (iters=1 — the k smallest vec_ids'
+    // vector slices), so the oracle can reconstruct them exactly in SQL
+    // and score every (vector, subspace, seed) distance independently.
+    // The engine's map-only literal-codebook encode must agree code-for-
+    // code, ties to the lower code id. s07 proves the TRAINED centroids
+    // cross-engine; this proves the encoder. ----
+    Q("s08_pq_encode",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val cb = graft.operators.Pq.train(e, "vec_id", "embedding",
+          m = 4, k = 8, iters = 1)
+        graft.operators.Pq.encode(e, "vec_id", "embedding", cb)
+          .select(col("vec_id"), posexplode(col("codes")))
+          .select(col("vec_id"), col("pos").cast("long").as("s"),
+            col("col").cast("long").as("code"))
+      },
+      Some("""WITH q AS (SELECT vec_id,
+            list_transform(embedding, v -> CAST(floor(v*1000.0+0.5) AS BIGINT)) AS qv
+          FROM embeddings),
+        seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+            AS code, qv AS sv
+          FROM q ORDER BY vec_id LIMIT 8),
+        sub AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS s),
+        pairs AS (
+          SELECT q.vec_id, sub.s, seeds.code,
+            list_sum(list_transform(range(1, 17),
+              i -> (q.qv[CAST(sub.s*16 + i AS INTEGER)]
+                    - seeds.sv[CAST(sub.s*16 + i AS INTEGER)])
+                 * (q.qv[CAST(sub.s*16 + i AS INTEGER)]
+                    - seeds.sv[CAST(sub.s*16 + i AS INTEGER)]))) AS dist
+          FROM q, sub, seeds),
+        best AS (SELECT vec_id, s, code,
+            row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+          FROM pairs)
+        SELECT vec_id, s, code FROM best WHERE rn = 1"""))
   )
 }
