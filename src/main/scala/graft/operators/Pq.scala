@@ -40,7 +40,9 @@ object Pq {
     * divide evenly into `m` subspaces. */
   def train(df: DataFrame, idCol: String, vecCol: String,
             m: Int, k: Int, iters: Int): Codebooks = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val firstDim = df.select(size(col(vecCol))).take(1)
+    require(firstDim.nonEmpty, "PQ training needs a non-empty input")
+    val dim = firstDim.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val d = dim / m
     val books = (0 until m).map { s =>
