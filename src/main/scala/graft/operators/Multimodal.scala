@@ -277,6 +277,84 @@ object Multimodal {
     }
   }
 
+  /** 64-bit audio fingerprint — the audio analogue of [[Thumb]]'s aHash,
+    * completing the image/video/audio near-dup triad. */
+  final case class AudioPrint(
+      media_id: Long,
+      fp: Long,
+      n_samples: Long,
+      decoded: Boolean)
+
+  /** Fingerprint PCM16 WAV payloads: the |amplitude| envelope is pooled
+    * into 65 equal-duration windows and bit i is set when window i+1's
+    * mean energy exceeds window i's — sign-of-delta coding, the shape of
+    * chromaprint-style audio fingerprints without an FFT dependency.
+    * Volume-invariant (a scaled signal keeps every > relation) and stable
+    * under small noise, so hamming distance over the 64 bits drops
+    * straight onto the SimHash band-bucket machinery. Undecodable or
+    * non-PCM16 payloads yield `decoded = false` with fp 0 — rows survive,
+    * same contract as [[thumbnails]]. */
+  def audioFingerprints(ds: Dataset[MediaRow]): Dataset[AudioPrint] = {
+    implicit val enc = Encoders.product[AudioPrint]
+    ds.mapPartitions { it =>
+      it.map { row =>
+        val amps = pcmAmplitudes(row.payload)
+        if (amps == null || amps.length < 65)
+          AudioPrint(row.media_id, 0L, if (amps == null) 0L else amps.length.toLong, false)
+        else {
+          val windows = new Array[Double](65)
+          val n = amps.length
+          var wi = 0
+          while (wi < 65) {
+            val from = (wi.toLong * n / 65).toInt
+            val until = ((wi + 1).toLong * n / 65).toInt
+            var s = 0L
+            var i = from
+            while (i < until) { s += amps(i); i += 1 }
+            windows(wi) = s.toDouble / math.max(1, until - from)
+            wi += 1
+          }
+          var fp = 0L
+          var b = 0
+          while (b < 64) {
+            if (windows(b + 1) > windows(b)) fp |= (1L << b)
+            b += 1
+          }
+          AudioPrint(row.media_id, fp, n.toLong, true)
+        }
+      }
+    }
+  }
+
+  /** First-channel |amplitude| series of a PCM16 little-endian WAV payload,
+    * or null if the payload is not one (shared decode contract with
+    * [[WavDecoder]]). */
+  private def pcmAmplitudes(payload: Array[Byte]): Array[Int] = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    val fmt = if (in == null) null else in.getFormat
+    if (fmt == null || fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+      fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) null
+    else {
+      val frameSize = fmt.getFrameSize
+      val buf = in.readAllBytes()
+      val nFrames = buf.length / frameSize
+      val out = new Array[Int](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        val off = f * frameSize
+        out(f) = math.abs(((buf(off + 1) << 8) | (buf(off) & 0xff)).toInt)
+        f += 1
+      }
+      out
+    }
+  }
+
   /** Partition-at-a-time featurization: the distributed shape a real decode
     * pipeline needs (per-partition decoder init, streaming iterator, no
     * per-row driver involvement). */

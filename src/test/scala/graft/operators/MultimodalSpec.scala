@@ -206,4 +206,51 @@ class MultimodalSpec extends SparkSpec {
     val m = feats.head()
     assert(m.mean_byte > 32.0 && m.mean_byte < 127.0)
   }
+
+  test("audio fingerprints: volume-invariant, noise-stable, discriminative") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    def wavOf(samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s0, i) =>
+        pcm(2 * i) = (s0 & 0xff).toByte
+        pcm(2 * i + 1) = ((s0 >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val stream = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
+        samples.length.toLong)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val rnd = new scala.util.Random(5)
+    val n = 65 * 32
+    val base = Array.tabulate(n)(i =>
+      (1000 + 800 * math.sin(i * 2 * math.Pi / 300)).toShort)
+    val scaled = base.map(s => (s * 2).toShort)          // 2x volume
+    val noisy = base.map(s => (s + rnd.nextInt(21) - 10).toShort)
+    val other = Array.tabulate(n)(i =>
+      (1000 + 800 * math.cos(i * 2 * math.Pi / 97)).toShort)
+    val rows = Seq(
+      MediaRow(1L, "audio/wav", wavOf(base)),
+      MediaRow(2L, "audio/wav", wavOf(scaled)),
+      MediaRow(3L, "audio/wav", wavOf(noisy)),
+      MediaRow(4L, "audio/wav", wavOf(other)),
+      MediaRow(5L, "audio/wav", Array[Byte](1, 2, 3))) // not a WAV
+    val got = audioFingerprints(rows.toDS().repartition(2)).collect()
+      .map(p => p.media_id -> p).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+    assert(got(1L).decoded && got(1L).n_samples == n.toLong)
+    // volume scaling preserves every window comparison exactly
+    assert(got(1L).fp == got(2L).fp)
+    // small noise flips at most a few bits near envelope extremes
+    assert(hamming(got(1L).fp, got(3L).fp) <= 10,
+      s"noise moved the print too far: ${hamming(got(1L).fp, got(3L).fp)}")
+    // a different modulation pattern is far away
+    assert(hamming(got(1L).fp, got(4L).fp) > 16,
+      s"distinct signals too close: ${hamming(got(1L).fp, got(4L).fp)}")
+    // undecodable payloads survive with decoded = false
+    assert(!got(5L).decoded && got(5L).fp == 0L)
+  }
 }
