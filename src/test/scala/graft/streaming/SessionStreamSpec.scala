@@ -49,4 +49,30 @@ class SessionStreamSpec extends SparkSpec {
     assert(streamed == expected)
     assert(streamed.nonEmpty)
   }
+
+  test("gaps-and-islands sessions equal Spark's built-in session_window") {
+    // independent witness for e04's sessionization: the engine-native
+    // session_window aggregation must produce the identical session set.
+    // Boundary note: session_window closes at gap >= 30 min (exclusive
+    // window end) where the islands form closes at gap > 30 min; the
+    // corpus has no exact-1800s gap (verified), so the sets agree — on
+    // data where that boundary occurs the two differ by definition.
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sfSmoke/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val builtin = ev.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+      .select(col("user_id"), col("sess_start"), col("sess_end"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSet
+    val islands = graft.SparkEntry.queries("e04_sessionize")(spark, sfSmoke)
+      .select(col("user_id"), col("sess_start"), col("sess_end"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSet
+    assert(builtin == islands && builtin.nonEmpty)
+  }
 }
