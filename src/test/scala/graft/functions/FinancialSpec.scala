@@ -51,4 +51,28 @@ class FinancialSpec extends SparkSpec {
     // -> 268; -3.145*100 = -314.4999... -> -314 (same bits in every engine)
     assert(got == Seq(100L, 268L, -314L))
   }
+
+  test("irr roots random sign-changing cashflows: NPV at the rate is ~0 (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    // one initial outlay, then positive inflows whose sum exceeds it —
+    // the unique-positive-IRR shape (Descartes: one sign change)
+    val gen = for {
+      outlay <- Gen.choose(50, 500)
+      n <- Gen.choose(2, 8)
+      inflows <- Gen.listOfN(n, Gen.choose(20, 300))
+    } yield (-outlay.toDouble) +: inflows.map(_.toDouble)
+    val prop = Prop.forAll(gen) { flows =>
+      (flows.sum > 0) ==> {
+        val r = Financial.irr(flows)
+        !r.isNaN && r > -1.0 && {
+          val npv = flows.zipWithIndex
+            .map { case (c, t) => c / math.pow(1.0 + r, t) }.sum
+          math.abs(npv) < 1e-4 * flows.map(math.abs).sum
+        }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
