@@ -776,6 +776,37 @@ object RelationalQueries {
         GROUP BY 1, 2"""),
       bench = true),
 
+    // ---- RANGE window frame: a 3-month rolling revenue where the frame is
+    // defined by the ORDER-KEY VALUE, not row position — months missing
+    // from the data are correctly excluded, where the reference's
+    // cumsum-style ROWS frames (W1) would silently span the gap. The frame
+    // kind every calendar rolling metric needs; gaps are real here
+    // (per-flag month coverage is sparse at the edges). ----
+    Q("q40_rolling_range",
+      (s, dir) => {
+        val monthly = T(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"),
+            (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).as("m_idx"))
+          .agg(sum(cents(col("l_extendedprice"))).as("rev_c"))
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("m_idx"))
+          .rangeBetween(-2, Window.currentRow)
+        monthly
+          .withColumn("rolling_3m", sum(col("rev_c")).over(w))
+          .select(col("l_returnflag"), col("m_idx").cast("long").as("m_idx"),
+            (col("rev_c") / 100.0).as("month_revenue"),
+            (col("rolling_3m") / 100.0).as("rolling_3m_revenue"))
+      },
+      Some(s"""WITH monthly AS (
+          SELECT l_returnflag,
+            CAST(year(l_shipdate)*12 + month(l_shipdate) AS BIGINT) AS m_idx,
+            ${sqlSumC("l_extendedprice")} AS rev_c
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_returnflag, m_idx, rev_c/100.0 AS month_revenue,
+          CAST(sum(rev_c) OVER (PARTITION BY l_returnflag ORDER BY m_idx
+            RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)/100.0
+            AS rolling_3m_revenue
+        FROM monthly""")),
+
     // ---- dataset profiling (operators/Profile): per-column row/null/
     // distinct counts in one scan — the ingest data-quality gate. Counting
     // distincts is representation-independent, so the canonical-string melt
