@@ -171,6 +171,28 @@ object Relational {
       .select((keys ++ lPayload ++ rPayload).map(col): _*)
   }
 
+  /** Complete a (keys × month) grid: every key combination gets a row for
+    * EVERY month between the frame's min and max period, missing cells
+    * zero-filled — the closed form of the reference's month-at-a-time
+    * loops and anti-join zero-fills (reference: jobs/staging_to_app.py:
+    * 1062-1091 12-month loop; jobs/fix_data.py:65-70 missing-site
+    * synthesis). Spine and key set both derive from the input; the spine
+    * is a broadcast-sized sequence and the completion is one left join, so
+    * the plan is key-partitioned with no driver loop.
+    *
+    * @param fillCols numeric columns to zero-fill on synthesized rows */
+  def completeMonthGrid(df: DataFrame, keyCols: Seq[String], periodCol: String,
+                        fillCols: Seq[String]): DataFrame = {
+    val bounds = df.agg(min(col(periodCol)).as("__mn"), max(col(periodCol)).as("__mx"))
+    val spine = bounds.select(explode(
+      expr(s"sequence(__mn, __mx, interval 1 month)")).as(periodCol))
+    df.select(keyCols.map(col): _*).distinct()
+      .crossJoin(broadcast(spine))
+      .join(df, keyCols :+ periodCol, "left")
+      .na.fill(0L, fillCols)
+      .na.fill(0.0, fillCols)
+  }
+
   /** Clip at zero (§2.8): the reference's `apply(lambda x: 0 if x<0 else x)`
     * (reference: jobs/renew_green_energy.py:45-46;
     * Model/RE_purpose_optimizer.py:178-179) — as a codegen'd builtin. */

@@ -776,6 +776,34 @@ object RelationalQueries {
         GROUP BY 1, 2"""),
       bench = true),
 
+    // ---- calendar grid completion (Relational.completeMonthGrid): every
+    // (key, month) cell exists after this, missing months zero-filled —
+    // the closed form of the reference's month-at-a-time loops and
+    // anti-join zero-fills (jobs/staging_to_app.py:1062-1091,
+    // jobs/fix_data.py:65-70), and the precondition for any rolling or
+    // YoY metric that must see gaps as zeros rather than skip them. ----
+    Q("q41_grid_fill",
+      (s, dir) => {
+        val monthly = T(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), trunc(col("l_shipdate"), "MM").as("mon"))
+          .agg(sum(cents(col("l_extendedprice"))).as("rev_c"))
+        Relational.completeMonthGrid(monthly, Seq("l_returnflag"), "mon",
+            fillCols = Seq("rev_c"))
+          .select(col("l_returnflag"), col("mon"),
+            (col("rev_c") / 100.0).as("revenue"))
+      },
+      Some(s"""WITH monthly AS (
+          SELECT l_returnflag, CAST(date_trunc('month', l_shipdate) AS DATE) AS mon,
+            ${sqlSumC("l_extendedprice")} AS rev_c
+          FROM lineitem GROUP BY 1, 2),
+        b AS (SELECT min(mon) AS mn, max(mon) AS mx FROM monthly),
+        spine AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 MONTH))
+            AS DATE) AS mon FROM b),
+        grid AS (SELECT f.l_returnflag, s.mon
+          FROM (SELECT DISTINCT l_returnflag FROM monthly) f, spine s)
+        SELECT g.l_returnflag, g.mon, COALESCE(m.rev_c, 0)/100.0 AS revenue
+        FROM grid g LEFT JOIN monthly m USING (l_returnflag, mon)""")),
+
     // ---- RANGE window frame: a 3-month rolling revenue where the frame is
     // defined by the ORDER-KEY VALUE, not row position — months missing
     // from the data are correctly excluded, where the reference's

@@ -156,6 +156,19 @@ class RelationalSpec extends SparkSpec {
     assert(canon(fast) == canon(naiveBest))
   }
 
+  test("completeMonthGrid synthesizes zero rows for every missing month") {
+    val df = Seq(("A", "2024-01-01", 10.0), ("A", "2024-04-01", 5.0),
+      ("B", "2024-02-01", 1.0)).toDF("k", "mon", "v")
+      .withColumn("mon", $"mon".cast("date"))
+    val got = Relational.completeMonthGrid(df, Seq("k"), "mon", Seq("v"))
+      .as[(String, java.sql.Date, Double)].collect().toSet
+    // spine Jan..Apr x keys {A, B} = 8 cells, 5 of them synthesized zeros
+    assert(got.size == 8)
+    assert(got.count(_._3 == 0.0) == 5)
+    assert(got.contains(("B", java.sql.Date.valueOf("2024-03-01"), 0.0)))
+    assert(got.contains(("A", java.sql.Date.valueOf("2024-04-01"), 5.0)))
+  }
+
   test("monthStart builds the first-of-month date") {
     val got = Seq((2024, 2)).toDF("y", "m")
       .select(Relational.monthStart($"y", $"m").cast("string")).as[String].head()
