@@ -293,14 +293,17 @@ object Multimodal {
     * under small noise, so hamming distance over the 64 bits drops
     * straight onto the SimHash band-bucket machinery. Undecodable or
     * non-PCM16 payloads yield `decoded = false` with fp 0 — rows survive,
-    * same contract as [[thumbnails]]. */
+    * same contract as [[thumbnails]]. A VALID clip too short to
+    * fingerprint (< 65 samples) keeps `decoded = true` with fp 0 so
+    * decode-failure metrics never count it. */
   def audioFingerprints(ds: Dataset[MediaRow]): Dataset[AudioPrint] = {
     implicit val enc = Encoders.product[AudioPrint]
     ds.mapPartitions { it =>
       it.map { row =>
         val amps = pcmAmplitudes(row.payload)
-        if (amps == null || amps.length < 65)
-          AudioPrint(row.media_id, 0L, if (amps == null) 0L else amps.length.toLong, false)
+        if (amps == null) AudioPrint(row.media_id, 0L, 0L, false)
+        else if (amps.length < 65)
+          AudioPrint(row.media_id, 0L, amps.length.toLong, true)
         else {
           val windows = new Array[Double](65)
           val n = amps.length
@@ -329,31 +332,31 @@ object Multimodal {
   /** First-channel |amplitude| series of a PCM16 little-endian WAV payload,
     * or null if the payload is not one (shared decode contract with
     * [[WavDecoder]]). */
-  private def pcmAmplitudes(payload: Array[Byte]): Array[Int] = {
-    val in =
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+  private def pcmAmplitudes(payload: Array[Byte]): Array[Int] =
+    // NonFatal, not just the checked audio exceptions: a null payload or a
+    // corrupt header with frameSize 0 must yield "not decodable", never a
+    // task failure (the same hazard thumbnails() guards against)
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
-      catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => null
-        case _: java.io.IOException => null
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getFrameSize <= 0) null
+      else {
+        val frameSize = fmt.getFrameSize
+        val buf = in.readAllBytes()
+        val nFrames = buf.length / frameSize
+        val out = new Array[Int](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          val off = f * frameSize
+          out(f) = math.abs(((buf(off + 1) << 8) | (buf(off) & 0xff)).toInt)
+          f += 1
+        }
+        out
       }
-    val fmt = if (in == null) null else in.getFormat
-    if (fmt == null || fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
-      fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) null
-    else {
-      val frameSize = fmt.getFrameSize
-      val buf = in.readAllBytes()
-      val nFrames = buf.length / frameSize
-      val out = new Array[Int](nFrames)
-      var f = 0
-      while (f < nFrames) {
-        val off = f * frameSize
-        out(f) = math.abs(((buf(off + 1) << 8) | (buf(off) & 0xff)).toInt)
-        f += 1
-      }
-      out
-    }
-  }
+    } catch { case scala.util.control.NonFatal(_) => null }
 
   /** Partition-at-a-time featurization: the distributed shape a real decode
     * pipeline needs (per-partition decoder init, streaming iterator, no

@@ -18,15 +18,25 @@ import org.apache.spark.sql.functions._
 object Pii {
 
   /** ordered (pattern, placeholder); email first so its digits are gone
-    * before the phone pattern scans */
+    * before the phone patterns scan.
+    *
+    * The phone patterns deliberately REQUIRE a phone marker — a leading
+    * `+` country code or a parenthesized area code — rather than matching
+    * any long digit/separator run: a bare-run pattern also matches ISO
+    * dates, timestamps, and numeric ids, which are everywhere in real
+    * corpora, and silently destroying those is worse than missing some
+    * unmarked phone numbers (precision over recall — the trade every
+    * public pipeline's PII pass makes). */
   val patterns: Seq[(String, String)] = Seq(
     // local@domain.tld — the pragmatic form, not full RFC 5322
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     // IPv4 dotted quad (before phones: a quad is 4 digit runs)
     ("\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
-    // international-ish phone: optional +, 8-18 total positions incl.
-    // (), -, ., space separators, ending on a digit at a word boundary
-    ("\\+?[0-9][0-9()\\-. ]{6,16}[0-9]\\b", "<PHONE>"))
+    // +<country> … — international form with explicit plus (before the
+    // paren form, which would otherwise eat the tail of "+1 (415) …")
+    ("\\+\\d{1,3}[\\s.-]?\\(?\\d{1,4}\\)?(?:[\\s.-]?\\d{2,4}){2,4}\\b", "<PHONE>"),
+    // (415) 555-0173 — parenthesized area code
+    ("\\(\\d{3}\\)[\\s.-]?\\d{3}[\\s.-]\\d{4}\\b", "<PHONE>"))
 
   /** redacted copy of `text` */
   def redact(text: Column): Column =

@@ -183,14 +183,24 @@ object Relational {
     * @param fillCols numeric columns to zero-fill on synthesized rows */
   def completeMonthGrid(df: DataFrame, keyCols: Seq[String], periodCol: String,
                         fillCols: Seq[String]): DataFrame = {
-    val bounds = df.agg(min(col(periodCol)).as("__mn"), max(col(periodCol)).as("__mx"))
+    // normalize periods to month start so differently-aligned dates can
+    // never silently miss the spine join (a mid-month row lands in its
+    // month's cell instead of vanishing); null-key rows are excluded BY
+    // CONTRACT — a grid needs real keys, and the engine follows the
+    // pandas groupby convention for null group keys throughout.
+    // Callers with an expensive upstream should persist df first: the
+    // bounds agg, the key-set distinct, and the join each re-read it.
+    val aligned = df
+      .withColumn(periodCol, trunc(col(periodCol), "MM"))
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val bounds = aligned.agg(
+      min(col(periodCol)).as("__mn"), max(col(periodCol)).as("__mx"))
     val spine = bounds.select(explode(
       expr(s"sequence(__mn, __mx, interval 1 month)")).as(periodCol))
-    df.select(keyCols.map(col): _*).distinct()
+    aligned.select(keyCols.map(col): _*).distinct()
       .crossJoin(broadcast(spine))
-      .join(df, keyCols :+ periodCol, "left")
-      .na.fill(0L, fillCols)
-      .na.fill(0.0, fillCols)
+      .join(aligned, keyCols :+ periodCol, "left")
+      .na.fill(0L, fillCols) // fills nulls in ALL numeric fillCols, doubles included
   }
 
   /** Clip at zero (§2.8): the reference's `apply(lambda x: 0 if x<0 else x)`

@@ -236,7 +236,8 @@ class MultimodalSpec extends SparkSpec {
       MediaRow(2L, "audio/wav", wavOf(scaled)),
       MediaRow(3L, "audio/wav", wavOf(noisy)),
       MediaRow(4L, "audio/wav", wavOf(other)),
-      MediaRow(5L, "audio/wav", Array[Byte](1, 2, 3))) // not a WAV
+      MediaRow(5L, "audio/wav", Array[Byte](1, 2, 3)), // not a WAV
+      MediaRow(6L, "audio/wav", wavOf(Array.fill(10)(500.toShort)))) // too short
     val got = audioFingerprints(rows.toDS().repartition(2)).collect()
       .map(p => p.media_id -> p).toMap
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
@@ -252,5 +253,8 @@ class MultimodalSpec extends SparkSpec {
       s"distinct signals too close: ${hamming(got(1L).fp, got(4L).fp)}")
     // undecodable payloads survive with decoded = false
     assert(!got(5L).decoded && got(5L).fp == 0L)
+    // a VALID clip too short to fingerprint decodes fine (fp 0) — it must
+    // never count as a decode failure
+    assert(got(6L).decoded && got(6L).fp == 0L && got(6L).n_samples == 10L)
   }
 }

@@ -53,13 +53,22 @@ class SessionStreamSpec extends SparkSpec {
   test("gaps-and-islands sessions equal Spark's built-in session_window") {
     // independent witness for e04's sessionization: the engine-native
     // session_window aggregation must produce the identical session set.
-    // Boundary note: session_window closes at gap >= 30 min (exclusive
-    // window end) where the islands form closes at gap > 30 min; the
-    // corpus has no exact-1800s gap (verified), so the sets agree — on
-    // data where that boundary occurs the two differ by definition.
+    // Boundary: the two forms can diverge only for real gaps in
+    // [1800s, 1801s) — e04 compares FLOORED-second diffs with > 1800,
+    // session_window closes microsecond-exactly at >= 1800 — so the test
+    // first proves the fixture has no gap in that window (floored diff
+    // == 1800 is a conservative superset), making the equality meaningful
+    // rather than accidentally true.
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet(s"$sfSmoke/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val gapW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val boundaryGaps = ev.withColumn("prev", lag(col("ts"), 1).over(gapW))
+      .filter(unix_timestamp(col("ts")) - unix_timestamp(col("prev")) === 1800)
+      .count()
+    assert(boundaryGaps == 0,
+      s"$boundaryGaps gaps in the divergence window — witness not applicable")
     val builtin = ev.groupBy(col("user_id"),
         session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
