@@ -52,5 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           exprs(1).eval(null).asInstanceOf[Number].intValue(),
           exprs(2).eval(null).asInstanceOf[Number].longValue(),
           exprs(3).eval(null).asInstanceOf[Number].longValue())))
+    ext.injectFunction((FunctionIdentifier("graft_sorted_intersect_size"),
+      info("graft_sorted_intersect_size",
+        "intersection size of two sorted duplicate-free array<int>"),
+      (exprs: Seq[Expression]) =>
+        TextExpressions.SortedIntersectSize(exprs(0), exprs(1))))
   }
 }

@@ -154,6 +154,68 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Intersection SIZE of two SORTED int arrays via a two-pointer merge —
+    * the near-dup exact-verify kernel. Semantically equal to
+    * `size(array_intersect(a, b))` ON ITS PRECONDITION (both arrays sorted
+    * ascending and duplicate-free, which NearDup's `sort_array(collect_list
+    * (distinct ids))` guarantees), but with no per-row hash-set allocation
+    * and no intermediate intersection array — one fused loop, O(|a|+|b|),
+    * inlined into whole-stage codegen. */
+  case class SortedIntersectSize(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+
+    override def dataType: DataType = LongType
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case _ =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"expected (array<int>, array<int>), got " +
+              s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+      }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements(); val ny = y.numElements()
+      var i = 0; var j = 0; var acc = 0L
+      while (i < nx && j < ny) {
+        val xv = x.getInt(i); val yv = y.getInt(j)
+        if (xv == yv) { acc += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+        val acc = ctx.freshName("acc")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+          int $nx = $a.numElements(); int $ny = $b.numElements();
+          int $i = 0; int $j = 0; long $acc = 0L;
+          while ($i < $nx && $j < $ny) {
+            int $xv = $a.getInt($i); int $yv = $b.getInt($j);
+            if ($xv == $yv) { $acc++; $i++; $j++; }
+            else if ($xv < $yv) { $i++; } else { $j++; }
+          }
+          ${ev.value} = $acc;
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Register as a session function (idempotent) — the public route to a
     * Column handle for a custom Expression. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -166,6 +228,8 @@ object TextExpressions {
         exprs(1).eval(null).asInstanceOf[Number].intValue(),
         exprs(2).eval(null).asInstanceOf[Number].longValue(),
         exprs(3).eval(null).asInstanceOf[Number].longValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect_size",
+      exprs => SortedIntersectSize(exprs(0), exprs(1)), "scala_udf")
   }
 
   def charGrams(text: Column, n: Int): Column =
@@ -176,4 +240,7 @@ object TextExpressions {
     org.apache.spark.sql.functions.call_function("graft_rolling_min_hash", text,
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(base),
       org.apache.spark.sql.functions.lit(mod))
+
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_sorted_intersect_size", a, b)
 }

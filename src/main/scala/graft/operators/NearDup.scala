@@ -107,14 +107,17 @@ object NearDup {
         greatest(col("na"), col("nb")) * tNum <= least(col("na"), col("nb")) * tDen)
       .select(col("a_id"), col("b_id")).distinct()
     // exact verification on the two cached gram-id sets (already distinct +
-    // sorted): set intersection, then the exact Jaccard
+    // sorted): fused two-pointer intersection size (native codegen
+    // SortedIntersectSize — no per-pair hash set or intermediate array,
+    // the exact-verify kernel at candidate volume), then the exact Jaccard
     val thresh: Column = lit(tNum.toDouble / tDen.toDouble)
     cands
       .join(broadcast(docSets.select(col("doc_id").as("a_id"),
         col("gs").as("ga"), col("n").as("n_a"))), "a_id")
       .join(broadcast(docSets.select(col("doc_id").as("b_id"),
         col("gs").as("gb"), col("n").as("n_b"))), "b_id")
-      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("inter",
+        graft.functions.TextExpressions.sortedIntersectSize(col("ga"), col("gb")))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= thresh)

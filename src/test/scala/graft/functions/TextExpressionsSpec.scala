@@ -73,4 +73,32 @@ class TextExpressionsSpec extends SparkSpec {
       .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString)
     assert(got.toSeq == Seq("abc", "bca", "cab"))
   }
+
+  test("sortedIntersectSize equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    TextExpressions.register(spark)
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.tabulate(300) { i =>
+      def set() = Seq.fill(rnd.nextInt(20))(rnd.nextInt(40)).distinct.sorted
+      (i.toLong, set(), set())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select($"id",
+        TextExpressions.sortedIntersectSize($"a", $"b").as("fused"),
+        size(array_intersect($"a", $"b")).cast("long").as("builtin"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.forall { case (_, f, bi) => f == bi })
+    // null input -> null, not a crash
+    val nullRow = Seq((1L, Seq(1, 2), null.asInstanceOf[Seq[Int]]))
+      .toDF("id", "a", "b")
+      .select(TextExpressions.sortedIntersectSize($"a", $"b")).collect()
+    assert(nullRow.head.isNullAt(0))
+    // interpreted path agrees with codegen
+    val e = TextExpressions.SortedIntersectSize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1, 3, 5, 9),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(3, 4, 9),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)))
+    assert(e.eval(null) == 2L)
+  }
 }
