@@ -776,6 +776,44 @@ object RelationalQueries {
         GROUP BY 1, 2"""),
       bench = true),
 
+    // ---- the spark.sql SURFACE: the same engine through ANSI SQL text —
+    // views over the parquet tables, a CTE, a snowflake join, the exact-
+    // cents aggregation idiom, and a HAVING clause (the one §2-adjacent
+    // SQL construct the DataFrame queries never needed). Catalyst compiles
+    // this to the same plan shapes as the DataFrame twin (q05); a user
+    // migrating SQL text instead of pandas code runs queries this way. ----
+    Q("q42_sql_surface",
+      (s, dir) => {
+        Seq("orders", "customer", "nation", "region").foreach { t =>
+          T(s, dir, t).createOrReplaceTempView(s"v_$t")
+        }
+        s.sql("""
+          WITH base AS (
+            SELECT r_name, n_name,
+              CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c
+            FROM v_orders
+            JOIN v_customer ON o_custkey = c_custkey
+            JOIN v_nation ON c_nationkey = n_nationkey
+            JOIN v_region ON n_regionkey = r_regionkey)
+          SELECT r_name, n_name, count(*) AS n_orders,
+            CAST(sum(price_c) AS BIGINT)/100.0 AS total_revenue
+          FROM base
+          GROUP BY r_name, n_name
+          HAVING count(*) > 100""")
+      },
+      Some(s"""WITH base AS (
+          SELECT r_name, n_name,
+            ${sqlCents("o_totalprice")} AS price_c
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey)
+        SELECT r_name, n_name, count(*) AS n_orders,
+          CAST(sum(price_c) AS BIGINT)/100.0 AS total_revenue
+        FROM base
+        GROUP BY r_name, n_name
+        HAVING count(*) > 100""")),
+
     // ---- calendar grid completion (Relational.completeMonthGrid): every
     // (key, month) cell exists after this, missing months zero-filled —
     // the closed form of the reference's month-at-a-time loops and
