@@ -757,6 +757,56 @@ object TextQueries {
         s"""WITH toks AS ($sqlPostings),
           sums AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id)
           SELECT doc_id, CAST($sh AS BIGINT) AS simhash FROM sums"""
-      })
+      }),
+
+    // ---- bigram language-model scoring (the perplexity quality filter —
+    // CCNet/Gopher-style: score each document by how typical its word
+    // sequences are of the corpus, drop the high-perplexity tail). The LM
+    // is trained on the corpus itself in the same plan: bigram counts c12
+    // and prefix counts c1 are two partial-aggregable groupBys; each
+    // document bigram then looks up log P(w2|w1) = ln(c12/c1) through ONE
+    // shuffle equi-join against the (vocab²-bounded) dictionary — never a
+    // per-doc model object, never a driver-side vocabulary. Stop-word
+    // prefixes make the join key zipf-skewed; AQE skew-join splits those
+    // reducers. Per-bigram log-probs are quantized to floor(1e4·ln p) so
+    // the doc-level SUM is exact integer arithmetic — the score is
+    // partition-count-invariant and bit-identical cross-engine (the same
+    // trick as the money columns; only the final display division is
+    // float). At 100 TB the dictionary is a disk-backed shuffle join and
+    // the corpus streams through it once. ----
+    Q("t24_bigram_lm_score",
+      (s, dir) => {
+        val b = T(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 2) // sequence() counts DOWN below 1 elem
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ws)-1), j -> struct(ws[j-1] AS w1, ws[j] AS w2))")).as("g"))
+          .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+        val c12 = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val dict = c12.join(c1, "w1")
+        b.join(dict, Seq("w1", "w2"))
+          .select(col("doc_id"),
+            floor(lit(10000.0) *
+              log(col("c12").cast("double") / col("c1").cast("double")))
+              .cast("long").as("lp"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_q"))
+          .select(col("doc_id"), col("n_bigrams"), col("sum_q"),
+            round(col("sum_q").cast("double") / col("n_bigrams").cast("double")
+              / 10000.0, 4).as("avg_logp"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        b AS (SELECT doc_id, ws[j] AS w1, ws[j+1] AS w2
+          FROM w, LATERAL (SELECT unnest(range(1, greatest(len(ws)-1, 0)+1)) AS j) r),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        q AS (SELECT b.doc_id,
+            CAST(floor(10000.0 * ln(CAST(c12.c12 AS DOUBLE)/c1.c1)) AS BIGINT) AS lp
+          FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+        SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS sum_q,
+          round(CAST(sum(lp) AS DOUBLE)/count(*)/10000.0, 4) AS avg_logp
+        FROM q GROUP BY doc_id"""),
+      bench = true)
   )
 }
