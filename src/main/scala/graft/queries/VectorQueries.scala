@@ -421,6 +421,52 @@ object VectorQueries {
         best AS (SELECT vec_id, s, code,
             row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
           FROM pairs)
-        SELECT vec_id, s, code FROM best WHERE rn = 1"""))
+        SELECT vec_id, s, code FROM best WHERE rn = 1""")),
+
+    // ---- PQ asymmetric-distance scan (operators/Pq.adcScores) on the hash
+    // gate: the query vector (vec_id 0, fetched driver-side — the "query
+    // arrives at the API" shape) builds an m×k lookup table of exact integer
+    // subspace distances, broadcast as a literal; each row's approximate
+    // distance is then m array lookups + a sum over the (id, codes) column
+    // ONLY — the full vectors are never read. This is the scan that makes a
+    // 100 TB ANN corpus affordable: bytes-per-row drops from 256 B to 4 B
+    // and the whole thing is one codegen'd projection, no join, no shuffle.
+    // s08 proved the encoder cross-engine; this proves the scorer. The
+    // oracle reconstructs the same iters=1 seed codebooks and reads the LUT
+    // as "distance from vec 0's subvectors to every seed". ----
+    Q("s09_pq_adc",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val cb = graft.operators.Pq.train(e, "vec_id", "embedding",
+          m = 4, k = 8, iters = 1)
+        val query = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).head.getSeq[Float](0).toArray
+        graft.operators.Pq.adcScores(
+            graft.operators.Pq.encode(e, "vec_id", "embedding", cb), cb, query)
+          .select(col("vec_id"), col("adc_dist"))
+      },
+      Some("""WITH q AS (SELECT vec_id,
+            list_transform(embedding, v -> CAST(floor(v*1000.0+0.5) AS BIGINT)) AS qv
+          FROM embeddings),
+        seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+            AS code, qv AS sv
+          FROM q ORDER BY vec_id LIMIT 8),
+        sub AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS s),
+        pairs AS (
+          SELECT q.vec_id, sub.s, seeds.code,
+            list_sum(list_transform(range(1, 17),
+              i -> (q.qv[CAST(sub.s*16 + i AS INTEGER)]
+                    - seeds.sv[CAST(sub.s*16 + i AS INTEGER)])
+                 * (q.qv[CAST(sub.s*16 + i AS INTEGER)]
+                    - seeds.sv[CAST(sub.s*16 + i AS INTEGER)]))) AS dist
+          FROM q, sub, seeds),
+        best AS (SELECT vec_id, s, code,
+            row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+          FROM pairs),
+        lut AS (SELECT s, code, dist FROM pairs WHERE vec_id = 0)
+        SELECT b.vec_id, CAST(sum(lut.dist) AS BIGINT) AS adc_dist
+        FROM (SELECT vec_id, s, code FROM best WHERE rn = 1) b
+        JOIN lut USING (s, code)
+        GROUP BY 1"""))
   )
 }
