@@ -897,6 +897,44 @@ object RelationalQueries {
           count(*) - count(l_returnflag),
           count(DISTINCT l_returnflag) FROM lineitem
         UNION ALL SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
-          count(DISTINCT l_shipdate) FROM lineitem"""))
+          count(DISTINCT l_shipdate) FROM lineitem""")),
+
+    // ---- incremental aggregate maintenance (operators/Incremental): the
+    // month rollup is maintained as mergeable state — history's partials
+    // merged with a delta slice's partials — instead of rescanned. The
+    // oracle recomputes the SAME answers (count/sum/min/max + algebraic
+    // avg/variance) directly over all facts, so a green row proves the
+    // merge is lossless cross-engine: state(t+1) = merge(state(t),
+    // partials(delta)) equals the from-scratch build. At 100 TB this is
+    // the difference between a delta-sized refresh and a full-warehouse
+    // pass; the warehouse fold itself (touched-partitions-only rewrite)
+    // is IncrementalSpec's subject. ----
+    Q("q43_incremental_rollup",
+      (s, dir) => {
+        import graft.operators.Incremental
+        val li = T(s, dir, "lineitem")
+          .withColumn("ship_month", trunc(col("l_shipdate"), "MM"))
+        val group = Seq("ship_month", "l_returnflag")
+        val history = Incremental.partials(
+          li.filter(col("l_shipdate") < lit("1997-01-01")),
+          group, col("l_extendedprice"))
+        val delta = Incremental.partials(
+          li.filter(col("l_shipdate") >= lit("1997-01-01")),
+          group, col("l_extendedprice"))
+        Incremental.finalize(Incremental.merge(group, history, delta))
+      },
+      Some(s"""WITH c AS (
+          SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+            l_returnflag, ${sqlCents("l_extendedprice")} AS c
+          FROM lineitem)
+        SELECT ship_month, l_returnflag, count(*) AS n,
+          CAST(sum(c) AS BIGINT) AS sum_c, min(c) AS min_c, max(c) AS max_c,
+          round(CAST(sum(c) AS DOUBLE)/CAST(count(*) AS DOUBLE)/100.0, 4)
+            AS avg_amt,
+          round((CAST(sum(c*c) AS DOUBLE)
+                 - CAST(sum(c) AS DOUBLE)*CAST(sum(c) AS DOUBLE)
+                   /CAST(count(*) AS DOUBLE))
+                /CAST(count(*) AS DOUBLE)/10000.0, 4) AS var_amt
+        FROM c GROUP BY 1, 2"""))
   )
 }
