@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale patterns for the shapes that break first at 100 TB: skewed join
@@ -46,5 +46,53 @@ object Scale {
   def isExchangeFree(df: DataFrame): Boolean = {
     val plan = df.queryExecution.executedPlan.toString()
     !plan.contains("Exchange hashpartitioning")
+  }
+
+  /** Z-order (Morton) key: bit-interleave of already-quantized dimension
+    * columns, each in [0, 2^bits). Pure shift/mask column algebra — codegen
+    * inlines it, no UDF — and exact integer, so the layout key is
+    * deterministic cross-engine (oracle-gated as q44). `bits * cols.size`
+    * must fit in 63 bits. */
+  def zorderKey(bits: Int, cols: Column*): Column = {
+    require(bits * cols.size <= 63, s"z-key needs ${bits * cols.size} bits")
+    (for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(
+      shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+      i * cols.size + j))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Multi-dimensional clustering for data skipping: directory partitioning
+    * prunes ONE dimension and a linear sort clusters ONE column's min/max
+    * stats, but a scan filtered on the OTHER dimension still reads
+    * everything. Z-ordering sorts by the interleaved key so every row group
+    * is a small hyper-rectangle of the dim space — a selective predicate on
+    * ANY clustered dimension skips most row groups (Delta/Iceberg's OPTIMIZE
+    * ZORDER; the parquet min/max machinery does the skipping, this only
+    * arranges the rows). The sort is range-partition + local sort — global
+    * clustering with no single-node bottleneck. One extra stats pass
+    * computes each dimension's bounds for quantization (a write job already
+    * scans its input; at 100 TB wire real bounds in from table stats). */
+  def writeZordered(df: DataFrame, path: String, dims: Seq[String],
+                    bits: Int = 12, numFiles: Int = 1,
+                    rowGroupBytes: Long = 1L << 20): Unit = {
+    val aggs = dims.flatMap(d => Seq(min(col(d).cast("long")).as(s"mn_$d"),
+      max(col(d).cast("long")).as(s"mx_$d")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    val quantized = dims.zipWithIndex.map { case (d, i) =>
+      val mn = bounds.getLong(2 * i)
+      val range = bounds.getLong(2 * i + 1) - mn + 1
+      // exact while bits + log2(range) <= 52 (double-precision product)
+      ((col(d).cast("long") - lit(mn)) * lit((1L << bits).toDouble)
+        / lit(range.toDouble)).cast("long")
+    }
+    df.withColumn("__z", zorderKey(bits, quantized: _*))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.option("parquet.block.size", rowGroupBytes)
+      .mode("overwrite").parquet(path)
   }
 }

@@ -935,6 +935,31 @@ object RelationalQueries {
                  - CAST(sum(c) AS DOUBLE)*CAST(sum(c) AS DOUBLE)
                    /CAST(count(*) AS DOUBLE))
                 /CAST(count(*) AS DOUBLE)/10000.0, 4) AS var_amt
-        FROM c GROUP BY 1, 2"""))
+        FROM c GROUP BY 1, 2""")),
+
+    // ---- Z-order (Morton) layout key (operators/Scale.zorderKey): the
+    // bit-interleave that makes multi-dimensional data skipping work —
+    // sorted by zkey, every parquet row group becomes a small rectangle of
+    // (x, y) space, so a selective filter on EITHER dimension prunes row
+    // groups (ScaleSpec measures the scan-level effect; this gates the key
+    // itself bit-for-bit cross-engine). Pure shift/mask column algebra,
+    // fully inside whole-stage codegen. ----
+    Q("q44_zorder_key",
+      (s, dir) =>
+        T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+            pmod(col("l_partkey"), lit(1024L)).as("x"),
+            pmod(col("l_suppkey"), lit(1024L)).as("y"))
+          .withColumn("zkey",
+            graft.operators.Scale.zorderKey(10, col("x"), col("y"))),
+      Some {
+        val terms = (0 until 10).flatMap(i => Seq(
+          s"(((x >> $i) & 1) << ${2 * i})",
+          s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+        s"""WITH d AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+            l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem)
+          SELECT l_orderkey, l_linenumber, x, y, CAST($terms AS BIGINT) AS zkey
+          FROM d"""
+      })
   )
 }
