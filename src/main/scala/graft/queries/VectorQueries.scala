@@ -58,7 +58,10 @@ object VectorQueries {
                  FROM qe JOIN ce ON qe.i = ce.i AND q_id <> c_id
                  GROUP BY 1, 2)"""
 
-  private def knn(s: SparkSession, dir: String, sameLabelOnly: Boolean,
+  /** labelMode: "any" = all candidates, "same" = the IVF probe (candidate
+    * must share the query's coarse cluster), "diff" = hard-negative mining
+    * (most-similar candidates from OTHER classes). */
+  private def knn(s: SparkSession, dir: String, labelMode: String,
                   k: Int): DataFrame = {
     VectorExpressions.register(s)
     val e = T(s, dir, "embeddings")
@@ -69,9 +72,11 @@ object VectorQueries {
         col("embedding").as("q_emb"), norm2Q(col("embedding")).as("q_n2"))
     val c = e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
       col("embedding").as("c_emb"), norm2Q(col("embedding")).as("c_n2"))
-    val joinCond =
-      if (sameLabelOnly) col("c_id") =!= col("q_id") && col("c_label") === col("q_label")
-      else col("c_id") =!= col("q_id")
+    val joinCond = col("c_id") =!= col("q_id") && (labelMode match {
+      case "same" => col("c_label") === col("q_label")
+      case "diff" => col("c_label") =!= col("q_label")
+      case _      => lit(true)
+    })
     val scored = c.join(broadcast(q), joinCond)
       .withColumn("cos_sim",
         cosine(dotQ(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
@@ -81,8 +86,12 @@ object VectorQueries {
       .select(col("q_id"), col("c_id"), col("rank"), col("cos_sim"))
   }
 
-  private def sqlKnn(sameLabelOnly: Boolean, k: Int): String = {
-    val labelCond = if (sameLabelOnly) "AND q.q_label = c.c_label" else ""
+  private def sqlKnn(labelMode: String, k: Int): String = {
+    val labelCond = labelMode match {
+      case "same" => "AND q.q_label = c.c_label"
+      case "diff" => "AND q.q_label <> c.c_label"
+      case _      => ""
+    }
     s"""WITH ${sqlDots("WHERE vec_id < 5")},
       qn AS (${sqlQuantized("WHERE vec_id < 5", "q")}),
       cn AS (${sqlQuantized("", "c")}),
@@ -104,14 +113,24 @@ object VectorQueries {
   val all: Seq[Q] = Seq(
 
     // ---- brute-force cosine top-k (ANN correctness baseline) ----
-    Q("s01_knn_brute", (s, dir) => knn(s, dir, sameLabelOnly = false, k = 10),
-      Some(sqlKnn(sameLabelOnly = false, k = 10)), bench = true),
+    Q("s01_knn_brute", (s, dir) => knn(s, dir, labelMode = "any", k = 10),
+      Some(sqlKnn(labelMode = "any", k = 10)), bench = true),
 
     // ---- IVF-style search: probe only the query's cluster (label = coarse
     // centroid id). At 100 TB the candidate table is partitioned by cluster id
     // so this prunes to one partition per query. ----
-    Q("s02_knn_ivf_label", (s, dir) => knn(s, dir, sameLabelOnly = true, k = 3),
-      Some(sqlKnn(sameLabelOnly = true, k = 3))),
+    Q("s02_knn_ivf_label", (s, dir) => knn(s, dir, labelMode = "same", k = 3),
+      Some(sqlKnn(labelMode = "same", k = 3))),
+
+    // ---- hard-negative mining (embedding-model training data): for each
+    // anchor query, the most-similar candidates from a DIFFERENT class —
+    // the pairs that teach a contrastive model the decision boundary
+    // (in-batch random negatives are too easy; these are the ones it gets
+    // wrong). Same broadcast-query + bounded-key window shape as s01; at
+    // 100 TB the candidate side is IVF-pruned to the anchor's neighboring
+    // clusters first (s05), then label-filtered. ----
+    Q("s10_hard_negatives", (s, dir) => knn(s, dir, labelMode = "diff", k = 5),
+      Some(sqlKnn(labelMode = "diff", k = 5))),
 
     // ---- embedding-cosine near-duplicate pairs, blocked by cluster label:
     // the all-pairs comparison is confined to same-label blocks (an equi-join
