@@ -626,6 +626,39 @@ object RelationalQueries {
         SELECT ex.l_returnflag, 63.0/hk AS kmv_estimate, exact_orders
         FROM ex JOIN kth ON kth.l_returnflag = ex.l_returnflag""")),
 
+    // ---- mergeable-sketch distinct counting: the KMV sketch is built
+    // PER SLICE (here: odd/even orderkey halves, standing in for "per
+    // partition" / "per day"), and the k smallest of the union of the two
+    // sketches is EXACTLY the sketch of the union — the property that lets
+    // a 100 TB warehouse keep a per-partition sketch table and answer
+    // "distinct users this quarter" by merging KBs of state instead of
+    // rescanning facts (the approximate twin of q43's exact state merge).
+    // The oracle computes the sketch over all rows directly, so a green
+    // row proves the merge is lossless cross-engine. The final rank is a
+    // window over exactly k=64 rows (bounded, not a global sort). ----
+    Q("q45_sketch_merge",
+      (s, dir) => {
+        val k = 64
+        def sketch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+          .select(expr("CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 13), 16, 10) AS BIGINT)")
+            .as("hv"))
+          .distinct().orderBy(col("hv")).limit(k)
+        val li = T(s, dir, "lineitem")
+        val merged = sketch(li.filter(pmod(col("l_orderkey"), lit(2)) === 0))
+          .unionByName(sketch(li.filter(pmod(col("l_orderkey"), lit(2)) === 1)))
+          .distinct().orderBy(col("hv")).limit(k)
+        merged.withColumn("rn", row_number()
+            .over(org.apache.spark.sql.expressions.Window.orderBy(col("hv")))
+            .cast("long"))
+          .select(col("rn"), col("hv"))
+      },
+      Some("""WITH h AS (SELECT DISTINCT
+            CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))
+              AS BIGINT) AS hv
+          FROM lineitem),
+        r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h)
+        SELECT CAST(rn AS BIGINT) AS rn, hv FROM r WHERE rn <= 64""")),
+
     // ---- §2.8 math: clip/round/floor/pow/safe-divide (reference: jobs/renew_green_energy.py:45-46; macc_summary:219-220,284-285) ----
     Q("q31_math_funcs",
       (s, dir) => {
