@@ -269,6 +269,40 @@ object EventQueries {
         SELECT user_id, sess_id, count(*) AS n_events,
           min(ts) AS sess_start, max(ts) AS sess_end
         FROM sid GROUP BY user_id, sess_id"""),
-      bench = true)
+      bench = true),
+
+    // ---- left-outer interval attribution: every purchase emits a row,
+    // attributed to each click by the same user in the preceding 30
+    // minutes or padded with a null click (organic). Shuffle equi-join on
+    // user_id with the interval as a post-filter (q25's shape) — at 100 TB
+    // user_id is high-cardinality and uniform, AQE handles residual skew.
+    // The streaming twin is EventStream.clickAttributionOuter, where the
+    // null-padding point is the watermark's state-eviction proof
+    // (EventStreamSpec). ----
+    Q("e09_attribution_outer",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("ts").as("p_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+        p.join(c, col("user_id") === col("c_user") &&
+            col("c_ts") <= col("p_ts") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+          .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"),
+            col("c_ts"))
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id,
+          CAST(p.ts AS TIMESTAMP) AS p_ts, c.event_id AS c_id,
+          CAST(c.ts AS TIMESTAMP) AS c_ts
+        FROM events p LEFT JOIN events c
+          ON p.user_id = c.user_id AND c.event_type = 'click'
+          AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+          AND CAST(c.ts AS TIMESTAMP)
+              >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+        WHERE p.event_type = 'purchase'"""))
   )
 }

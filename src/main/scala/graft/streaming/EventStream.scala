@@ -77,7 +77,21 @@ object EventStream {
     * (watermark − 30 min) are evicted, so state is O(rate × window), not
     * O(history). The batch equivalent (same predicate over the static
     * table) is proven equal in EventStreamSpec. */
-  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame =
+    attribution(spark, dir, "inner")
+
+  /** LEFT OUTER variant: a purchase with NO click in its 30-minute window
+    * still emits — with a null click — once the watermark proves no
+    * matching click can still arrive (watermark past the purchase's join
+    * window). This is the streaming form of "every purchase gets an
+    * attribution row, attributed or organic"; in batch the outer row is
+    * free (e09_attribution_outer), in streaming it is exactly the
+    * state-eviction point made visible. */
+  def clickAttributionOuter(spark: SparkSession, dir: String): DataFrame =
+    attribution(spark, dir, "left_outer")
+
+  private def attribution(spark: SparkSession, dir: String,
+                          joinType: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(eventType: String, prefix: String): DataFrame =
       spark.readStream
@@ -91,7 +105,8 @@ object EventStream {
     side("purchase", "p").join(side("click", "c"),
       col("p_user") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+      joinType)
       .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
         col("p_ts"), col("c_ts"))
   }

@@ -50,6 +50,59 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("outer stream-stream join emits the unmatched purchase only after the watermark") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("outer_attr_stream")
+    def addBatch(name: String,
+                 rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val stage = Files.createTempDirectory(s"stage_$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.copy(Paths.get(part), dir.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val base = 1704103200L // 2024-01-01T10:00:00Z
+    def nanos(offsetMin: Long): Long = (base + offsetMin * 60) * 1000000000L
+    // batch 1: user 1 purchase WITH a click in-window; user 2 purchase
+    // with NO click — the outer row cannot emit yet (a matching click
+    // could still arrive inside the watermark delay)
+    addBatch("b1", Seq(
+      (1L, nanos(-10), 1L, "click", 0.0, "{}"),
+      (2L, nanos(0), 1L, "purchase", 10.0, "{}"),
+      (3L, nanos(5), 2L, "purchase", 20.0, "{}")))
+    val q = EventStream.clickAttributionOuter(spark, dir.toString)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("outer_attr").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("outer_attr")
+        .select(col("p_id"), col("c_id")).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(afterB1 == Set((2L, Some(1L))),
+        s"only the matched pair may emit before the watermark: $afterB1")
+      // batch 2: far-future rows on BOTH sides push the global watermark
+      // (min across inputs) past user 2's join window → state eviction
+      // emits the null-padded row
+      addBatch("b2", Seq(
+        (8L, nanos(400), 9L, "click", 0.0, "{}"),
+        (9L, nanos(400), 9L, "purchase", 0.0, "{}")))
+      q.processAllAvailable()
+      // one more empty-ish batch lets the new watermark act on state
+      addBatch("b3", Seq((10L, nanos(401), 8L, "click", 0.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("outer_attr")
+      .select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(out.contains((2L, Some(1L))), s"matched pair missing: $out")
+    assert(out.contains((3L, None)), s"unmatched purchase never emitted: $out")
+    // the matched purchase must NOT also emit a null-padded twin
+    assert(!out.contains((2L, None)), s"outer join double-emitted: $out")
+  }
+
   test("append-mode watermark finalizes windows and drops late rows") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
