@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) merge: maintain full version history
+  * of a dimension as (key, attributes, valid_from, valid_to, is_current)
+  * rows, folding in a new snapshot per batch.
+  *
+  * The reference approximates this with whole-table version columns gated by
+  * sign-off (`version`/`validate` on app.elect_target_*, reference:
+  * app/models.py:230-316) and otherwise overwrites history. A medallion
+  * warehouse needs the row-grain form: when a snapshot arrives, CHANGED keys
+  * close their current row (valid_to = batch time) and open a new one; NEW
+  * keys open their first row; UNCHANGED keys pass through untouched.
+  *
+  * Spark-first shape: one full-outer join between the current slice and the
+  * snapshot, then a union of (closed rows) ++ (opened rows) ++ (unchanged +
+  * historical rows). No row-wise loops, no driver state; at 100 TB the join
+  * shuffles on the dimension key (uniform) and history passes through
+  * untouched — pair with a `is_current` partition so the join reads only
+  * the current slice, never the closed history.
+  */
+object Scd {
+
+  /** First load: every snapshot row opens at `batchTs`. */
+  def firstLoad(snapshot: DataFrame, key: String, attrs: Seq[String],
+                batchTs: Column): DataFrame =
+    snapshot.select((key +: attrs).map(col)
+      :+ batchTs.as("valid_from")
+      :+ lit(null).cast("timestamp").as("valid_to")
+      :+ lit(true).as("is_current"): _*)
+
+  /** Merge `snapshot` (key + attribute columns, one row per key) into the
+    * SCD2 `history` at time `batchTs`. `attrs` are the tracked attribute
+    * columns; a change in ANY of them versions the row.
+    *
+    * History schema: key ++ attrs ++ (valid_from, valid_to, is_current);
+    * open rows have valid_to = null. An empty history (first load) is the
+    * degenerate case: every snapshot key opens. */
+  def merge2(history: DataFrame, snapshot: DataFrame, key: String,
+             attrs: Seq[String], batchTs: Column): DataFrame = {
+    val closed = history.filter(!col("is_current"))
+    val current = history.filter(col("is_current"))
+
+    val snap = snapshot.select((key +: attrs).map(col): _*)
+    val cur = current.select((key +: attrs).map(c => col(c).as(s"__cur_$c"))
+      :+ col("valid_from").as("__cur_valid_from"): _*)
+    val joined = snap.join(cur, col(key) === col(s"__cur_$key"), "full_outer")
+
+    val changed = attrs.map(a => !(col(a) <=> col(s"__cur_$a"))).reduce(_ || _)
+    val inSnap = col(key).isNotNull
+    val inCur = col(s"__cur_$key").isNotNull
+
+    // current rows whose key left the snapshot or whose attributes changed
+    // → closed at batchTs
+    val toClose = joined.filter(inCur && (!inSnap || changed))
+      .select((key +: attrs).map(c => col(s"__cur_$c").as(c))
+        :+ col("__cur_valid_from").as("valid_from")
+        :+ batchTs.as("valid_to") :+ lit(false).as("is_current"): _*)
+
+    // snapshot rows that are new keys or changed attributes → opened
+    val toOpen = joined.filter(inSnap && (!inCur || changed))
+      .select((key +: attrs).map(col)
+        :+ batchTs.as("valid_from")
+        :+ lit(null).cast("timestamp").as("valid_to")
+        :+ lit(true).as("is_current"): _*)
+
+    // unchanged current rows pass through
+    val unchanged = joined.filter(inSnap && inCur && !changed)
+      .select((key +: attrs).map(col)
+        :+ col("__cur_valid_from").as("valid_from")
+        :+ lit(null).cast("timestamp").as("valid_to")
+        :+ lit(true).as("is_current"): _*)
+
+    closed.select((key +: attrs).map(col)
+        :+ col("valid_from") :+ col("valid_to") :+ col("is_current"): _*)
+      .unionByName(toClose)
+      .unionByName(toOpen)
+      .unionByName(unchanged)
+  }
+
+  /** Point-in-time lookup: the dimension version valid at `asOf` —
+    * valid_from <= asOf < valid_to (open rows have null valid_to). */
+  def asOfSlice(history: DataFrame, asOf: Column): DataFrame =
+    history.filter(col("valid_from") <= asOf &&
+      (col("valid_to").isNull || col("valid_to") > asOf))
+}

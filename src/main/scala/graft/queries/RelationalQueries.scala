@@ -993,6 +993,49 @@ object RelationalQueries {
             l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem)
           SELECT l_orderkey, l_linenumber, x, y, CAST($terms AS BIGINT) AS zkey
           FROM d"""
-      })
+      }),
+
+    // ---- SCD type-2 merge (operators/Scd): a second dimension snapshot
+    // folds into the version history — changed keys close + reopen,
+    // deleted keys close, new keys open, unchanged keys pass through.
+    // The snapshot is derived deterministically from `customer` (every
+    // 10th key's balance moves, every 17th key disappears, every 23rd key
+    // reappears as a new surrogate), so the oracle can state the expected
+    // history directly. One full-outer join on the dimension key + a
+    // three-way union — no row loops, no driver state; history rows pass
+    // through untouched (at 100 TB: keep is_current as a partition so the
+    // merge never reads closed history). ----
+    Q("q46_scd2_merge",
+      (s, dir) => {
+        import graft.operators.Scd
+        val base = T(s, dir, "customer").select(col("c_custkey").as("k"),
+          col("c_name").as("name"), col("c_acctbal").as("bal"))
+        val t0 = to_timestamp(lit("2024-01-01 00:00:00"))
+        val t1 = to_timestamp(lit("2024-02-01 00:00:00"))
+        val h0 = Scd.firstLoad(base, "k", Seq("name", "bal"), t0)
+        val snap1 = base.filter(col("k") % 17 =!= 0)
+          .withColumn("bal",
+            when(col("k") % 10 === 0, col("bal") + 100.0).otherwise(col("bal")))
+          .unionByName(base.filter(col("k") % 23 === 0)
+            .withColumn("k", col("k") + 1000000L))
+        Scd.merge2(h0, snap1, "k", Seq("name", "bal"), t1)
+      },
+      Some("""WITH base AS (SELECT c_custkey AS k, c_name AS name,
+            c_acctbal AS bal FROM customer)
+        SELECT k, name, bal,
+          TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+          TIMESTAMP '2024-02-01 00:00:00' AS valid_to, FALSE AS is_current
+        FROM base WHERE k % 17 = 0 OR k % 10 = 0
+        UNION ALL
+        SELECT k, name, CASE WHEN k % 10 = 0 THEN bal + 100.0 ELSE bal END,
+          TIMESTAMP '2024-02-01 00:00:00', NULL, TRUE
+        FROM base WHERE k % 10 = 0 AND k % 17 <> 0
+        UNION ALL
+        SELECT k + 1000000, name, bal,
+          TIMESTAMP '2024-02-01 00:00:00', NULL, TRUE
+        FROM base WHERE k % 23 = 0
+        UNION ALL
+        SELECT k, name, bal, TIMESTAMP '2024-01-01 00:00:00', NULL, TRUE
+        FROM base WHERE k % 10 <> 0 AND k % 17 <> 0"""))
   )
 }
