@@ -1,0 +1,81 @@
+package graft.jobs
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def files(path: String, part: String): Set[String] = {
+    val d = new java.io.File(path, part)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+  }
+
+  private def writeFragmented(path: String): Unit = {
+    // three appends -> partition mon=2024-01 accumulates three files;
+    // mon=2024-02 written once stays single-file
+    Seq((1L, "2024-01"), (2L, "2024-02")).toDF("id", "mon")
+      .repartition(1).write.partitionBy("mon").mode("overwrite").parquet(path)
+    Seq((3L, "2024-01")).toDF("id", "mon")
+      .repartition(1).write.partitionBy("mon").mode("append").parquet(path)
+    Seq((4L, "2024-01")).toDF("id", "mon")
+      .repartition(1).write.partitionBy("mon").mode("append").parquet(path)
+  }
+
+  test("compactSmallFiles rewrites only fragmented partitions, same data") {
+    val path = java.nio.file.Files.createTempDirectory("compact").toString
+    writeFragmented(path)
+    assert(files(path, "mon=2024-01").size == 3)
+    val cleanBefore = files(path, "mon=2024-02")
+    val before = spark.read.parquet(path).orderBy("id")
+      .collect().map(_.toString).toSeq
+
+    val rewritten = Maintenance.compactSmallFiles(spark, path, "mon")
+    assert(rewritten == Seq("2024-01"))
+    assert(files(path, "mon=2024-01").size == 1, "fragments not compacted")
+    assert(files(path, "mon=2024-02") == cleanBefore,
+      "well-formed partition was rewritten")
+    val after = spark.read.parquet(path).orderBy("id")
+      .collect().map(_.toString).toSeq
+    assert(after == before, "compaction changed the data")
+  }
+
+  test("forgetKeys deletes rows, rewrites only touched partitions, drops emptied ones") {
+    val path = java.nio.file.Files.createTempDirectory("forget").toString
+    Seq((1L, "2024-01"), (2L, "2024-01"), (3L, "2024-02"), (4L, "2024-03"))
+      .toDF("doc_id", "mon")
+      .repartition(1).write.partitionBy("mon").mode("overwrite").parquet(path)
+    val untouched = files(path, "mon=2024-01")
+
+    // doc 3 is the only row of 2024-02 (partition empties); doc 4 leaves
+    // 2024-03 intact-but-rewritten? no — 2024-03 is untouched
+    val (parts, n) = Maintenance.forgetKeys(spark, path, "mon", "doc_id", Seq(3L))
+    assert(parts == Seq("2024-02") && n == 1)
+    assert(!new java.io.File(path, "mon=2024-02").exists(),
+      "emptied partition directory must disappear")
+    assert(files(path, "mon=2024-01") == untouched,
+      "partition without the key was rewritten")
+    val left = spark.read.parquet(path).select("doc_id")
+      .as[Long].collect().toSet
+    assert(left == Set(1L, 2L, 4L))
+
+    // multi-partition forget: doc 1 (2024-01) and doc 4 (2024-03) at once
+    val (parts2, n2) = Maintenance.forgetKeys(spark, path, "mon", "doc_id",
+      Seq(1L, 4L, 999L))
+    assert(parts2.toSet == Set("2024-01", "2024-03") && n2 == 2)
+    val left2 = spark.read.parquet(path).select("doc_id")
+      .as[Long].collect().toSet
+    assert(left2 == Set(2L))
+  }
+
+  test("forgetKeys with no matching rows is a no-op") {
+    val path = java.nio.file.Files.createTempDirectory("forget_noop").toString
+    Seq((1L, "2024-01")).toDF("doc_id", "mon")
+      .repartition(1).write.partitionBy("mon").mode("overwrite").parquet(path)
+    val before = files(path, "mon=2024-01")
+    val (parts, n) = Maintenance.forgetKeys(spark, path, "mon", "doc_id", Seq(42L))
+    assert(parts.isEmpty && n == 0)
+    assert(files(path, "mon=2024-01") == before)
+  }
+}
