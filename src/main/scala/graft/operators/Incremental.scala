@@ -62,17 +62,21 @@ object Incremental {
         sum(col("sumsq_c")).as("sumsq_c"))
 
   /** Serving-time view: the algebraic aggregates (mean, population variance)
-    * derived from the exact integer state. Every float op is a fixed IEEE
-    * expression over exactly-determined integers — deterministic at any
-    * partitioning and cross-engine. */
+    * derived from the exact integer state. Both are quantized to 1e-4 with
+    * the same floor(x*scale + 0.5) convention as Money.cents — `round(x, 4)`
+    * is NOT cross-engine-safe when the rational sum/n lands exactly on a
+    * half-decimal (observed at sf0.001), the floor form is the one the
+    * whole suite already hash-matches on. */
   def finalize(state: DataFrame): DataFrame = {
     val keep = state.columns.filterNot(stateCols.contains).map(col).toSeq
     val nD = col("n").cast("double")
     val sumD = col("sum_c").cast("double")
-    val avg = round(sumD / nD / 100.0, 4).as("avg_amt")
-    val varp = round(
-      (col("sumsq_c").cast("double") - sumD * sumD / nD) / nD / 10000.0, 4)
-      .as("var_amt")
+    // cents/100 → dollars; ×1e4 quantization = sum_c*100/n in integer units
+    val avg = (floor(sumD * 100.0 / nD + 0.5).cast("long") / 10000.0)
+      .as("avg_amt")
+    // population variance in cents² is already the 1e-4-dollar² unit
+    val varp = (floor((col("sumsq_c").cast("double") - sumD * sumD / nD) / nD
+      + 0.5).cast("long") / 10000.0).as("var_amt")
     state.select(keep ++ Seq(col("n"), col("sum_c"), col("min_c"),
       col("max_c"), avg, varp): _*)
   }

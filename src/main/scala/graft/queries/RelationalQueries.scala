@@ -962,12 +962,12 @@ object RelationalQueries {
           FROM lineitem)
         SELECT ship_month, l_returnflag, count(*) AS n,
           CAST(sum(c) AS BIGINT) AS sum_c, min(c) AS min_c, max(c) AS max_c,
-          round(CAST(sum(c) AS DOUBLE)/CAST(count(*) AS DOUBLE)/100.0, 4)
-            AS avg_amt,
-          round((CAST(sum(c*c) AS DOUBLE)
+          CAST(floor(CAST(sum(c) AS DOUBLE)*100.0/CAST(count(*) AS DOUBLE)
+            + 0.5) AS BIGINT)/10000.0 AS avg_amt,
+          CAST(floor((CAST(sum(c*c) AS DOUBLE)
                  - CAST(sum(c) AS DOUBLE)*CAST(sum(c) AS DOUBLE)
                    /CAST(count(*) AS DOUBLE))
-                /CAST(count(*) AS DOUBLE)/10000.0, 4) AS var_amt
+                /CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)/10000.0 AS var_amt
         FROM c GROUP BY 1, 2""")),
 
     // ---- Z-order (Morton) layout key (operators/Scale.zorderKey): the
