@@ -51,33 +51,33 @@ object Scd {
     val changed = attrs.map(a => !(col(a) <=> col(s"__cur_$a"))).reduce(_ || _)
     val inSnap = col(key).isNotNull
     val inCur = col(s"__cur_$key").isNotNull
+    val nullTs = lit(null).cast("timestamp")
 
-    // current rows whose key left the snapshot or whose attributes changed
-    // → closed at batchTs
-    val toClose = joined.filter(inCur && (!inSnap || changed))
-      .select((key +: attrs).map(c => col(s"__cur_$c").as(c))
+    // Emit all outcomes in ONE pass over the join: a changed key produces
+    // two rows (close + reopen), so the emission is a conditional-array
+    // explode, NOT three filtered branches of the same join — a DataFrame
+    // union does not share common subplans, and the branched form executes
+    // the full-outer join three times (caught by PlanAuditSpec).
+    val closedRow = when(inCur && (!inSnap || changed),
+      struct((key +: attrs).map(c => col(s"__cur_$c").as(c))
         :+ col("__cur_valid_from").as("valid_from")
-        :+ batchTs.as("valid_to") :+ lit(false).as("is_current"): _*)
-
-    // snapshot rows that are new keys or changed attributes → opened
-    val toOpen = joined.filter(inSnap && (!inCur || changed))
-      .select((key +: attrs).map(col)
+        :+ batchTs.as("valid_to") :+ lit(false).as("is_current"): _*))
+    val openedRow = when(inSnap && (!inCur || changed),
+      struct((key +: attrs).map(col)
         :+ batchTs.as("valid_from")
-        :+ lit(null).cast("timestamp").as("valid_to")
-        :+ lit(true).as("is_current"): _*)
-
-    // unchanged current rows pass through
-    val unchanged = joined.filter(inSnap && inCur && !changed)
-      .select((key +: attrs).map(col)
+        :+ nullTs.as("valid_to") :+ lit(true).as("is_current"): _*))
+    val unchangedRow = when(inSnap && inCur && !changed,
+      struct((key +: attrs).map(col)
         :+ col("__cur_valid_from").as("valid_from")
-        :+ lit(null).cast("timestamp").as("valid_to")
-        :+ lit(true).as("is_current"): _*)
+        :+ nullTs.as("valid_to") :+ lit(true).as("is_current"): _*))
+    val emitted = joined
+      .select(explode(array_compact(
+        array(closedRow, openedRow, unchangedRow))).as("__r"))
+      .select(col("__r.*"))
 
     closed.select((key +: attrs).map(col)
         :+ col("valid_from") :+ col("valid_to") :+ col("is_current"): _*)
-      .unionByName(toClose)
-      .unionByName(toOpen)
-      .unionByName(unchanged)
+      .unionByName(emitted)
   }
 
   /** Point-in-time lookup: the dimension version valid at `asOf` —

@@ -95,4 +95,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"assignment should be map-only:\n$plan")
   }
+
+  test("t24 bigram LM never cross-joins and keeps partial aggregation") {
+    val df = SparkEntry.queries("t24_bigram_lm_score")(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"dictionary lookup degenerated:\n$plan")
+    // bigram/prefix counts must combine map-side before their shuffles
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"no partial aggregation in:\n$plan")
+    val cols = scans(df).flatMap(_.requiredSchema.fieldNames).toSet
+    assert(cols == Set("doc_id", "text"), s"scan read $cols")
+  }
+
+  test("s09 PQ ADC scan is join-free: LUT is a literal, codes-only read") {
+    val df = SparkEntry.queries("s09_pq_adc")(spark, sfSmoke)
+    // after the driver-side train/encode setup, the SCORING plan itself
+    // must be projection-only over (vec_id, embedding->codes): no join,
+    // no shuffle — that is the property that makes the scan affordable
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"ADC scan must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"ADC scan must not shuffle:\n$plan")
+  }
+
+  test("q46 SCD2 merge is one shuffle join between slice and snapshot") {
+    val df = SparkEntry.queries("q46_scd2_merge")(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"SCD merge degenerated:\n$plan")
+    // exactly one join in the merge (the full-outer key join); the unions
+    // around it are exchange-free
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly 1 join, got $joins:\n$plan")
+  }
 }
