@@ -7,9 +7,9 @@ import graft.operators.{Graph, NearDup}
 
 /** The training-data side's MainDag: one composed corpus pipeline
   * clean → exact dedup → near-dup cluster dedup → eval-set decontamination
-  * → per-source token-budget sampling → sequence packing, reusing the same
-  * operators the oracle queries exercise individually (t10/t05/t11-t14/
-  * t17/t18/t19 semantics).
+  * → bigram-LM perplexity filter → per-source token-budget sampling →
+  * sequence packing, reusing the same operators the oracle queries
+  * exercise individually (t10/t05/t11-t14/t17/t18/t19/t24 semantics).
   *
   * Every stage is a pure DataFrame transform; the composition stays lazy
   * except the near-dup clustering (operators/Graph materializes its
@@ -33,6 +33,9 @@ object CorpusPipeline {
       asciiOnly: Boolean = true,
       /** drop a train doc sharing at least this many word-3-grams with eval */
       decontamMinShared: Long = 5L,
+      /** drop the worst-scoring fraction under the corpus bigram LM (the
+        * CCNet-style perplexity tail cut; 0.0 disables the stage) */
+      lmDropFraction: Double = 0.1,
       tokenBudgetPerSource: Long = 600L,
       packBudget: Long = 256L,
       shardSize: Long = 100L)
@@ -98,16 +101,36 @@ object CorpusPipeline {
     val decontaminated = deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 5. per-source token budget (t19 semantics): md5-shuffle prefix
+    // 5. LM perplexity filter (t24 semantics): score every doc under the
+    //    corpus's own bigram model, drop the worst-scoring tail. The LM
+    //    trains on the POST-dedup, post-decontamination cut — duplicated or
+    //    contaminated text must not vote on what "typical" looks like. The
+    //    cut threshold is ONE exact-percentile scalar brought to the driver
+    //    (the blessed scalar-subquery shape); at warehouse scale swap in
+    //    percentile_approx — the tail cut is approximate by nature.
+    val lmFiltered =
+      if (cfg.lmDropFraction <= 0.0) decontaminated
+      else {
+        val scores = graft.operators.LangModel.bigramScores(
+          decontaminated.select(col("doc_id"), col("text")))
+        val cut = scores
+          .agg(expr(s"percentile(avg_logp, ${cfg.lmDropFraction})"))
+          .head().getDouble(0)
+        decontaminated.join(
+          scores.filter(col("avg_logp") >= cut).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      }
+
+    // 6. per-source token budget (t19 semantics): md5-shuffle prefix
     val wSrc = Window.partitionBy(col("source"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sampled = decontaminated
+    val sampled = lmFiltered
       .withColumn("__cum", sum(col("n_tok")).over(wSrc))
       .filter(col("__cum") <= cfg.tokenBudgetPerSource)
       .drop("__cum")
 
-    // 6. sequence packing (t18 semantics): shard-parallel greedy fill
+    // 7. sequence packing (t18 semantics): shard-parallel greedy fill
     val wPack = Window
       .partitionBy(expr(s"doc_id div ${cfg.shardSize}"))
       .orderBy(col("doc_id"))
@@ -126,8 +149,9 @@ object CorpusPipeline {
       "2_exact_dedup" -> exact.count(),
       "3_neardup_dedup" -> deduped.count(),
       "4_decontaminated" -> decontaminated.count(),
-      "5_sampled" -> sampled.count(),
-      "6_packed" -> packed.count()
+      "5_lm_filtered" -> lmFiltered.count(),
+      "6_sampled" -> sampled.count(),
+      "7_packed" -> packed.count()
     ).toDF("stage", "n_docs")
     // the counts above materialized every cache; the returned `packed` is
     // itself cached, so the two upstream cuts can be released here — the

@@ -562,11 +562,13 @@ object TextQueries {
 
     // ---- the ENTIRE corpus pipeline (jobs/CorpusPipeline) on the gate:
     // clean → exact dedup → near-dup cluster dedup → decontaminate →
-    // token-budget sample → pack, reported as per-stage doc counts and
-    // hash-matched against one composed DuckDB query that chains the same
-    // stage formulations (incl. the recursive-CTE connected components on
-    // the CLEANED corpus). eval set = doc_id < 5, train = the rest — the
-    // t17 convention. ----
+    // LM perplexity filter (t24's model, worst-decile cut) → token-budget
+    // sample → pack, reported as per-stage doc counts and hash-matched
+    // against one composed DuckDB query that chains the same stage
+    // formulations (incl. the recursive-CTE connected components on the
+    // CLEANED corpus and the quantile_cont twin of Spark's exact
+    // percentile). eval set = doc_id < 5, train = the rest — the t17
+    // convention. ----
     Q("t20_corpus_pipeline",
       (s, dir) => {
         val d = T(s, dir, "documents")
@@ -605,17 +607,34 @@ object TextQueries {
             GROUP BY 1) x WHERE c >= 5),
         decon AS (SELECT * FROM dedup WHERE doc_id NOT IN
           (SELECT doc_id FROM contam)),
+        bg AS (SELECT doc_id, ws[j] AS w1, ws[j+1] AS w2
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM decon) w,
+            LATERAL (SELECT unnest(range(1, greatest(len(ws)-1, 0)+1)) AS j) r),
+        bc12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        bc1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc12 GROUP BY 1),
+        lms AS (SELECT doc_id,
+            round(CAST(sum(lp) AS DOUBLE)/count(*)/10000.0, 4) AS avg_logp
+          FROM (SELECT bg.doc_id,
+              CAST(floor(10000.0 * ln(CAST(bc12.c12 AS DOUBLE)/bc1.c1))
+                AS BIGINT) AS lp
+            FROM bg JOIN bc12 USING (w1, w2) JOIN bc1 USING (w1)) q
+          GROUP BY doc_id),
+        lmcut AS (SELECT quantile_cont(avg_logp, 0.1) AS cut FROM lms),
+        lmf AS (SELECT decon.* FROM decon
+          JOIN lms USING (doc_id) CROSS JOIN lmcut
+          WHERE lms.avg_logp >= lmcut.cut),
         samp AS (SELECT * FROM (
             SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source
               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum
-            FROM decon) x WHERE cum <= 600)
+            FROM lmf) x WHERE cum <= 600)
         SELECT '0_input' AS stage, (SELECT count(*) FROM train) AS n_docs
         UNION ALL SELECT '1_clean', (SELECT count(*) FROM clean)
         UNION ALL SELECT '2_exact_dedup', (SELECT count(*) FROM exactd)
         UNION ALL SELECT '3_neardup_dedup', (SELECT count(*) FROM dedup)
         UNION ALL SELECT '4_decontaminated', (SELECT count(*) FROM decon)
-        UNION ALL SELECT '5_sampled', (SELECT count(*) FROM samp)
-        UNION ALL SELECT '6_packed', (SELECT count(*) FROM samp)""")),
+        UNION ALL SELECT '5_lm_filtered', (SELECT count(*) FROM lmf)
+        UNION ALL SELECT '6_sampled', (SELECT count(*) FROM samp)
+        UNION ALL SELECT '7_packed', (SELECT count(*) FROM samp)""")),
 
     // ---- sequence packing: assign documents to fixed-token-budget training
     // sequences (the batching-prep step after cleaning/dedup). Greedy
@@ -775,27 +794,8 @@ object TextQueries {
     // float). At 100 TB the dictionary is a disk-backed shuffle join and
     // the corpus streams through it once. ----
     Q("t24_bigram_lm_score",
-      (s, dir) => {
-        val b = T(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
-          .filter(size(col("ws")) >= 2) // sequence() counts DOWN below 1 elem
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(ws)-1), j -> struct(ws[j-1] AS w1, ws[j] AS w2))")).as("g"))
-          .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
-        val c12 = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-        val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-        val dict = c12.join(c1, "w1")
-        b.join(dict, Seq("w1", "w2"))
-          .select(col("doc_id"),
-            floor(lit(10000.0) *
-              log(col("c12").cast("double") / col("c1").cast("double")))
-              .cast("long").as("lp"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_q"))
-          .select(col("doc_id"), col("n_bigrams"), col("sum_q"),
-            round(col("sum_q").cast("double") / col("n_bigrams").cast("double")
-              / 10000.0, 4).as("avg_logp"))
-      },
+      (s, dir) => graft.operators.LangModel.bigramScores(
+        T(s, dir, "documents").select(col("doc_id"), col("text"))),
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         b AS (SELECT doc_id, ws[j] AS w1, ws[j+1] AS w2
           FROM w, LATERAL (SELECT unnest(range(1, greatest(len(ws)-1, 0)+1)) AS j) r),

@@ -17,15 +17,17 @@ class CorpusPipelineSpec extends SparkSpec {
     val (packed, summary) = CorpusPipeline.run(trainDocs, evalDocs)
     val counts = summary.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val order = Seq("0_input", "1_clean", "2_exact_dedup", "3_neardup_dedup",
-      "4_decontaminated", "5_sampled", "6_packed")
+      "4_decontaminated", "5_lm_filtered", "6_sampled", "7_packed")
     order.sliding(2).foreach { case Seq(a, b) =>
       assert(counts(b) <= counts(a), s"$b (${counts(b)}) > $a (${counts(a)})")
     }
-    assert(counts("6_packed") == counts("5_sampled")) // packing drops nothing
-    assert(counts("6_packed") > 0)
+    assert(counts("7_packed") == counts("6_sampled")) // packing drops nothing
+    assert(counts("7_packed") > 0)
     // decontamination really dropped something on this corpus (docs 0-4's
     // grams overlap the word-soup corpus heavily)
     assert(counts("4_decontaminated") < counts("3_neardup_dedup"))
+    // the perplexity tail cut really dropped the worst decile
+    assert(counts("5_lm_filtered") < counts("4_decontaminated"))
 
     val rows = packed.select("doc_id", "n_tok", "shard", "bin", "offset")
       .as[(Long, Long, Long, Long, Long)].collect()
