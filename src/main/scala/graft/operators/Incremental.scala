@@ -81,6 +81,49 @@ object Incremental {
       col("max_c"), avg, varp): _*)
   }
 
+  // ---- mergeable histogram state: incremental quantiles ----
+  // q35's fixed-width bucket sketch, kept as (group, bucket, n) state rows:
+  // merging slices is a plain re-sum per bucket (distributive), so the
+  // quantile sketch gains the same delta-refresh property as the
+  // count/sum/min/max state above. q47 proves the merged state finalizes
+  // identically to the sketch computed directly over all facts.
+
+  /** Histogram partial state for one slice: bucket = value in cents div
+    * `bucketCents`, one map-side-combinable aggregation. */
+  def histPartials(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                   bucketCents: Long = 10000L): DataFrame =
+    df.withColumn("__pc", graft.functions.Money.cents(valueCol))
+      .groupBy(groupCols.map(col) :+
+        expr(s"__pc div $bucketCents").as("bucket"): _*) // q35's exact bucket
+      .agg(count(lit(1)).as("n"))
+
+  /** Merge histogram states: re-sum per (group, bucket). */
+  def histMerge(groupCols: Seq[String], states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(sum(col("n")).as("n"))
+
+  /** Quantile read over the state: each requested p gets the inclusive
+    * upper bound (in cents) of the bucket where the cumulative count
+    * crosses ceil(p·total) — deterministic, exact-integer, within one
+    * bucket width of the true quantile (q35's formulation). The windows
+    * run over the tiny bucket table, never the facts. */
+  def finalizeQuantiles(state: DataFrame, groupCols: Seq[String],
+                        ps: Seq[Double],
+                        bucketCents: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(groupCols.map(col): _*).orderBy(col("bucket"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    def pick(p: Double): Column =
+      ((min(when(col("cum") >= ceil(lit(p) * col("total")), col("bucket")))
+        + 1) * bucketCents).as(s"p${(p * 100).round}_upper_cents")
+    state
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("total")).as("n_rows"), ps.map(pick): _*)
+  }
+
   /** Fold a delta into a parquet state table, rewriting ONLY the partitions
     * the delta touches: existing state rows for touched partitions are
     * semi-joined out, merged with the delta's partials, and dynamically

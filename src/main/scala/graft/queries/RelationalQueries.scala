@@ -1036,6 +1036,44 @@ object RelationalQueries {
         FROM base WHERE k % 23 = 0
         UNION ALL
         SELECT k, name, bal, TIMESTAMP '2024-01-01 00:00:00', NULL, TRUE
-        FROM base WHERE k % 10 <> 0 AND k % 17 <> 0"""))
+        FROM base WHERE k % 10 <> 0 AND k % 17 <> 0""")),
+
+    // ---- incremental quantiles: q35's histogram sketch maintained as
+    // MERGEABLE (group, bucket, n) state — two per-slice states (odd/even
+    // orderkey halves) merge by a plain bucket re-sum, and the merged
+    // state must finalize identically to the sketch computed directly over
+    // all facts (the oracle IS q35's direct form). Together with q43/q45
+    // this completes the incremental serving set: counts, sums, extrema,
+    // mean/variance, distinct counts, and quantiles — all refreshable at
+    // delta cost without a history rescan. ----
+    Q("q47_incremental_quantile",
+      (s, dir) => {
+        import graft.operators.Incremental
+        val li = T(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"), col("l_orderkey"),
+            col("l_extendedprice"))
+        def slice(rem: Int) = Incremental.histPartials(
+          li.filter(pmod(col("l_orderkey"), lit(2)) === rem),
+          Seq("flag"), col("l_extendedprice"))
+        Incremental.finalizeQuantiles(
+          Incremental.histMerge(Seq("flag"), slice(0), slice(1)),
+          Seq("flag"), Seq(0.5, 0.95, 0.99))
+      },
+      Some(s"""WITH b AS (
+          SELECT l_returnflag AS flag,
+            ${sqlCents("l_extendedprice")} // 10000 AS bucket, count(*) AS n
+          FROM lineitem GROUP BY 1, 2),
+        c AS (SELECT flag, bucket, n,
+            CAST(sum(n) OVER (PARTITION BY flag ORDER BY bucket) AS BIGINT) AS cum,
+            CAST(sum(n) OVER (PARTITION BY flag) AS BIGINT) AS total
+          FROM b)
+        SELECT flag, max(total) AS n_rows,
+          (min(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE)*total)
+            THEN bucket END)+1)*10000 AS p50_upper_cents,
+          (min(CASE WHEN cum >= ceil(CAST(0.95 AS DOUBLE)*total)
+            THEN bucket END)+1)*10000 AS p95_upper_cents,
+          (min(CASE WHEN cum >= ceil(CAST(0.99 AS DOUBLE)*total)
+            THEN bucket END)+1)*10000 AS p99_upper_cents
+        FROM c GROUP BY 1"""))
   )
 }
