@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Scale patterns for the shapes that break first at 100 TB: skewed join
   * keys and repeated co-located joins.
@@ -46,6 +47,54 @@ object Scale {
   def isExchangeFree(df: DataFrame): Boolean = {
     val plan = df.queryExecution.executedPlan.toString()
     !plan.contains("Exchange hashpartitioning")
+  }
+
+  /** Exact global row numbers 1..N in `sortCols` order with NO
+    * single-partition stage. `row_number() OVER (ORDER BY …)` with no
+    * PARTITION BY plans as Exchange SinglePartition — every row through one
+    * reducer, the canonical 100 TB killer. This instead (1) range-partitions
+    * on the sort key and sorts within partitions (a total order across
+    * partition boundaries — the same distributed-sort shape as orderBy), then
+    * (2) assigns offsets with zipWithIndex: one narrow job counts rows per
+    * partition, one maps local indices to global ids. Two passes, no wide
+    * single-reducer stage, id assignment is pure per-partition arithmetic.
+    *
+    * `sortCols` must be a TOTAL order (include a unique tiebreaker): with
+    * duplicate sort keys spanning a range boundary the tie order — and so
+    * the ids — would depend on sampled boundaries. RDD is the right tool
+    * here (genuine per-partition imperative logic); the result re-enters the
+    * DataFrame world with the id attached (oracle-gated as q49). */
+  def globalRowNumber(df: DataFrame, idCol: String, numPartitions: Int,
+                      sortCols: Column*): DataFrame = {
+    val sorted = df.repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val withId = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(withId,
+      sorted.schema.add(idCol, LongType, nullable = false))
+  }
+
+  /** Bloom-filter semi-join reduction: build a bloom over the (selective)
+    * dim side's join keys, filter the fact side with it BEFORE the shuffle
+    * join. At 100 TB this is the difference between shuffling the whole fact
+    * table and shuffling only ~(matching + fpp) of it; the bloom image is a
+    * few MB however large the fact side is, and rides to executors in the
+    * task closure like a broadcast-join map. False positives pass the filter
+    * but are dropped by the join, so `bloomPrune(fact, dim…).join(dim…)` is
+    * EXACTLY `fact.join(dim…)` (oracle-gated as q48). The one-row agg that
+    * builds the bloom is partial-aggregable (blooms OR together), so the
+    * build itself is a map-side-combined scan of the dim side only. */
+  def bloomPrune(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, expectedItems: Long = 1000000L,
+                 numBits: Long = 8L * 1000000L): DataFrame = {
+    graft.functions.BloomExpressions.register(fact.sparkSession)
+    val bf = dim
+      .agg(graft.functions.BloomExpressions
+        .bloomAgg(col(dimKey), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bf == null) fact.where(lit(false)) // empty dim: inner join is empty
+    else fact.where(graft.functions.BloomExpressions.mightContain(bf, col(factKey)))
   }
 
   /** Z-order (Morton) key: bit-interleave of already-quantized dimension

@@ -1074,6 +1074,59 @@ object RelationalQueries {
             THEN bucket END)+1)*10000 AS p95_upper_cents,
           (min(CASE WHEN cum >= ceil(CAST(0.99 AS DOUBLE)*total)
             THEN bucket END)+1)*10000 AS p99_upper_cents
-        FROM c GROUP BY 1"""))
+        FROM c GROUP BY 1""")),
+
+    // ---- bloom-filter semi-join reduction (operators/Scale.bloomPrune):
+    // the runtime-filter pattern made explicit. The dim side (urgent
+    // high-value orders, ~2% of keys) builds a bloom; the fact side
+    // (lineitem) is pre-filtered by membership BEFORE its shuffle, so at
+    // 100 TB the exchange moves ~2% of the fact table instead of all of
+    // it. False positives survive the filter but not the join — the
+    // composed result is exactly the plain join, which is what the DuckDB
+    // oracle states. Bloom build: one map-side-combined agg over the dim
+    // side only (blooms OR together); probe: codegen'd
+    // BloomFilterMightContain over xxhash64, no UDF. ----
+    Q("q48_bloom_join",
+      (s, dir) => {
+        val urgent = T(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice") > 150000.0)
+          .select(col("o_orderkey"))
+        val pruned = graft.operators.Scale.bloomPrune(
+          T(s, dir, "lineitem"), urgent, "l_orderkey", "o_orderkey",
+          expectedItems = 100000L, numBits = 800000L)
+        pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            (sum(e4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              / 10000.0).as("revenue"))
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS cnt,
+        ${sqlSumE4("l_extendedprice*(1-l_discount)")}/10000.0 AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        GROUP BY l_returnflag"""),
+      bench = true),
+
+    // ---- global row numbering without the single-partition window
+    // (operators/Scale.globalRowNumber): `row_number() OVER (ORDER BY …)`
+    // with no PARTITION BY funnels 100 TB through ONE reducer; this is the
+    // distributed equivalent — range partition + local sort (a total order)
+    // then per-partition offset arithmetic via zipWithIndex. The sort key
+    // (l_orderkey, l_linenumber) is unique, so the ids are deterministic
+    // whatever boundaries the range sampler picks, and the oracle can state
+    // the same numbering with a plain window. Used by the packing/sharding
+    // stages (t18) where training shards need stable global sequence ids. ----
+    Q("q49_global_rownum",
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        graft.operators.Scale.globalRowNumber(li, "rid", 32,
+          col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+        row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rid
+        FROM lineitem"""))
   )
 }

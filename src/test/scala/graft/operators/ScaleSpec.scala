@@ -122,6 +122,56 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("bloomPrune cuts the fact side pre-shuffle and composes to the exact join") {
+    val fact = spark.range(20000L).select(col("id").as("k"), (col("id") * 3L).as("v"))
+    // selective dim: 200 of 20000 keys
+    val dim = spark.range(200L).select((col("id") * 100L).as("dk"))
+    val pruned = Scale.bloomPrune(fact, dim, "k", "dk",
+      expectedItems = 200L, numBits = 4096L)
+    // no false negatives: composed result is exactly the plain join
+    val plain = fact.join(dim, col("k") === col("dk")).select("k", "v")
+      .as[(Long, Long)].collect().toSet
+    val composed = pruned.join(dim, col("k") === col("dk")).select("k", "v")
+      .as[(Long, Long)].collect().toSet
+    assert(composed == plain && plain.size == 200)
+    // the filter actually prunes: survivors ≈ matches + fpp·|fact|, far
+    // below the full fact side that a plain join would shuffle
+    val survivors = pruned.count()
+    assert(survivors >= 200L, "bloom dropped true matches")
+    assert(survivors < 2000L, s"bloom pruned nothing: $survivors of 20000")
+    // and it is the native codegen'd expression, sitting before the join
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+  }
+
+  test("bloomPrune on an empty dim yields the (empty) inner-join result") {
+    val fact = spark.range(100L).select(col("id").as("k"))
+    val dim = spark.range(0L).select(col("id").as("dk"))
+    assert(Scale.bloomPrune(fact, dim, "k", "dk", 10L, 64L).count() == 0L)
+  }
+
+  test("globalRowNumber matches the window numbering with no single-partition stage") {
+    val df = spark.range(10000L)
+      .select((col("id") * 37L % 10007L).as("k"), col("id").as("payload"))
+    val got = Scale.globalRowNumber(df, "rid", 8, col("k"))
+    // ids are exactly the window's numbering (k is unique: 37 coprime 10007)
+    val win = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+    val expected = df.withColumn("rid", row_number().over(win).cast("long"))
+    assert(got.as[(Long, Long, Long)].collect().toSet ==
+      expected.as[(Long, Long, Long)].collect().toSet)
+    // partition count does not change the answer (total order ⇒ deterministic)
+    val got2 = Scale.globalRowNumber(df, "rid", 3, col("k"))
+    assert(got2.as[(Long, Long, Long)].collect().toSet ==
+      got.as[(Long, Long, Long)].collect().toSet)
+    // the window version is the trap this avoids: it plans a single partition
+    val winPlan = expected.queryExecution.executedPlan.toString
+    assert(winPlan.contains("SinglePartition"),
+      "premise broken: global window no longer single-partition")
+    val ourPlan = got.queryExecution.executedPlan.toString
+    assert(!ourPlan.contains("SinglePartition"),
+      s"globalRowNumber introduced a single-partition stage:\n$ourPlan")
+  }
+
   test("zorderKey interleaves bits exactly") {
     // (x=0b101, y=0b011) -> z = y2 x2 y1 x1 y0 x0 = 0b011011 = 27
     val out = Seq((5L, 3L)).toDF("x", "y")
