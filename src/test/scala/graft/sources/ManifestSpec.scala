@@ -1,0 +1,48 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.map(_.metrics("numFiles").value).sum
+  }
+
+  test("manifest pruning reads only intersecting files and keeps the exact answer") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString
+    // 16 files, each covering a disjoint key range (the clustered-write shape)
+    spark.range(160000L).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(16, col("k")).sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(dir)
+    Manifest.write(spark, dir, Seq("k"))
+
+    // manifest dir is _-prefixed: the data directory reads as plain parquet
+    assert(spark.read.parquet(dir).count() == 160000L)
+
+    val pruned = Manifest.prunedRead(spark, dir, "k", 50000L, 52000L)
+    val full = spark.read.parquet(dir)
+      .filter(col("k") >= 50000L && col("k") <= 52000L)
+    assert(pruned.as[(Long, Long)].collect().toSet ==
+      full.as[(Long, Long)].collect().toSet)
+    // a 2k-of-160k range intersects ~1 of 16 file ranges
+    val n = filesRead(pruned)
+    assert(n <= 2, s"manifest did not prune: read $n of 16 files")
+  }
+
+  test("manifest pruning with no intersecting file yields an empty typed frame") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest_empty").toString
+    spark.range(1000L).select(col("id").as("k"), col("id").as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(dir)
+    Manifest.write(spark, dir, Seq("k"))
+    val out = Manifest.prunedRead(spark, dir, "k", 5000L, 6000L)
+    assert(out.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(out.count() == 0L)
+  }
+}
