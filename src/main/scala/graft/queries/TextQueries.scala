@@ -807,6 +807,56 @@ object TextQueries {
         SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS sum_q,
           round(CAST(sum(lp) AS DOUBLE)/count(*)/10000.0, 4) AS avg_logp
         FROM q GROUP BY doc_id"""),
-      bench = true)
+      bench = true),
+
+    // ---- temperature-based mixture resampling (the multilingual-training
+    // standard: sample languages ∝ p^α, α=0.5 — high-resource languages
+    // downsample toward the flattened mixture, low-resource ones keep
+    // nearly everything). Unlike t13's FIXED strata rates, the rates here
+    // are DERIVED from the corpus: per-language counts (one tiny groupBy),
+    // weights w=√n quantized to integers, and a doc budget of N/2, giving
+    // keep-rate_l = B·w_l/(Σw·n_l) — computed entirely in int64 so the
+    // rate table is bit-identical cross-engine (no float-sum order
+    // dependence; Σw is a sum of ints). The per-doc keep decision is the
+    // same md5-bucket rule as t13: reproducible at any partitioning,
+    // stable under incremental ingest. The rate table is langs-sized —
+    // broadcast; the corpus never shuffles at all. (At PB scale the int64
+    // numerator B·w_q·10⁶ needs a rescale of the quantization constants —
+    // the structure is unchanged.) ----
+    Q("t25_mixture_sample",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val c = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .withColumn("w_q", floor(sqrt(col("n").cast("double")) * 1000.0).cast("long"))
+        val tot = c.agg(sum(col("w_q")).as("sw"), sum(col("n")).as("nn"))
+        val rates = c.crossJoin(broadcast(tot))
+          .withColumn("rate_q",
+            least(lit(1000000L),
+              expr("((nn div 2) * w_q * 1000000) div (sw * n)")))
+          .select(col("lang"), col("rate_q"))
+        val bucket = (conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":mix"))),
+          1, 5), 16, 10).cast("long") % 1000000L).as("bucket")
+        docs.select(col("doc_id"), col("lang"), bucket)
+          .join(broadcast(rates), "lang")
+          .filter(col("bucket") < col("rate_q"))
+          .select(col("doc_id"), col("lang"), col("bucket"), col("rate_q"))
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        w AS (SELECT lang, n,
+            CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS w_q FROM c),
+        tot AS (SELECT CAST(sum(w_q) AS BIGINT) AS sw,
+            CAST(sum(n) AS BIGINT) AS nn FROM w),
+        r AS (SELECT lang,
+            CAST(least(1000000, ((nn // 2) * w_q * 1000000) // (sw * n)) AS BIGINT)
+              AS rate_q
+          FROM w CROSS JOIN tot),
+        d AS (SELECT doc_id, lang,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 5))
+              AS BIGINT) % 1000000 AS bucket
+          FROM documents)
+        SELECT doc_id, d.lang, bucket, rate_q
+        FROM d JOIN r ON d.lang = r.lang
+        WHERE bucket < rate_q"""))
   )
 }

@@ -17,6 +17,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(cols == Set("doc_id", "lang"), s"scan read $cols")
   }
 
+  test("t25 mixture sampling flattens the mixture and prunes the text column") {
+    val df = SparkEntry.queries("t25_mixture_sample")(spark, sfSmoke)
+    // the corpus scan feeds only (doc_id, lang) — never the text payload
+    val cols = scans(df).flatMap(_.requiredSchema.fieldNames).toSet
+    assert(cols == Set("doc_id", "lang"), s"scan read $cols")
+    // temperature α=0.5 ⇒ keep-rate ∝ 1/√n: strictly anti-monotone in
+    // language size. rate_q is deterministic (integer arithmetic over
+    // counts), so assert on it directly, not on hash-noisy realized counts.
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val n = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = df.select("lang", "rate_q").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for {
+      (la, ra) <- rates; (lb, rb) <- rates
+      if n(la) < n(lb)
+    } assert(ra >= rb, s"smaller lang $la rate $ra < larger $lb rate $rb")
+    // budget holds roughly (md5-bucket noise only): ~N/2 docs survive
+    val kept = df.count().toDouble
+    val total = docs.count().toDouble
+    assert(kept > 0.25 * total && kept < 0.9 * total,
+      s"budget off: kept $kept of $total")
+  }
+
   test("q03 pushes filter predicates into the parquet scan") {
     val df = SparkEntry.queries("q03_filter_predicates")(spark, sfSmoke)
     val pushed = scans(df).flatMap(_.metadata.get("PushedFilters")).mkString
