@@ -857,6 +857,42 @@ object TextQueries {
           FROM documents)
         SELECT doc_id, d.lang, bucket, rate_q
         FROM d JOIN r ON d.lang = r.lang
-        WHERE bucket < rate_q"""))
+        WHERE bucket < rate_q""")),
+
+    // ---- weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    // per source, keep the k docs with top priority ln(u)/w where u is the
+    // doc's md5-uniform and w its weight (n_chars here; in production a
+    // quality score) — each doc's inclusion probability is ∝ its weight,
+    // jointly without replacement, in ONE pass with no RNG state. The
+    // priority is quantized to floor(1e12·ln u / w) int64 (t24's trick) with
+    // doc_id as total-order tiebreak, so the selection is deterministic at
+    // any partitioning and cross-engine. Scale shape: the rank filter pushes
+    // to WindowGroupLimit (plan-audited for q12), so each map task keeps
+    // only k rows per source BEFORE the shuffle — the exchange carries
+    // O(k·sources·tasks), never the corpus. ----
+    Q("t26_weighted_sample",
+      (s, dir) => {
+        val u = (conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":wrs"))), 1, 5),
+          16, 10).cast("long") + 1L).cast("double") / 1048576.0
+        val keyQ = floor(lit(1e12) * log(u) / col("n_chars")).cast("long")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("key_q").desc, col("doc_id"))
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("key_q", keyQ)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 10)
+          .select(col("doc_id"), col("source"), col("key_q"))
+      },
+      Some("""WITH k AS (SELECT doc_id, source,
+          CAST(floor(1000000000000.0 *
+            ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wrs'), 1, 5))
+              AS BIGINT) + 1) / 1048576.0) / n_chars) AS BIGINT) AS key_q
+          FROM documents),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY key_q DESC, doc_id) AS rn FROM k)
+        SELECT doc_id, source, key_q FROM r WHERE rn <= 10"""))
   )
 }

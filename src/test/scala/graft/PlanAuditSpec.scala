@@ -41,6 +41,22 @@ class PlanAuditSpec extends SparkSpec {
       s"budget off: kept $kept of $total")
   }
 
+  test("t26 weighted sample pushes the top-k to WindowGroupLimit and biases to weight") {
+    val df = SparkEntry.queries("t26_weighted_sample")(spark, sfSmoke)
+    // map-side per-group limit: the shuffle carries O(k·sources), not the corpus
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
+    // A-ES property on the fixed corpus: selection ∝ n_chars, so the
+    // sample's mean weight exceeds the corpus mean (deterministic here —
+    // the md5 priorities are data, not RNG)
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val sampleMean = df.join(docs, "doc_id")
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
+    val corpusMean = docs.agg(org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"no weight bias: sample $sampleMean vs corpus $corpusMean")
+  }
+
   test("q03 pushes filter predicates into the parquet scan") {
     val df = SparkEntry.queries("q03_filter_predicates")(spark, sfSmoke)
     val pushed = scans(df).flatMap(_.metadata.get("PushedFilters")).mkString
