@@ -117,6 +117,49 @@ object ModelQueries {
             FROM orders GROUP BY 1)
           SELECT yr, rc/100.0 AS revenue, (rc/100.0)/factor AS discounted_revenue
           FROM yearly JOIN (VALUES $vals) f(yr, factor) USING (yr)"""
-      })
+      }),
+
+    // ---- per-group OLS trend (closed form) — the distributed version of
+    // the reference simulator's history→trend fit
+    // (Model/Factory_elect_simulator_update.py:183-233 fits per-factory
+    // rates; here: revenue-vs-month slope per order priority). Two
+    // partial-aggregable groupBys: monthly cents rollup, then the five
+    // moment sums (n, Σx, Σy, Σxy, Σx²) — every moment exact int64, so
+    // slope numerator n·Σxy−Σx·Σy and denominator n·Σx²−(Σx)² are
+    // bit-exact at any partition count; only the final display division is
+    // float. No driver-side fitting, no per-group model objects — a million
+    // groups fit the same way as five. ----
+    Q("q50_ols_trend",
+      (s, dir) => {
+        val monthly = T(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("priority"),
+            // month index since 1992-01: keeps x small so the int64 moment
+            // products n·Σxy / sx·sy hold headroom up to sf ≫ 1
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 23904)
+              .cast("long").as("x"))
+          .agg(sum(cents(col("o_totalprice"))).as("y"))
+        monthly.groupBy(col("priority"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("priority"), col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+          .withColumn("slope_cents_per_month",
+            col("num").cast("double") / col("den"))
+      },
+      Some(s"""WITH monthly AS (
+          SELECT o_orderpriority AS priority,
+            CAST(year(o_orderdate)*12 + month(o_orderdate) - 23904 AS BIGINT) AS x,
+            ${sqlSumC("o_totalprice")} AS y
+          FROM orders GROUP BY 1, 2),
+        m AS (SELECT priority, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+          FROM monthly GROUP BY 1)
+        SELECT priority, n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den,
+          CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx)
+            AS slope_cents_per_month
+        FROM m"""))
   )
 }
