@@ -46,4 +46,27 @@ object Profile {
     profile(df, cols)
       .filter(col("n_null") > 0)
       .select(col("column"), col("n_null"))
+
+  /** Join-key skew diagnosis — the pre-flight for [[Scale.saltedJoin]]: the
+    * `topK` hottest key values with row count, corpus share (ppm), and the
+    * salt factor that would spread that key across mean-sized reducers at
+    * the given `parallelism` (rec_salt = ceil(cnt · parallelism / total); a
+    * uniform key recommends 1 — no salting). One partial-aggregable groupBy
+    * plus a TakeOrderedAndProject top-k (per-partition heads merged on the
+    * driver — never a global sort), so diagnosing a 100 TB fact key costs
+    * one scan. All outputs integer arithmetic: deterministic at any
+    * partition count, oracle-gated as q51. */
+  def keySkew(df: DataFrame, key: String, topK: Int = 10,
+              parallelism: Int = 32): DataFrame = {
+    val counts = df.groupBy(col(key).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("cnt * 1000000 div total"))
+      .withColumn("rec_salt",
+        expr(s"(cnt * $parallelism + total - 1) div total"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+      .select(col("key"), col("cnt"), col("share_ppm"), col("rec_salt"))
+  }
 }

@@ -1128,5 +1128,22 @@ object RelationalQueries {
       Some("""SELECT l_orderkey, l_linenumber, l_quantity,
         row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rid
         FROM lineitem"""))
+,
+    // ---- join-key skew diagnosis (operators/Profile.keySkew): the
+    // pre-flight that decides whether a fact join needs Scale.saltedJoin,
+    // and with what factor. One partial-aggregable count per key + a
+    // TakeOrderedAndProject top-k — never a global sort; outputs are pure
+    // integer arithmetic (share in ppm, rec_salt = ceil(cnt·P/total)), so
+    // the diagnosis is deterministic and cross-engine checkable. ----
+    Q("q51_key_skew",
+      (s, dir) => graft.operators.Profile.keySkew(
+        T(s, dir, "orders"), "o_orderpriority", topK = 10, parallelism = 32),
+      Some("""WITH c AS (SELECT CAST(o_orderpriority AS VARCHAR) AS key,
+            CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        SELECT key, cnt, cnt * 1000000 // total AS share_ppm,
+          (cnt * 32 + total - 1) // total AS rec_salt
+        FROM c CROSS JOIN t
+        ORDER BY cnt DESC, key LIMIT 10"""))
   )
 }

@@ -20,6 +20,21 @@ class ProfileSpec extends SparkSpec {
     assert(got("v") == ((4L, 1L, 2L)))
   }
 
+  test("keySkew flags the hot key with a proportionate salt factor, top-k without global sort") {
+    // 80% of rows on one key at parallelism 8 → the hot key must recommend
+    // ceil(0.8·8) = 7 salts; uniform keys recommend 1
+    val rows = (1 to 1000).map(i => if (i <= 800) "hot" else s"k${i % 10}")
+    val df = rows.toDF("k")
+    val got = Profile.keySkew(df, "k", topK = 3, parallelism = 8)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort in plan:\n$plan")
+    val top = got.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(top.head._1 == "hot" && top.head._2 == 800L)
+    assert(top.head._3 == 800000L && top.head._4 == 7L)
+    assert(top.tail.forall(_._4 == 1L), s"uniform keys over-salted: ${top.toSeq}")
+  }
+
   test("checkNotNull reports only violating columns") {
     val df = Seq((1L, Some("a")), (2L, None)).toDF("id", "s")
     val bad = Profile.checkNotNull(df, Seq("id", "s")).collect()
