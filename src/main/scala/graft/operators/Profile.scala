@@ -47,6 +47,32 @@ object Profile {
       .filter(col("n_null") > 0)
       .select(col("column"), col("n_null"))
 
+  /** Distribution drift between two dataset snapshots — the ingest QA gate
+    * that catches a composition shift (a crawler dropping a language, a
+    * source exploding) BEFORE a bad drop trains: per-value shares of `key`
+    * in each snapshot in ppm, their absolute drift, side by side. Total
+    * variation distance = Σ drift_ppm / 2e6. Each side is one
+    * partial-aggregable count; the share join is value-cardinality-sized
+    * (broadcast); all integer arithmetic — deterministic at any partition
+    * count and cross-engine (oracle-gated as q52). Missing values on either
+    * side count as share 0 (full outer join), which is exactly the signal
+    * a vanished language should raise. */
+  def distributionDrift(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    def shares(df: DataFrame, side: String) = {
+      val counts = df.groupBy(col(key).cast("string").as("key"))
+        .agg(count(lit(1)).as(s"cnt_$side"))
+      counts.crossJoin(broadcast(
+          counts.agg(sum(col(s"cnt_$side")).as(s"total_$side"))))
+        .withColumn(s"share_${side}_ppm",
+          expr(s"cnt_$side * 1000000 div total_$side"))
+        .select(col("key"), col(s"share_${side}_ppm"))
+    }
+    shares(a, "a").join(shares(b, "b"), Seq("key"), "full_outer")
+      .na.fill(0L, Seq("share_a_ppm", "share_b_ppm"))
+      .withColumn("drift_ppm",
+        abs(col("share_a_ppm") - col("share_b_ppm")))
+  }
+
   /** Join-key skew diagnosis — the pre-flight for [[Scale.saltedJoin]]: the
     * `topK` hottest key values with row count, corpus share (ppm), and the
     * salt factor that would spread that key across mean-sized reducers at

@@ -1144,6 +1144,32 @@ object RelationalQueries {
         SELECT key, cnt, cnt * 1000000 // total AS share_ppm,
           (cnt * 32 + total - 1) // total AS rec_salt
         FROM c CROSS JOIN t
-        ORDER BY cnt DESC, key LIMIT 10"""))
+        ORDER BY cnt DESC, key LIMIT 10""")),
+
+    // ---- snapshot distribution drift (operators/Profile.distributionDrift):
+    // the ingest QA gate between two corpus drops — per-language ppm shares
+    // side by side with their absolute drift (TV distance = Σ drift/2e6).
+    // Stand-in snapshots: the even/odd doc_id halves. Two partial-aggregable
+    // counts + a value-cardinality-sized full-outer join; a language present
+    // in only one snapshot surfaces with share 0 on the other side. ----
+    Q("q52_dist_drift",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        graft.operators.Profile.distributionDrift(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), "lang")
+      },
+      Some("""WITH a AS (SELECT CAST(lang AS VARCHAR) AS key, count(*) AS c
+            FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        b AS (SELECT CAST(lang AS VARCHAR) AS key, count(*) AS c
+            FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        sa AS (SELECT key, CAST(c * 1000000 // (SELECT sum(c) FROM a) AS BIGINT)
+            AS share_a_ppm FROM a),
+        sb AS (SELECT key, CAST(c * 1000000 // (SELECT sum(c) FROM b) AS BIGINT)
+            AS share_b_ppm FROM b)
+        SELECT key, coalesce(share_a_ppm, 0) AS share_a_ppm,
+          coalesce(share_b_ppm, 0) AS share_b_ppm,
+          abs(coalesce(share_a_ppm, 0) - coalesce(share_b_ppm, 0)) AS drift_ppm
+        FROM sa FULL OUTER JOIN sb USING (key)"""))
   )
 }

@@ -35,6 +35,18 @@ class ProfileSpec extends SparkSpec {
     assert(top.tail.forall(_._4 == 1L), s"uniform keys over-salted: ${top.toSeq}")
   }
 
+  test("distributionDrift surfaces vanished values with share 0 and exact ppm drift") {
+    val a = (Seq.fill(50)("en") ++ Seq.fill(30)("de") ++ Seq.fill(20)("fr")).toDF("lang")
+    val b = (Seq.fill(80)("en") ++ Seq.fill(20)("de")).toDF("lang") // fr vanished
+    val got = Profile.distributionDrift(a, b, "lang").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("fr") == ((200000L, 0L, 200000L)), s"vanished value missed: $got")
+    assert(got("en") == ((500000L, 800000L, 300000L)))
+    assert(got("de") == ((300000L, 200000L, 100000L)))
+    // TV distance = Σ drift / 2e6 = 0.3
+    assert(got.values.map(_._3).sum == 600000L)
+  }
+
   test("checkNotNull reports only violating columns") {
     val df = Seq((1L, Some("a")), (2L, None)).toDF("id", "s")
     val bad = Profile.checkNotNull(df, Seq("id", "s")).collect()
