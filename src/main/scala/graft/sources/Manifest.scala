@@ -40,14 +40,57 @@ object Manifest {
       .write.mode("overwrite").parquet(manifestPath(dataDir))
   }
 
+  /** Current data files of the directory (one FS listing — the same driver
+    * cost every read already pays), `_`/`.`-prefixed paths excluded. */
+  private def listDataFiles(spark: SparkSession, dataDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(_.isFile)
+      .map(_.getPath)
+      .filter(n => !n.getName.startsWith("_") && !n.getName.startsWith("."))
+      .map(_.toString)
+  }
+
   /** Paths of the files whose [min, max] range on `keyCol` intersects
-    * [lo, hi] — the driver-side planning lookup. */
+    * [lo, hi] — the driver-side planning lookup. Files present in the
+    * directory but ABSENT from the manifest (appended since the last
+    * [[write]]) are included unconditionally: a stale manifest must never
+    * drop rows, it only prunes less until refreshed. Matching is by file
+    * name (unique within a directory) so the manifest's
+    * `input_file_name()` URIs and the FS listing's need no scheme
+    * normalization. */
   def pruneFiles(spark: SparkSession, dataDir: String, keyCol: String,
                  lo: Any, hi: Any): Seq[String] = {
-    spark.read.parquet(manifestPath(dataDir))
-      .filter(col(s"max_$keyCol") >= lit(lo) && col(s"min_$keyCol") <= lit(hi))
-      .select("file")
-      .collect().map(_.getString(0)).toSeq
+    val entries = spark.read.parquet(manifestPath(dataDir))
+      .select(col("file"), col(s"min_$keyCol").as("mn"), col(s"max_$keyCol").as("mx"))
+      .collect()
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val selected = entries
+      .collect { case r if rangeIntersects(r.get(1), r.get(2), lo, hi) => base(r.getString(0)) }
+      .toSet
+    val manifested = entries.map(r => base(r.getString(0))).toSet
+    listDataFiles(spark, dataDir)
+      .filter(f => selected.contains(base(f)) || !manifested.contains(base(f)))
+  }
+
+  /** [mn, mx] ∩ [lo, hi] ≠ ∅ with null stats treated as unbounded. */
+  private def rangeIntersects(mn: Any, mx: Any, lo: Any, hi: Any): Boolean = {
+    def integral(n: Number) = n.isInstanceOf[java.lang.Long] ||
+      n.isInstanceOf[java.lang.Integer] || n.isInstanceOf[java.lang.Short] ||
+      n.isInstanceOf[java.lang.Byte]
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      // long-exact compare for integral keys (a double round-trip is lossy
+      // past 2^53 and a wrong compare here DROPS a file)
+      case (x: Number, y: Number) if integral(x) && integral(y) =>
+        java.lang.Long.compare(x.longValue(), y.longValue())
+      case (x: Number, y: Number) =>
+        java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+      case (x: Comparable[_], y) =>
+        x.asInstanceOf[Comparable[Any]].compareTo(y)
+      case _ => 0
+    }
+    (mx == null || cmp(mx, lo) >= 0) && (mn == null || cmp(mn, hi) <= 0)
   }
 
   /** Read only the manifest-selected files, with the exact predicate kept on

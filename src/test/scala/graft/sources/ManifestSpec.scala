@@ -35,6 +35,31 @@ class ManifestSpec extends SparkSpec {
     assert(n <= 2, s"manifest did not prune: read $n of 16 files")
   }
 
+  test("a stale manifest never drops rows: unmanifested files are read unconditionally") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest_stale").toString
+    spark.range(10000L).select(col("id").as("k"), col("id").as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(dir)
+    Manifest.write(spark, dir, Seq("k"))
+    // an ingest appends AFTER the manifest snapshot — including keys inside
+    // the queried range
+    spark.range(10000L, 10100L).select(col("id").as("k"), (col("id") + 1L).as("v"))
+      .unionByName(spark.range(500L, 510L)
+        .select((col("id") + 100000L).as("k"), col("id").as("v")))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val pruned = Manifest.prunedRead(spark, dir, "k", 10050L, 10060L)
+    val full = spark.read.parquet(dir)
+      .filter(col("k") >= 10050L && col("k") <= 10060L)
+    assert(pruned.as[(Long, Long)].collect().toSet ==
+      full.as[(Long, Long)].collect().toSet)
+    assert(pruned.count() == 11L, "appended rows dropped by stale manifest")
+    // refresh restores tight pruning and keeps exactness
+    Manifest.write(spark, dir, Seq("k"))
+    val refreshed = Manifest.prunedRead(spark, dir, "k", 10050L, 10060L)
+    assert(refreshed.as[(Long, Long)].collect().toSet ==
+      full.as[(Long, Long)].collect().toSet)
+  }
+
   test("manifest pruning with no intersecting file yields an empty typed frame") {
     val dir = java.nio.file.Files.createTempDirectory("manifest_empty").toString
     spark.range(1000L).select(col("id").as("k"), col("id").as("v"))
