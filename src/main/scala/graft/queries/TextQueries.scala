@@ -67,15 +67,20 @@ object TextQueries {
     * the t20 pipeline rollup), parameterized over the source CTE/table —
     * the DF cap is relative to THAT corpus, exactly like the engine's
     * `jaccardPairs(input)`. */
+  // multiply-consumed CTEs are AS MATERIALIZED: DuckDB otherwise inlines a
+  // CTE into EACH consumer, so `kept a JOIN kept b` (and every stage above
+  // it) would be re-derived per reference — at sf0.1 that turns a feasible
+  // oracle into a spilling recompute storm. Materialization only pins
+  // evaluation order; results are unchanged.
   private def sqlNearDupPairsFrom(src: String): String =
-    s"""WITH grams AS (
+    s"""WITH grams AS MATERIALIZED (
         SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 4) AS tok
         FROM (SELECT doc_id, text,
                 unnest(range(1, greatest(length(text) - 2, 1))) AS i
               FROM $src) g),
       rare AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM grams GROUP BY tok)
                WHERE df * 10 <= (SELECT count(*) FROM $src)),
-      kept AS (SELECT grams.doc_id, grams.tok FROM grams JOIN rare USING (tok)),
+      kept AS MATERIALIZED (SELECT grams.doc_id, grams.tok FROM grams JOIN rare USING (tok)),
       counts AS (SELECT doc_id, count(*) AS n_tok FROM kept GROUP BY doc_id),
       pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
                 FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -107,7 +112,7 @@ object TextQueries {
     * a WITH RECURSIVE prefix ending in `lab(doc_id, cluster_id)` — t11 and
     * t14 append their own final SELECT. */
   private val sqlDupLabels =
-    s"""WITH RECURSIVE dup AS ($sqlNearDupPairs),
+    s"""WITH RECURSIVE dup AS MATERIALIZED ($sqlNearDupPairs),
       $sqlCcTail"""
 
   val all: Seq[Q] = Seq(
@@ -587,13 +592,13 @@ object TextQueries {
         clean AS (SELECT * FROM scored
           WHERE n_tok BETWEEN 10 AND 200 AND alpha_ratio >= 0.81
             AND NOT regexp_matches(text, '[^\\x00-\\x7F]')),
-        exactd AS (SELECT doc_id, text, source, n_tok FROM (
+        exactd AS MATERIALIZED (SELECT doc_id, text, source, n_tok FROM (
             SELECT *, row_number() OVER (PARTITION BY md5(text)
               ORDER BY doc_id) AS rn
             FROM clean) x WHERE rn = 1),
-        dup AS (${sqlNearDupPairsFrom("exactd")}),
+        dup AS MATERIALIZED (${sqlNearDupPairsFrom("exactd")}),
         $sqlCcTail,
-        dedup AS (SELECT * FROM exactd WHERE doc_id NOT IN
+        dedup AS MATERIALIZED (SELECT * FROM exactd WHERE doc_id NOT IN
           (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)),
         eg AS (SELECT DISTINCT array_to_string(words[j:j+2], ' ') AS gram
           FROM (SELECT string_split(text, ' ') AS words FROM documents
@@ -605,14 +610,14 @@ object TextQueries {
         contam AS (SELECT doc_id FROM (
             SELECT tg.doc_id, count(*) AS c FROM tg JOIN eg USING (gram)
             GROUP BY 1) x WHERE c >= 5),
-        decon AS (SELECT * FROM dedup WHERE doc_id NOT IN
+        decon AS MATERIALIZED (SELECT * FROM dedup WHERE doc_id NOT IN
           (SELECT doc_id FROM contam)),
-        bg AS (SELECT doc_id, ws[j] AS w1, ws[j+1] AS w2
+        bg AS MATERIALIZED (SELECT doc_id, ws[j] AS w1, ws[j+1] AS w2
           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM decon) w,
             LATERAL (SELECT unnest(range(1, greatest(len(ws)-1, 0)+1)) AS j) r),
         bc12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
         bc1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc12 GROUP BY 1),
-        lms AS (SELECT doc_id,
+        lms AS MATERIALIZED (SELECT doc_id,
             round(CAST(sum(lp) AS DOUBLE)/count(*)/10000.0, 4) AS avg_logp
           FROM (SELECT bg.doc_id,
               CAST(floor(10000.0 * ln(CAST(bc12.c12 AS DOUBLE)/bc1.c1))
@@ -620,10 +625,10 @@ object TextQueries {
             FROM bg JOIN bc12 USING (w1, w2) JOIN bc1 USING (w1)) q
           GROUP BY doc_id),
         lmcut AS (SELECT quantile_cont(avg_logp, 0.1) AS cut FROM lms),
-        lmf AS (SELECT decon.* FROM decon
+        lmf AS MATERIALIZED (SELECT decon.* FROM decon
           JOIN lms USING (doc_id) CROSS JOIN lmcut
           WHERE lms.avg_logp >= lmcut.cut),
-        samp AS (SELECT * FROM (
+        samp AS MATERIALIZED (SELECT * FROM (
             SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source
               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum
             FROM lmf) x WHERE cum <= 600)
