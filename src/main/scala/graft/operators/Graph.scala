@@ -106,4 +106,50 @@ object Graph {
     e2.unpersist()
     labels.select(col("id"), col("label").as("component"))
   }
+
+  /** Quantized PageRank — link-based quality seeding (the CCNet/Common
+    * Crawl idea: rank pages by the link graph, seed document quality from
+    * the rank). The recurrence runs in EXACT integer micro-units,
+    *   pr' = 150000 + (85 · Σ_incoming (pr div outdeg)) div 100
+    * (damping 0.85, base 0.15, unit 1e6), so — unlike float PageRank,
+    * whose partial sums differ by reduction order — every iteration is
+    * bit-identical at any partition count and cross-engine (oracle-gated
+    * as q53 with the same unrolled recurrence in SQL).
+    *
+    * Scale shape: one BSP round = one equi-join of the edge set against
+    * the rank frame + one partial-aggregable groupBy on dst — the
+    * join-aggregate iteration GraphX/Pregel runs, expressed declaratively.
+    * The out-degree join is precomputed once. For the handful of
+    * iterations quality seeding needs the unrolled lazy plan is fine;
+    * longer runs should localCheckpoint per round exactly like
+    * [[connectedComponents]] (the lineage note there applies).
+    *
+    * @param edges two-column (src, dst) directed edge frame (pass both
+    *   directions for an undirected graph); duplicate edges are collapsed
+    * @param iters BSP rounds to run
+    * @return (node, pr) with pr in 1e-6 units (a rank of 1.0 = 1000000) */
+  def pageRankQ(edges: DataFrame, iters: Int): DataFrame = {
+    val Array(srcCol, dstCol) = edges.columns
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withDeg = e.join(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(pr.select(col("node").as("src"), col("pr")), Seq("src"))
+        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
+    }
+    pr
+  }
 }

@@ -1170,6 +1170,48 @@ object RelationalQueries {
         SELECT key, coalesce(share_a_ppm, 0) AS share_a_ppm,
           coalesce(share_b_ppm, 0) AS share_b_ppm,
           abs(coalesce(share_a_ppm, 0) - coalesce(share_b_ppm, 0)) AS drift_ppm
-        FROM sa FULL OUTER JOIN sb USING (key)"""))
+        FROM sa FULL OUTER JOIN sb USING (key)""")),
+
+    // ---- link-graph quality seeding (operators/Graph.pageRankQ): CCNet's
+    // centrality-seeded quality idea on the customer↔supplier trade graph
+    // (stand-in for a web link graph). Three BSP join-aggregate rounds of
+    // the EXACT-INTEGER PageRank recurrence — float PR would differ by
+    // reduction order across engines/partitionings; the quantized form is
+    // bit-identical, so an iterative graph algorithm sits on the hash
+    // oracle gate (the SQL unrolls the same three rounds). ----
+    Q("q53_pagerank",
+      (s, dir) => {
+        val cs = T(s, dir, "orders")
+          .join(T(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+        val und = cs.unionByName(
+          cs.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.Graph.pageRankQ(und, 3)
+      },
+      Some {
+        val iter = (k: Int) =>
+          s"""p$k AS MATERIALIZED (SELECT n.node,
+              CAST(150000 + (85 * coalesce(x.s, 0)) // 100 AS BIGINT) AS pr
+            FROM n LEFT JOIN (
+              SELECT e.dst AS node, CAST(sum(pr // outdeg) AS BIGINT) AS s
+              FROM e JOIN o USING (src)
+              JOIN p${k - 1} ON p${k - 1}.node = e.src
+              GROUP BY 1) x USING (node))"""
+        s"""WITH und AS MATERIALIZED (
+            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+              's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS MATERIALIZED (
+            SELECT src, dst FROM und UNION SELECT dst, src FROM und),
+          o AS MATERIALIZED (
+            SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+          n AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+          p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+          ${iter(1)}, ${iter(2)}, ${iter(3)}
+          SELECT node, pr FROM p3"""
+      })
   )
 }

@@ -45,4 +45,20 @@ class GraphSpec extends SparkSpec {
     assert(local == bsp)
     assert(bsp(7L) == 1L && bsp(12L) == 10L && bsp(21L) == 20L)
   }
+
+  test("pageRankQ follows the exact integer recurrence (hand-computed)") {
+    import spark.implicits._
+    // a⇄b plus c→a: after round 1, a holds 150000 + 85%·(1e6 + 1e6);
+    // after round 2 the c source has decayed to its floor and a's rank
+    // reflects b's unchanged 1e6 plus c's 150000
+    val edges = Seq(("a", "b"), ("b", "a"), ("c", "a")).toDF("s", "d")
+    val r1 = Graph.pageRankQ(edges, 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == Map("a" -> 1850000L, "b" -> 1000000L, "c" -> 150000L))
+    val r2 = Graph.pageRankQ(edges, 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2 == Map("a" -> 1127500L, "b" -> 1722500L, "c" -> 150000L))
+    // total mass is conserved up to the integer-floor loss (≤ 1 unit/node)
+    assert(r2.values.sum <= 3000000L && r2.values.sum > 2990000L)
+  }
 }
