@@ -829,7 +829,7 @@ object RelationalQueries {
             JOIN v_nation ON c_nationkey = n_nationkey
             JOIN v_region ON n_regionkey = r_regionkey)
           SELECT r_name, n_name, count(*) AS n_orders,
-            CAST(sum(price_c) AS BIGINT)/100.0 AS total_revenue
+            CAST(sum(price_c) AS DOUBLE)/100.0 AS total_revenue
           FROM base
           GROUP BY r_name, n_name
           HAVING count(*) > 100""")
