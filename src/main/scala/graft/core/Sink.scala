@@ -43,6 +43,19 @@ object Sink {
   /** Read back a table written by the writers above. */
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
+  /** True only for the "no table at this path yet" analysis failure.
+    * Catching AnalysisException wholesale would also swallow schema drift /
+    * missing-column errors and silently treat CORRUPT state as ABSENT
+    * state — a first-load fallback must key on this predicate alone. */
+  private[graft] def pathMissing(e: org.apache.spark.sql.AnalysisException): Boolean =
+    Option(e.getCondition).exists {
+      // UNABLE_TO_INFER_SCHEMA is parquet's "directory exists but holds no
+      // data files" — the state of a pre-created empty table dir. Corrupt
+      // files fail differently (footer SparkException), not here.
+      case "PATH_NOT_FOUND" | "UNABLE_TO_INFER_SCHEMA" => true
+      case _ => false
+    } || e.getMessage.contains("Path does not exist")
+
   /** Keyed delete-then-append for non-partition-aligned predicates: rewrite
     * only the partitions that contain matching rows, dropping matches and
     * unioning the replacement. This is the general fallback the JDBC sink
@@ -56,7 +69,7 @@ object Sink {
     val existing =
       try spark.read.parquet(path)
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
+        case e: org.apache.spark.sql.AnalysisException if pathMissing(e) =>
           overwritePartitions(df, path, partitionCols)
           return
       }

@@ -111,14 +111,27 @@ object CorpusPipeline {
     val lmFiltered =
       if (cfg.lmDropFraction <= 0.0) decontaminated
       else {
+        // scores is consumed twice (percentile cut, then the semi-join
+        // filter) and costs two corpus-wide groupBys plus a shuffle join —
+        // pin it so the second consumer reads the cache, not the lineage
         val scores = graft.operators.LangModel.bigramScores(
           decontaminated.select(col("doc_id"), col("text")))
-        val cut = scores
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cutRow = scores
           .agg(expr(s"percentile(avg_logp, ${cfg.lmDropFraction})"))
-          .head().getDouble(0)
-        decontaminated.join(
-          scores.filter(col("avg_logp") >= cut).select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
+          .head()
+        if (cutRow.isNullAt(0)) { // empty corpus: percentile is NULL
+          scores.unpersist()
+          decontaminated
+        } else {
+          val cut = cutRow.getDouble(0)
+          val kept = decontaminated.join(
+            scores.filter(col("avg_logp") >= cut).select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+            .localCheckpoint() // materialize, then the score cache can go
+          scores.unpersist()
+          kept
+        }
       }
 
     // 6. per-source token budget (t19 semantics): md5-shuffle prefix

@@ -1,6 +1,7 @@
 package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
 /** Warehouse maintenance: the two rewrite jobs a parquet medallion layout
@@ -44,7 +45,11 @@ object Maintenance {
     val fragmented = partitionDirs(path, partitionCol)
       .filter(d => parquetFiles(d).size > maxFilesPerPartition)
     fragmented.map { d =>
-      val value = d.getName.stripPrefix(s"$partitionCol=")
+      // directory names carry the Hive-escaped form (space → %20 etc.);
+      // unescape before re-using as the column VALUE, or the rewrite
+      // double-escapes (mon=a%2520b) and splits the partition
+      val value = ExternalCatalogUtils.unescapePathName(
+        d.getName.stripPrefix(s"$partitionCol="))
       val compacted = spark.read.parquet(d.toString)
         .withColumn(partitionCol, lit(value))
         .coalesce(1)
@@ -69,7 +74,10 @@ object Maintenance {
     val touchedVals = touched.map(_._1)
     val kept = t
       .filter(col(partitionCol).cast("string").isin(touchedVals: _*))
-      .filter(!col(keyCol).isin(keys: _*))
+      // NULL keys must survive: `!isin` is NULL (not true) for a null key
+      // under three-valued logic, so a bare filter would silently delete
+      // every null-key row in a touched partition
+      .filter(col(keyCol).isNull || !col(keyCol).isin(keys: _*))
       .localCheckpoint()
     val keptPerPart = kept.groupBy(col(partitionCol)).agg(count(lit(1)))
       .collect().map(_.get(0).toString).toSet
@@ -77,7 +85,9 @@ object Maintenance {
       graft.core.Sink.overwritePartitions(kept, path, Seq(partitionCol))
     // partitions whose every row was deleted: drop the directory
     touchedVals.filterNot(keptPerPart).foreach { v =>
-      val dir = new java.io.File(path, s"$partitionCol=$v")
+      // touchedVals hold raw column VALUES; the directory name is escaped
+      val dir = new java.io.File(
+        path, s"$partitionCol=${ExternalCatalogUtils.escapePathName(v)}")
       parquetFiles(dir).foreach(_.delete())
       Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
       dir.delete()

@@ -119,10 +119,12 @@ object Graph {
     * Scale shape: one BSP round = one equi-join of the edge set against
     * the rank frame + one partial-aggregable groupBy on dst — the
     * join-aggregate iteration GraphX/Pregel runs, expressed declaratively.
-    * The out-degree join is precomputed once. For the handful of
-    * iterations quality seeding needs the unrolled lazy plan is fine;
-    * longer runs should localCheckpoint per round exactly like
-    * [[connectedComponents]] (the lineage note there applies).
+    * The out-degree join is precomputed once. From the fourth round on,
+    * every round localCheckpoints — the unrolled plan otherwise gains a
+    * join+agg level per iteration and driver analysis time dominates,
+    * exactly the lineage trap [[connectedComponents]] documents. The
+    * result is always materialized before the internal caches are
+    * released, so repeated calls do not accumulate pinned RDDs.
     *
     * @param edges two-column (src, dst) directed edge frame (pass both
     *   directions for an undirected graph); duplicate edges are collapsed
@@ -141,7 +143,7 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     var pr = nodes.withColumn("pr", lit(1000000L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = withDeg
         .join(pr.select(col("node").as("src"), col("pr")), Seq("src"))
         .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
@@ -149,7 +151,18 @@ object Graph {
       pr = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
+      // beyond a few rounds the unrolled plan grows a join+agg level per
+      // iteration and driver analysis time dominates (the same trap
+      // connectedComponents hit at 228 s) — cut lineage per round rather
+      // than trust callers to read a comment. Below the threshold the
+      // lazy plan is cheaper than a materialization barrier.
+      if (i >= 4) pr = pr.localCheckpoint(true)
     }
-    pr
+    // materialize the result before releasing the caches it reads from,
+    // so repeated calls never leak e/withDeg for the driver's lifetime
+    val out = if (iters >= 4) pr else pr.localCheckpoint(true)
+    e.unpersist()
+    withDeg.unpersist()
+    out
   }
 }

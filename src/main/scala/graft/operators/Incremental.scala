@@ -137,7 +137,11 @@ object Incremental {
           .join(touched, Seq(partitionCol), "left_semi")
         merge(groupCols, existing, deltaPartials)
       } catch {
-        case _: AnalysisException => // first slice: no state table yet
+        // ONLY path-not-found means "first slice, no state yet"; any other
+        // analysis failure (schema drift, missing groupCol in old state)
+        // must surface, or touched partitions get overwritten with
+        // delta-only partials and history counts are silently lost
+        case e: AnalysisException if graft.core.Sink.pathMissing(e) =>
           merge(groupCols, deltaPartials)
       }
     graft.core.Sink.overwritePartitions(merged, statePath, Seq(partitionCol))

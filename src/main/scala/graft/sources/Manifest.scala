@@ -62,35 +62,34 @@ object Manifest {
     * normalization. */
   def pruneFiles(spark: SparkSession, dataDir: String, keyCol: String,
                  lo: Any, hi: Any): Seq[String] = {
-    val entries = spark.read.parquet(manifestPath(dataDir))
-      .select(col("file"), col(s"min_$keyCol").as("mn"), col(s"max_$keyCol").as("mx"))
-      .collect()
+    import spark.implicits._
     def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
-    val selected = entries
-      .collect { case r if rangeIntersects(r.get(1), r.get(2), lo, hi) => base(r.getString(0)) }
-      .toSet
-    val manifested = entries.map(r => base(r.getString(0))).toSet
-    listDataFiles(spark, dataDir)
-      .filter(f => selected.contains(base(f)) || !manifested.contains(base(f)))
-  }
-
-  /** [mn, mx] ∩ [lo, hi] ≠ ∅ with null stats treated as unbounded. */
-  private def rangeIntersects(mn: Any, mx: Any, lo: Any, hi: Any): Boolean = {
-    def integral(n: Number) = n.isInstanceOf[java.lang.Long] ||
-      n.isInstanceOf[java.lang.Integer] || n.isInstanceOf[java.lang.Short] ||
-      n.isInstanceOf[java.lang.Byte]
-    def cmp(a: Any, b: Any): Int = (a, b) match {
-      // long-exact compare for integral keys (a double round-trip is lossy
-      // past 2^53 and a wrong compare here DROPS a file)
-      case (x: Number, y: Number) if integral(x) && integral(y) =>
-        java.lang.Long.compare(x.longValue(), y.longValue())
-      case (x: Number, y: Number) =>
-        java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-      case (x: Comparable[_], y) =>
-        x.asInstanceOf[Comparable[Any]].compareTo(y)
-      case _ => 0
-    }
-    (mx == null || cmp(mx, lo) >= 0) && (mn == null || cmp(mn, hi) <= 0)
+    val m = spark.read.parquet(manifestPath(dataDir))
+    val mn = col(s"min_$keyCol")
+    val mx = col(s"max_$keyCol")
+    // [mn, mx] ∩ [lo, hi] ≠ ∅, null stats unbounded — expressed as a
+    // Column predicate so it reaches the manifest's OWN parquet scan
+    // (PushedFilters + row-group stats on min_/max_): the driver collect
+    // below is over the SURVIVING entries only, not the whole manifest.
+    // Spark compares in the key column's native type (long-exact for
+    // integral keys; a lossy double round-trip here would DROP a file).
+    val intersects =
+      (mx.isNull || mx >= lit(lo)) && (mn.isNull || mn <= lit(hi))
+    val selected = m.filter(intersects)
+      .select(col("file")).collect().map(r => base(r.getString(0))).toSet
+    // Stale-append safety: files in the listing but absent from the
+    // manifest are kept unconditionally — computed as an anti-join of the
+    // (driver-held) listing against the manifest's name column, so the
+    // full manifest is never collected. Envelope: the FS listing itself is
+    // the driver-side bound (~10⁶ names ≈ 100 MB of strings, the same
+    // cost Delta's log replay pays); both collects here return strictly
+    // fewer rows than that (survivors + unmanifested appends).
+    val listed = listDataFiles(spark, dataDir)
+    val unmanifested = listed.map(base).toDF("b")
+      .join(m.select(substring_index(col("file"), "/", -1).as("b")),
+        Seq("b"), "left_anti")
+      .as[String].collect().toSet
+    listed.filter(f => selected.contains(base(f)) || unmanifested.contains(base(f)))
   }
 
   /** Read only the manifest-selected files, with the exact predicate kept on

@@ -78,4 +78,56 @@ class MaintenanceSpec extends SparkSpec {
     assert(parts.isEmpty && n == 0)
     assert(files(path, "mon=2024-01") == before)
   }
+
+  test("forgetKeys keeps null-key rows in touched partitions") {
+    val path = java.nio.file.Files.createTempDirectory("forget_null").toString
+    // 2024-01 holds a targeted row AND a null-key row; 2024-02 holds ONLY
+    // a null-key row plus a targeted row — under three-valued logic a bare
+    // `!isin` filter would delete the null rows and drop 2024-02 entirely
+    Seq((Some(1L), "2024-01"), (None, "2024-01"),
+        (Some(3L), "2024-02"), (None, "2024-02"))
+      .toDF("doc_id", "mon")
+      .repartition(1).write.partitionBy("mon").mode("overwrite").parquet(path)
+
+    val (parts, n) = Maintenance.forgetKeys(spark, path, "mon", "doc_id", Seq(1L, 3L))
+    assert(parts.toSet == Set("2024-01", "2024-02") && n == 2)
+    assert(new java.io.File(path, "mon=2024-02").exists(),
+      "partition holding a null-key row must survive the forget")
+    val left = spark.read.parquet(path)
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(left == Set((None, "2024-01"), (None, "2024-02")),
+      s"null-key rows were lost: $left")
+  }
+
+  test("compactSmallFiles round-trips partition values needing path escaping") {
+    val path = java.nio.file.Files.createTempDirectory("compact_esc").toString
+    // a space and a colon both live in the directory name Hive-escaped
+    // (mon=a%20b%3Ac); naive reuse of the dir name as the VALUE would
+    // rewrite into a double-escaped sibling and split the partition
+    Seq((1L, "a b:c")).toDF("id", "mon")
+      .repartition(1).write.partitionBy("mon").mode("overwrite").parquet(path)
+    Seq((2L, "a b:c")).toDF("id", "mon")
+      .repartition(1).write.partitionBy("mon").mode("append").parquet(path)
+    val dirs0 = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs0.size == 1)
+
+    val rewritten = Maintenance.compactSmallFiles(spark, path, "mon")
+    assert(rewritten == Seq("a b:c"))
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == dirs0, s"partition split/double-escaped: $dirs")
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a b:c"), (2L, "a b:c")))
+  }
+
+  test("forgetKeys drops an emptied partition whose value needs escaping") {
+    val path = java.nio.file.Files.createTempDirectory("forget_esc").toString
+    Seq((1L, "a b"), (2L, "plain")).toDF("doc_id", "mon")
+      .repartition(1).write.partitionBy("mon").mode("overwrite").parquet(path)
+    val (parts, n) = Maintenance.forgetKeys(spark, path, "mon", "doc_id", Seq(1L))
+    assert(parts == Seq("a b") && n == 1)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("mon=plain"), s"escaped empty partition not dropped: $dirs")
+  }
 }

@@ -61,4 +61,37 @@ class GraphSpec extends SparkSpec {
     // total mass is conserved up to the integer-floor loss (≤ 1 unit/node)
     assert(r2.values.sum <= 3000000L && r2.values.sum > 2990000L)
   }
+
+  test("pageRankQ plan depth is bounded in the iteration count") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "b")).toDF("s", "d")
+    def planNodes(iters: Int): Int =
+      Graph.pageRankQ(edges, iters).queryExecution.optimizedPlan
+        .collect { case p => p }.size
+    // from round 4 on every round localCheckpoints, so the returned plan
+    // must NOT grow with iters — 12 rounds reads like 5 rounds, not like
+    // a 12-deep unrolled join tree
+    val at5 = planNodes(5)
+    val at12 = planNodes(12)
+    assert(at12 <= at5, s"plan grew with iterations: $at5 -> $at12")
+  }
+
+  test("pageRankQ checkpointed rounds match the driver-computed recurrence") {
+    import spark.implicits._
+    // ring with a feeder; 12 iterations crosses the checkpoint threshold,
+    // so this proves lineage cuts never change the exact integer values
+    val es = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("d", "b"))
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val outdeg = es.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 12) {
+      val in = nodes.map { n =>
+        n -> es.filter(_._2 == n).map(e => rank(e._1) / outdeg(e._1)).sum
+      }.toMap
+      rank = nodes.map(n => n -> (150000L + (85L * in(n)) / 100L)).toMap
+    }
+    val got = Graph.pageRankQ(es.toDF("s", "d"), 12).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == rank)
+  }
 }

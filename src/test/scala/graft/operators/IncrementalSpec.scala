@@ -91,4 +91,24 @@ class IncrementalSpec extends SparkSpec {
       .select("mon", "k", "n", "sum_c", "min_c", "max_c", "avg_amt", "var_amt")
     assert(sortedRows(served) == sortedRows(expected))
   }
+
+  test("refreshState surfaces schema drift instead of treating state as absent") {
+    val path = java.nio.file.Files.createTempDirectory("inc_drift").toString
+    Incremental.refreshState(spark, path,
+      Incremental.partials(facts, group, col("amount")), group, "mon")
+    // second slice arrives keyed on a column the stored state lacks: the
+    // merge must FAIL (an AnalysisException the caller sees), not fall
+    // back to first-load and overwrite history with delta-only partials
+    val drifted = facts.withColumnRenamed("k", "k2")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Incremental.refreshState(spark, path,
+        Incremental.partials(drifted, Seq("k2"), col("amount")), Seq("k2"), "mon")
+    }
+    // the stored state is untouched by the failed refresh
+    val served = Incremental.finalize(spark.read.parquet(path))
+      .select("mon", "k", "n", "sum_c", "min_c", "max_c", "avg_amt", "var_amt")
+    val expected = batch(facts)
+      .select("mon", "k", "n", "sum_c", "min_c", "max_c", "avg_amt", "var_amt")
+    assert(sortedRows(served) == sortedRows(expected))
+  }
 }

@@ -60,6 +60,30 @@ class ManifestSpec extends SparkSpec {
       full.as[(Long, Long)].collect().toSet)
   }
 
+  test("the intersection predicate reaches the manifest's own parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest_push").toString
+    spark.range(100000L).select(col("id").as("k"), col("id").as("v"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(dir)
+    Manifest.write(spark, dir, Seq("k"))
+    // the planning lookup must filter BEFORE collecting: the manifest read
+    // carries pushed min_k/max_k filters, so at 10⁶ files the driver sees
+    // surviving entries, not the whole manifest
+    val m = spark.read.parquet(s"$dir/_graft_manifest")
+      .filter((col("max_k").isNull || col("max_k") >= lit(10L)) &&
+        (col("min_k").isNull || col("min_k") <= lit(20L)))
+    val scan = m.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("max_k") && pushed.contains("min_k"),
+      s"intersection not pushed to the manifest scan: $pushed")
+    // and the lookup itself stays correct on this larger manifest
+    val pruned = Manifest.prunedRead(spark, dir, "k", 10L, 20L)
+    assert(pruned.as[(Long, Long)].collect().map(_._1).toSet == (10L to 20L).toSet)
+    assert(filesRead(pruned) <= 2)
+  }
+
   test("manifest pruning with no intersecting file yields an empty typed frame") {
     val dir = java.nio.file.Files.createTempDirectory("manifest_empty").toString
     spark.range(1000L).select(col("id").as("k"), col("id").as("v"))
