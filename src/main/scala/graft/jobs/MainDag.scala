@@ -223,10 +223,30 @@ object MainDag {
           month, clock), "app", "green_elect_overview")
       }),
       Pipeline.Job("staging_cal:green_elec_pre_contracts", { s =>
-        wr(StagingCal.greenElecPreContracts(
+        // self-refresh: the reference reads the contract rows from
+        // app.green_elec_pre_contracts itself with the array predicate
+        // '光電' = ALL(green_elec_type) (staging_cal.py:336-337; the
+        // filter lives inside greenElecPreContracts over the
+        // ARRAY<STRING>-typed column), then deletes the matching
+        // (year, provider) window and appends the refreshed rows with an
+        // empty-input guard (staging_cal.py:358-375) — the keyed
+        // delete-then-append, here as overwriteWhere on year partitions
+        val contracts = rd(s, "app", "green_elec_pre_contracts")
+          .drop("last_update_time").localCheckpoint() // materialize before self-overwrite
+        val refreshed = StagingCal.greenElecPreContracts(
           rd(s, "staging", "green_elect_vol"), rd(s, "raw", "area_mapping"),
-          rd(s, "staging", "green_elect_contract"), clock),
-          "app", "green_elec_pre_contracts")
+          contracts, clock).localCheckpoint()
+        val keys = refreshed.select(col("year"), col("provider_name"))
+          .distinct().collect() // contract dimension: bounded, like the reference's tuple(year)
+        if (keys.nonEmpty) {
+          val years = keys.map(_.get(0)).distinct.toSeq
+          val provs = keys.map(_.get(1)).distinct.toSeq
+          Sink.overwriteWhere(refreshed,
+            path("app", "green_elec_pre_contracts"), Seq("year"),
+            col("year").isin(years: _*) &&
+              col("provider_name").isin(provs: _*) &&
+              forall(col("green_elec_type"), e => e === lit("光電")))
+        }
       }),
 
       // ---- scope math + targets (main.py:97-102) ----

@@ -206,21 +206,30 @@ object StagingCal {
 
   /** app.green_elec_pre_contracts refresh (reference :288-385): yearly
     * transfer volumes per provider, area-mapped, merged onto the existing
-    * 光電-only contract rows — the net effect is a timestamp refresh of
-    * the contract rows keyed by (provider, area); the computed ytm_amount
-    * is assigned and then dropped from the projection in the reference
-    * (dead write, not ported).
+    * contract rows — the net effect is a timestamp refresh of the contract
+    * rows keyed by (provider, area); the computed ytm_amount is assigned
+    * and then dropped from the projection in the reference (dead write,
+    * not ported).
+    *
+    * `green_elec_type` is the Postgres ARRAY column the reference filters
+    * with `'光電' = ALL(green_elec_type)` (staging_cal.py:336-337): keep
+    * rows whose EVERY element is the target type. Modeled as
+    * `ArrayType(StringType)` + `forall`, which reproduces Postgres `= ALL`
+    * semantics exactly — an empty array passes (vacuous truth), a NULL
+    * array yields NULL and is filtered out.
     *
     * @param greenVol      staging.green_elect_vol year window:
     *                      (site, plant, provider_name, category1, amount)
     * @param areaMapping   app.decarb_ww_meter_group (provider_name, area)
-    * @param greenContract app.green_elec_pre_contracts 光電-only rows:
+    * @param greenContract app.green_elec_pre_contracts, ALL rows:
     *                      (provider_name, contract_ytm_amount, year, area,
-    *                      green_elec_type, contract_price)
+    *                      green_elec_type ARRAY<STRING>, contract_price)
+    * @param elecType      the `= ALL` target (reference hardcodes 光電)
     */
   def greenElecPreContracts(greenVol: DataFrame, areaMapping: DataFrame,
                             greenContract: DataFrame,
-                            clock: graft.core.Clock): DataFrame = {
+                            clock: graft.core.Clock,
+                            elecType: String = "光電"): DataFrame = {
     val vol = greenVol
       .filter(col("category1") === "轉供" && col("site") =!= "ALL" &&
         col("plant") =!= "ALL")
@@ -228,6 +237,9 @@ object StagingCal {
       .join(broadcast(areaMapping.select("provider_name", "area").distinct()),
         Seq("provider_name"), "left")
     greenContract
+      // reference: WHERE year = '{year}' AND '光電' = ALL(green_elec_type)
+      .filter(col("year").cast("int") === lit(clock.today.getYear) &&
+        forall(col("green_elec_type"), e => e === lit(elecType)))
       .join(vol.select("provider_name", "area", "amount"),
         Seq("provider_name", "area"), "left")
       .select(col("provider_name"), col("contract_ytm_amount"), col("year"),

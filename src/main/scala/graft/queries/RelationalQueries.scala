@@ -1212,6 +1212,34 @@ object RelationalQueries {
           p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
           ${iter(1)}, ${iter(2)}, ${iter(3)}
           SELECT node, pr FROM p3"""
-      })
+      }),
+
+    // ---- array-typed predicates: the Postgres `'光電' = ALL(arr)` family
+    // (reference: jobs/staging_cal.py:336-337) on an ArrayType column.
+    // `forall` is the `= ALL` shape (vacuously true on empty arrays, NULL
+    // on NULL arrays — Postgres semantics), `array_contains` the `= ANY`
+    // shape; both are Catalyst higher-order functions evaluated inside the
+    // scan stage, no UDF and no explode-shuffle. The business form is
+    // spec-tested in StagingCalSpec; this query hash-gates the predicate
+    // semantics cross-engine against DuckDB's list lambdas. ----
+    Q("q54_array_forall",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        T(s, dir, "documents")
+          .select(col("lang"),
+            forall(toks, t => length(t) <= lit(10)).as("all_short"),
+            array_contains(toks, "the").as("has_the"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("all_short"), 1L).otherwise(0L)).as("n_all_short"),
+            sum(when(col("has_the"), 1L).otherwise(0L)).as("n_has_the"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+          CAST(sum(CASE WHEN len(list_filter(str_split(text, ' '),
+            t -> length(t) > 10)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_all_short,
+          CAST(sum(CASE WHEN list_contains(str_split(text, ' '), 'the')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_has_the
+        FROM documents GROUP BY lang"""),
+      bench = true)
   )
 }

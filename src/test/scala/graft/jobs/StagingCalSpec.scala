@@ -108,12 +108,34 @@ class StagingCalSpec extends SparkSpec {
       ("S1", "P1", "Prov", "計費", 99.0) // wrong category
     ).toDF("site", "plant", "provider_name", "category1", "amount")
     val areaMap = Seq(("Prov", "north")).toDF("provider_name", "area")
-    val contract = Seq(("Prov", 1000.0, 2026, "north", "光電", 5.0))
+    val contract = Seq(("Prov", 1000.0, 2026, "north", Seq("光電"), 5.0))
       .toDF("provider_name", "contract_ytm_amount", "year", "area",
         "green_elec_type", "contract_price")
     val got = StagingCal.greenElecPreContracts(vol, areaMap, contract, clock)
       .select("provider_name", "contract_ytm_amount", "year", "contract_price")
       .as[(String, Double, Int, Double)].collect().toSeq
     assert(got == Seq(("Prov", 1000.0, 2026, 5.0)))
+  }
+
+  test("greenElecPreContracts applies '光電' = ALL(green_elec_type) on the array column") {
+    val clock = FixedClock(LocalDate.of(2026, 8, 1))
+    val vol = Seq(("S1", "P1", "Prov", "轉供", 10.0))
+      .toDF("site", "plant", "provider_name", "category1", "amount")
+    val areaMap = Seq(("Prov", "north")).toDF("provider_name", "area")
+    val contract = Seq(
+      ("pure",     2026, Option(Seq("光電"))),          // every element matches → kept
+      ("multi",    2026, Option(Seq("光電", "光電"))),  // still ALL → kept
+      ("mixed",    2026, Option(Seq("光電", "風電"))),  // one off-type element → dropped
+      ("other",    2026, Option(Seq("風電"))),          // no match → dropped
+      ("empty",    2026, Option(Seq.empty[String])),    // Postgres = ALL: vacuous TRUE → kept
+      ("nullarr",  2026, Option.empty[Seq[String]]),    // NULL array → NULL predicate → dropped
+      ("lastyear", 2025, Option(Seq("光電")))           // wrong year window → dropped
+    ).toDF("provider_name", "year", "green_elec_type")
+      .withColumn("contract_ytm_amount", lit(1.0))
+      .withColumn("area", lit("north"))
+      .withColumn("contract_price", lit(2.0))
+    val kept = StagingCal.greenElecPreContracts(vol, areaMap, contract, clock)
+      .select("provider_name").as[String].collect().toSet
+    assert(kept == Set("pure", "multi", "empty"))
   }
 }
