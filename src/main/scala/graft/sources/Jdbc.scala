@@ -65,10 +65,9 @@ object Jdbc {
     * mid-append failure leaves the window empty and readers can observe the
     * gap — the same visibility contract (and the same flaw) as the
     * reference's `conn.execute(DELETE); to_sql(append)` pair (reference:
-    * jobs/raw_to_staging.py:201-205). For an atomic refresh, write to a
-    * staging table and swap inside one transaction
-    * (append → BEGIN; DELETE window; INSERT..SELECT FROM stage; COMMIT),
-    * which keeps the bulk load parallel and the visible switch transactional. */
+    * jobs/raw_to_staging.py:201-205). For an atomic refresh use
+    * [[stagedSwapRefresh]], which keeps the bulk load parallel and the
+    * visible switch transactional. */
   def deleteThenAppend(df: DataFrame, url: String, table: String,
                        deleteWhere: String, batchSize: Int = 10000): Unit = {
     val conn = DriverManager.getConnection(url)
@@ -79,5 +78,58 @@ object Jdbc {
       conn.commit()
     } finally conn.close()
     append(df, url, table, batchSize)
+  }
+
+  /** The ATOMIC delete-then-append refresh [[deleteThenAppend]]'s doc
+    * promises: bulk-load into a stage table (parallel, executors hold
+    * their own connections — the slow part stays outside any lock), then
+    * ONE driver transaction performs `DELETE window; INSERT..SELECT FROM
+    * stage; COMMIT`. Under READ_COMMITTED or stricter, a reader either
+    * sees the old window or the new one — never the deleted-but-unfilled
+    * gap:
+    *   - a failure during the bulk load aborts BEFORE the target is
+    *     touched (only the stage table is dirty);
+    *   - a failure inside the swap transaction rolls the DELETE back.
+    * Columns are matched BY NAME between df and the target (explicit
+    * column list in the INSERT), so target column order is irrelevant.
+    * The stage table is per-target (`<table>_graft_stage`), so concurrent
+    * refreshes of different targets never collide; serialize refreshes of
+    * the SAME target externally (Pipeline.SingleFlight). Proven on
+    * embedded Derby in JdbcSwapSpec, including the mid-swap-failure path. */
+  def stagedSwapRefresh(df: DataFrame, url: String, table: String,
+                        deleteWhere: String, batchSize: Int = 10000): Unit = {
+    val stage = s"${table}_graft_stage"
+    df.write.mode(SaveMode.Overwrite)
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", stage)
+      .option("batchsize", batchSize)
+      .save()
+    // the stage table was created by Spark's JDBC writer, which quotes
+    // identifiers — quote the same way or unquoted names fold to the
+    // engine's default case and miss
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    val cols = df.columns.map(dialect.quoteIdentifier).mkString(", ")
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(s"DELETE FROM $table WHERE $deleteWhere")
+        st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      }
+    } finally {
+      // best-effort stage cleanup; a leftover stage table is inert and
+      // overwritten by the next refresh
+      try {
+        val c2 = DriverManager.getConnection(url)
+        try c2.createStatement().executeUpdate(s"DROP TABLE $stage")
+        finally c2.close()
+      } catch { case _: Exception => () }
+      conn.close()
+    }
   }
 }

@@ -1,0 +1,110 @@
+package graft.sources
+
+import java.sql.DriverManager
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The S7 refresh's atomicity contract on a REAL database — embedded Derby
+  * (on the Spark classpath), in-memory so each suite run starts clean.
+  *
+  * The reference's own refresh (`conn.execute(DELETE); to_sql(append)`,
+  * reference: jobs/raw_to_staging.py:201-205) commits the DELETE before the
+  * load starts, so a mid-load failure exposes an empty window.
+  * [[Jdbc.stagedSwapRefresh]] must never do that: the window flips inside
+  * one transaction, and any failure before COMMIT leaves the old rows
+  * visible. */
+class JdbcSwapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:swapdb;create=true"
+
+  private def exec(sql: String): Unit = {
+    val c = DriverManager.getConnection(url)
+    try c.createStatement().executeUpdate(sql) finally c.close()
+  }
+
+  private def queryRows(sql: String): Seq[(Int, String)] = {
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(sql)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      while (rs.next()) buf += ((rs.getInt(1), rs.getString(2)))
+      buf.toSeq
+    } finally c.close()
+  }
+
+  private def freshTable(name: String, withPk: Boolean = false): Unit = {
+    try exec(s"DROP TABLE $name") catch { case _: Exception => () }
+    // quoted lowercase columns — the shape a Spark-created JDBC table has
+    // (the writer quotes identifiers), and what Postgres's unquoted-DDL
+    // case folding produces
+    val pk = if (withPk) """, PRIMARY KEY ("id")""" else ""
+    exec(s"""CREATE TABLE $name ("id" INT NOT NULL, "mon" VARCHAR(10) NOT NULL$pk)""")
+    exec(s"INSERT INTO $name VALUES (1, '2024-01'), (2, '2024-01'), (9, '2024-02')")
+  }
+
+  test("stagedSwapRefresh replaces exactly the deleted window") {
+    freshTable("t_ok")
+    val fresh = Seq((10, "2024-01"), (11, "2024-01")).toDF("id", "mon")
+    Jdbc.stagedSwapRefresh(fresh, url, "t_ok", "\"mon\" = '2024-01'")
+    val rows = queryRows("""SELECT "id", "mon" FROM t_ok ORDER BY "id"""").toSet
+    assert(rows == Set((9, "2024-02"), (10, "2024-01"), (11, "2024-01")))
+  }
+
+  test("a failure inside the swap transaction leaves the old window visible") {
+    freshTable("t_fail", withPk = true)
+    // the refresh data violates the target's PRIMARY KEY (duplicate id),
+    // so the INSERT..SELECT fails AFTER the DELETE ran in the same
+    // transaction — the rollback must restore the deleted window
+    val bad = Seq((10, "2024-01"), (10, "2024-01")).toDF("id", "mon")
+    intercept[Exception] {
+      Jdbc.stagedSwapRefresh(bad, url, "t_fail", "\"mon\" = '2024-01'")
+    }
+    val rows = queryRows("""SELECT "id", "mon" FROM t_fail ORDER BY "id"""").toSet
+    assert(rows == Set((1, "2024-01"), (2, "2024-01"), (9, "2024-02")),
+      s"mid-swap failure exposed a partial window: $rows")
+  }
+
+  test("a failure during the bulk load never touches the target at all") {
+    freshTable("t_load")
+    // the load itself throws (a poisoned partition) before any swap SQL
+    val poisoned = Seq(1, 2, 3).toDF("id")
+      .select(col("id"),
+        udf((i: Int) => {
+          if (i == 2) throw new RuntimeException("poisoned row")
+          "2024-01"
+        }).apply(col("id")).as("mon"))
+    intercept[Exception] {
+      Jdbc.stagedSwapRefresh(poisoned, url, "t_load", "\"mon\" = '2024-01'")
+    }
+    val rows = queryRows("""SELECT "id", "mon" FROM t_load ORDER BY "id"""").toSet
+    assert(rows == Set((1, "2024-01"), (2, "2024-01"), (9, "2024-02")),
+      s"failed bulk load modified the target: $rows")
+  }
+
+  test("column order differences between frame and target are harmless") {
+    freshTable("t_cols")
+    // frame columns reversed vs the target's (id, mon) order: the INSERT
+    // names its columns, so by-name matching must hold
+    val fresh = Seq(("2024-01", 42)).toDF("mon", "id")
+    Jdbc.stagedSwapRefresh(fresh, url, "t_cols", "\"mon\" = '2024-01'")
+    val rows = queryRows("""SELECT "id", "mon" FROM t_cols ORDER BY "id"""").toSet
+    assert(rows == Set((42, "2024-01"), (9, "2024-02")))
+  }
+
+  test("deleteThenAppend documents its gap honestly: mid-append failure loses the window") {
+    // the CONTRAST case — the reason stagedSwapRefresh exists. Not a
+    // desired behavior, a pinned known limitation of the plain S7 shape.
+    freshTable("t_gap", withPk = true)
+    val bad = Seq((20, "2024-01"), (20, "2024-01")).toDF("id", "mon")
+    intercept[Exception] {
+      Jdbc.deleteThenAppend(bad, url, "t_gap", "\"mon\" = '2024-01'")
+    }
+    val rows = queryRows("""SELECT "id", "mon" FROM t_gap ORDER BY "id"""").toSet
+    // the old window rows are gone (DELETE committed first) and what
+    // remains in the window is at best a partial load — readers observe
+    // a state that is neither the old window nor the new one
+    assert(!rows.contains((1, "2024-01")) && !rows.contains((2, "2024-01")),
+      s"expected the plain delete-then-append to have lost the old window: $rows")
+  }
+}
