@@ -1,0 +1,180 @@
+package graft.service
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** The reference's HTTP entry points (SURVEY.md §3.2/§3.3) as a thin layer
+  * over the engine seams — JDK `HttpServer`, zero added dependencies, no
+  * transform logic in handlers (the same rule MainDag follows: endpoints
+  * compose spec-tested pieces).
+  *
+  * Routes (reference files):
+  *  - `POST /sign_off/establish`          → async §3.2 chain: simulate →
+  *    create sign-off → notify; returns `{"id","state"}` immediately
+  *    (app/sign_off/blueprint.py:184-224, utils/response.py:4-7)
+  *  - `POST /sign_off/notification-reviewer` → async notify + status flip
+  *    (app/sign_off/blueprint.py:124-180)
+  *  - `GET  /tasks/{task_id}`             → poll; unknown id = PENDING
+  *    (app/task/blueprint.py:14-56)
+  *  - `GET  /tasks/ids?route_name=…`      → task ids by route name, 400 on
+  *    unknown route (app/task/blueprint.py:59-102, jobs/task_names.py)
+  *  - `POST /solar/remaining_power/`      → §3.3 SYNC mini-DAG in the
+  *    request thread, returns `{"msg":…}` (app/solar/remaining_power.py:12-39)
+  *
+  * The chain bodies are injected ([[Api.Hooks]]): the spec wires them to
+  * the real engine seams (model/SignOff, jobs/Mail, a simulator run), so
+  * this class owns only routing, JSON framing, and task lifecycle.
+  */
+object Api {
+
+  /** What the endpoints do, supplied by the embedder. Each hook returns
+    * the task's result string (celery_taskmeta.result analog). */
+  final case class Hooks(
+      /** §3.2 worker chain: simulate → sign-off → notify. */
+      establish: (String, String) => String,
+      /** notify reviewer + flip sign-off status. */
+      notifyReviewer: (String, String, String, Seq[String]) => String,
+      /** §3.3 sync solar refresh; returns the response message. */
+      solarRefresh: () => String)
+
+  /** route_name → task name (reference: jobs/task_names.py:1-8). */
+  val routeNames: Map[String, String] = Map(
+    "sign_off/establish" -> "sign-off-establish-chain",
+    "sign_off/notification-reviewer" -> "sign-off-notify-chain")
+
+  // -- minimal JSON: only what these five endpoints need --
+  private[service] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Extract a top-level string field from a (flat) JSON body. The
+    * reference's request bodies are flat objects; a full parser would be
+    * a dependency this layer exists to avoid. */
+  private[service] def field(body: String, name: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + java.util.regex.Pattern.quote(name) +
+        "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"")
+      .matcher(body)
+    if (m.find())
+      Some(m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    else None
+  }
+
+  /** Extract a top-level array-of-strings field. */
+  private[service] def fieldList(body: String, name: String): Option[Seq[String]] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + java.util.regex.Pattern.quote(name) + "\"\\s*:\\s*\\[([^\\]]*)\\]")
+      .matcher(body)
+    if (!m.find()) None
+    else Some(
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+  }
+
+  private def taskResponse(id: String, state: String): String =
+    s"""{"id":${jstr(id)},"state":${jstr(state)}}"""
+}
+
+final class Api(runner: TaskRunner, hooks: Api.Hooks,
+                taskFailMail: (String, String, String) => Unit = (_, _, _) => ()) {
+  import Api._
+
+  private var server: HttpServer = _
+
+  /** Bind on an ephemeral (or given) port; returns the bound port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def respond(ex: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def handle(ex: HttpExchange): Unit = try {
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    val method = ex.getRequestMethod
+    lazy val body = new String(
+      ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    (method, path) match {
+
+      case ("POST", "/sign_off/establish") =>
+        val pic = field(body, "pic").getOrElse("")
+        val reviewer = field(body, "reviewer").getOrElse("")
+        val name = routeNames("sign_off/establish")
+        val id = runner.submit(name,
+          onError = (tid, e) => taskFailMail(
+            "sign_off establish, simulate() | create_sign_off() | send_pic_mail()",
+            tid, String.valueOf(e.getMessage))) {
+          hooks.establish(pic, reviewer)
+        }
+        respond(ex, 200, taskResponse(id, runner.state(id)))
+
+      case ("POST", "/sign_off/notification-reviewer") =>
+        val signId = field(body, "sign_id").getOrElse("")
+        // reference defaults (app/sign_off/blueprint.py:158-170)
+        val topic = field(body, "topic")
+          .getOrElse("AI simulated electricity update")
+        val content = field(body, "content").getOrElse("<html></html>")
+        val toList = fieldList(body, "to_list").getOrElse(Seq.empty)
+        val name = routeNames("sign_off/notification-reviewer")
+        val id = runner.submit(name,
+          onError = (tid, e) => taskFailMail(
+            "sign_off send_notification, notify() | update_sign_off()",
+            tid, String.valueOf(e.getMessage))) {
+          hooks.notifyReviewer(signId, topic, content, toList)
+        }
+        respond(ex, 200, taskResponse(id, runner.state(id)))
+
+      case ("GET", p) if p.startsWith("/tasks/ids") =>
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val route = q.split('&').collectFirst {
+          case kv if kv.startsWith("route_name=") =>
+            java.net.URLDecoder.decode(
+              kv.stripPrefix("route_name="), "UTF-8")
+        }.getOrElse("")
+        routeNames.get(route) match {
+          case None =>
+            respond(ex, 400, """{"error":"route_name not found"}""")
+          case Some(taskName) =>
+            val rows = runner.byName(taskName)
+              .map(m => s"""{"id":${jstr(m.id)},"status":${jstr(m.status)}}""")
+            respond(ex, 200, s"""{"data":[${rows.mkString(",")}]}""")
+        }
+
+      case ("GET", p) if p.startsWith("/tasks/") =>
+        val id = p.stripPrefix("/tasks/")
+        respond(ex, 200, taskResponse(id, runner.state(id)))
+
+      case ("POST", "/solar/remaining_power") =>
+        // §3.3: runs INLINE in the request thread (the reference's
+        // synchronous mini-DAG), so the response carries the outcome
+        try respond(ex, 200, s"""{"msg":${jstr(hooks.solarRefresh())}}""")
+        catch {
+          case e: Throwable =>
+            respond(ex, 500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+        }
+
+      case _ =>
+        respond(ex, 404, """{"error":"not found"}""")
+    }
+  } catch {
+    case e: Throwable =>
+      respond(ex, 500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.service
+
+import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
+
+/** The async-task backbone behind the reference's HTTP layer — Celery's
+  * submit / state-store / poll contract (reference: app/celery.py:7-31,
+  * app/models.py:126-155 celery_taskmeta, app/task/blueprint.py:14-56)
+  * reduced to what the engine actually needs: run named work on a pool,
+  * record terminal state + result/error, answer polls.
+  *
+  * Celery semantics kept deliberately:
+  *  - an UNKNOWN task id polls as PENDING (AsyncResult never 404s);
+  *  - states are the celery strings (PENDING/STARTED/SUCCESS/FAILURE);
+  *  - `onError` is the chain's `.on_error(send_task_fail_mail.s(...))`
+  *    hook — it fires on failure with the task id and exception, and the
+  *    failure still lands in the state store;
+  *  - the task-meta store is queryable by task NAME, which is what
+  *    `GET /tasks/ids?route_name=…` resolves through the route mapping
+  *    (app/task/blueprint.py:59-102, jobs/task_names.py).
+  *
+  * In-memory by design: the engine-side state of record for versions and
+  * sign-offs is the warehouse (model/SignOff); this store only tracks
+  * in-flight work, exactly like the reference's celery_taskmeta rows.
+  */
+final class TaskRunner(threads: Int = 2) {
+
+  final case class Meta(id: String, name: String, status: String,
+                        result: Option[String], error: Option[String])
+
+  private val metas = new ConcurrentHashMap[String, Meta]()
+  private val pool = Executors.newFixedThreadPool(threads)
+
+  /** Submit named work; returns the task id immediately (the `.delay()`
+    * contract). `work` returns the task's result string (what the
+    * reference stores in celery_taskmeta.result). */
+  def submit(name: String, onError: (String, Throwable) => Unit = (_, _) => ())
+            (work: => String): String = {
+    val id = java.util.UUID.randomUUID().toString
+    metas.put(id, Meta(id, name, "PENDING", None, None))
+    pool.execute { () =>
+      metas.put(id, Meta(id, name, "STARTED", None, None))
+      try {
+        val r = work
+        metas.put(id, Meta(id, name, "SUCCESS", Some(r), None))
+      } catch {
+        case e: Throwable =>
+          metas.put(id, Meta(id, name, "FAILURE", None,
+            Some(String.valueOf(e.getMessage))))
+          try onError(id, e) catch { case _: Throwable => () }
+      }
+    }
+    id
+  }
+
+  /** Poll: unknown ids are PENDING, like Celery's AsyncResult. */
+  def state(id: String): String =
+    Option(metas.get(id)).map(_.status).getOrElse("PENDING")
+
+  def meta(id: String): Option[Meta] = Option(metas.get(id))
+
+  /** All task metas recorded under a task name — the celery_taskmeta
+    * SELECT behind `/tasks/ids`. */
+  def byName(name: String): Seq[Meta] = {
+    import scala.jdk.CollectionConverters._
+    metas.values().asScala.filter(_.name == name).toSeq.sortBy(_.id)
+  }
+
+  /** Test/embedding helper: block until the task reaches a terminal state. */
+  def await(id: String, timeoutMs: Long = 30000): String = {
+    val deadline = System.nanoTime() + TimeUnit.MILLISECONDS.toNanos(timeoutMs)
+    while (System.nanoTime() < deadline) {
+      val s = state(id)
+      if (s == "SUCCESS" || s == "FAILURE") return s
+      Thread.sleep(10)
+    }
+    state(id)
+  }
+
+  def shutdown(): Unit = pool.shutdownNow()
+}

@@ -148,6 +148,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(cols == Set("doc_id", "text"), s"scan read $cols")
   }
 
+  test("t24 dictionary join stays a shuffle join under AQE (the skew-split path)") {
+    // PERF.md's scale claim for t24: the vocab²-bounded dictionary CANNOT
+    // broadcast at 100 TB, and its zipf-hot stop-word prefixes are
+    // delegated to AQE's skew split. Check both halves mechanically:
+    // AQE + skew handling are on, the query optimizes adaptively, and
+    // no dictionary-side join reverts to a broadcast build.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    // At sf0.001 stats let Catalyst broadcast the tiny corpus side — the
+    // right call HERE. The 100 TB regime is "no side fits broadcast":
+    // simulate it by disabling auto-broadcast and pin that the operator
+    // degrades to an AQE-managed shuffle join, never something worse.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("t24_bigram_lm_score")(spark, sfSmoke)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AdaptiveSparkPlan"), s"t24 not under AQE:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"dictionary join broadcast an unbounded side despite threshold=-1:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle join for the dictionary lookup:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("s09 PQ ADC scan is join-free: LUT is a literal, codes-only read") {
     val df = SparkEntry.queries("s09_pq_adc")(spark, sfSmoke)
     // after the driver-side train/encode setup, the SCORING plan itself

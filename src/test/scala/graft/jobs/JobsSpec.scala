@@ -69,6 +69,38 @@ class JobsSpec extends SparkSpec {
       ("success", "ok_job"), ("failure", "boom: nope"), ("success", "after_boom")))
   }
 
+  test("mail routing formats the reference's cron report bodies exactly") {
+    val box = new Mail.CollectingTransport
+    val router = Mail.Router("production",
+      operators = Seq("ops@example.com"),
+      developers = Seq("dev@example.com"), transport = box)
+    val failed = Pipeline.run(spark, Seq(
+      Pipeline.Job("raw_to_staging:elect_total", _ => ()),
+      Pipeline.Job("green elec pre contracts etl info",
+        _ => throw new RuntimeException("connection refused"))
+    ), new Mail.MailNotifier(router))
+    assert(failed == Seq("green elec pre contracts etl info"))
+    assert(box.sent.toList == List(
+      Mail.Message(
+        "[success][production][raw_to_staging:elect_total] decarb-etl cron job report",
+        "All raw_to_staging:elect_total success.", Seq("ops@example.com")),
+      // the reference's failure report (mail_service.py send_fail_mail +
+      // staging_cal.py:380-383's '[failed][stage] ...' convention)
+      Mail.Message(
+        "[failed][production][green elec pre contracts etl info] decarb-etl cron job report",
+        "[failed]: connection refused", Seq("ops@example.com"))))
+    // async-task failure routes to developers with the task id inline
+    router.taskFailure("simulate", "task-42", "OOM")
+    assert(box.sent.last == Mail.Message(
+      "[failed][production][simulate] decarb-etl cron job report",
+      "[failed]: simulate task failed, Task task-42, OOM",
+      Seq("dev@example.com")))
+    // notify: topic-verbatim subject, HTML flag, recipient override
+    router.notify("sign-off ready", "<b>done</b>", Some(Seq("boss@example.com")))
+    assert(box.sent.last ==
+      Mail.Message("sign-off ready", "<b>done</b>", Seq("boss@example.com"), html = true))
+  }
+
   test("single-flight guard rejects a concurrent submit and recovers after failure") {
     val guard = new Pipeline.SingleFlight("simulator")
     // a submit racing a running one is rejected, not queued (the
