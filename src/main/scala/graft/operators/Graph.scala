@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import scala.jdk.CollectionConverters._
 
 /** Distributed graph primitives needed by the training-data pipeline —
   * currently connected components, the canonical second stage of near-dup
@@ -119,36 +120,157 @@ object Graph {
     * Scale shape: one BSP round = one equi-join of the edge set against
     * the rank frame + one partial-aggregable groupBy on dst — the
     * join-aggregate iteration GraphX/Pregel runs, expressed declaratively.
-    * The out-degree join is precomputed once. From the fourth round on,
-    * every round localCheckpoints — the unrolled plan otherwise gains a
-    * join+agg level per iteration and driver analysis time dominates,
-    * exactly the lineage trap [[connectedComponents]] documents. The
-    * result is always materialized before the internal caches are
-    * released, so repeated calls do not accumulate pinned RDDs.
+    * Size-adaptive twice over, like [[connectedComponents]]: an edge set
+    * under `localEdgeThreshold` runs as a driver-side tight loop (at that
+    * size the cost of the BSP form is pure per-stage scheduling floor),
+    * and in the BSP form the |V|-sized rank/contribution frames broadcast
+    * when |V| ≤ `broadcastNodeThreshold`, making each round a map-only
+    * pass over the cached |E| — Catalyst can't choose this itself because
+    * derived-frame sizes are unknown at plan time. From the fourth round
+    * on, every BSP round localCheckpoints — the unrolled plan otherwise
+    * gains a join+agg level per iteration and driver analysis time
+    * dominates, exactly the lineage trap [[connectedComponents]]
+    * documents. The result is always materialized before the internal
+    * caches are released, so repeated calls do not accumulate pinned RDDs.
+    * All paths run the same exact integer recurrence and are bit-equal
+    * (GraphSpec).
     *
     * @param edges two-column (src, dst) directed edge frame (pass both
     *   directions for an undirected graph); duplicate edges are collapsed
     * @param iters BSP rounds to run
     * @return (node, pr) with pr in 1e-6 units (a rank of 1.0 = 1000000) */
-  def pageRankQ(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRankQ(edges: DataFrame, iters: Int,
+                broadcastNodeThreshold: Long = 1L << 20,
+                dedupEdges: Boolean = true,
+                localEdgeThreshold: Long = 1L << 22,
+                undirected: Boolean = false): DataFrame = {
     val Array(srcCol, dstCol) = edges.columns
-    val e = edges
-      .select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"))
-      .distinct()
+    // node ids keep their native type: integer keys hash and shuffle far
+    // cheaper than strings, and a producer that already guarantees
+    // distinct edges (e.g. an exploded distinct pair set) skips the
+    // collapse shuffle entirely via dedupEdges = false. With
+    // undirected = true the caller supplies each link ONCE and the
+    // operator emits both directions itself — on the driver for the local
+    // path (halving what crosses the collect) and as an explode for BSP.
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // Size-adaptive strategy fork #1 (same shape as connectedComponents):
+    // below the threshold the whole RAW edge set fits the driver, and a
+    // tight in-memory loop replaces 4 + 3·iters shuffle stages whose
+    // per-stage scheduling floor — not data — is the cost at this size.
+    // The size check IS the fetch: a limit(threshold+1) probe-collect
+    // materializes the plan exactly once, with no persist pass — if it
+    // comes back over the threshold, the probe is discarded (bounded
+    // waste) and the BSP path recomputes. The local path collects BEFORE
+    // deduplication and collapses duplicates in a driver HashSet, so the
+    // Spark side of a small graph is completely shuffle-free
+    // (scan → join → project → collect). The recurrence is identical
+    // exact-integer arithmetic, so both paths are bit-equal (GraphSpec).
+    // The raw count bounds the distinct count, so the threshold still
+    // caps driver memory.
+    val localCap =
+      math.min(localEdgeThreshold, (Int.MaxValue - 8).toLong).toInt
+    // integral keys skip the InternalRow→Row conversion wholesale:
+    // executeCollect hands back UnsafeRows and getLong reads them in
+    // place — for a 1M-edge collect that conversion is the single
+    // biggest line item after the scan itself
+    val longKeys = e0.schema.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val probe = e0.limit(localCap + 1)
+    val rows: Array[(Any, Any)] =
+      if (longKeys)
+        probe.queryExecution.executedPlan.executeCollect().map(r =>
+          (java.lang.Long.valueOf(r.getLong(0)): Any,
+            java.lang.Long.valueOf(r.getLong(1)): Any))
+      else probe.collect().map(r => (r.get(0), r.get(1)))
+    if (rows.length <= localCap) {
+      // index-encode node ids once, then the whole computation runs on
+      // primitive arrays: dedup via packed (src,dst) longs, rounds as two
+      // array sweeps — 1M-edge × few-iteration graphs finish in tens of
+      // milliseconds after the collect
+      val idx = new java.util.HashMap[Any, Integer](rows.length)
+      val nodeVals = new scala.collection.mutable.ArrayBuffer[Any]()
+      def id(x: Any): Int = {
+        val v = idx.get(x)
+        if (v != null) v.intValue()
+        else { val n = nodeVals.size; idx.put(x, n); nodeVals += x; n }
+      }
+      val cap = rows.length * (if (undirected) 2 else 1)
+      val esS = new Array[Int](cap)
+      val esD = new Array[Int](cap)
+      var m = 0
+      val seen = if (dedupEdges) new java.util.HashSet[java.lang.Long](cap * 2)
+        else null
+      def addEdge(s: Int, d: Int): Unit = {
+        if (seen == null || seen.add((s.toLong << 32) | (d.toLong & 0xffffffffL))) {
+          esS(m) = s; esD(m) = d; m += 1
+        }
+      }
+      var i = 0
+      while (i < rows.length) {
+        val s = id(rows(i)._1); val d = id(rows(i)._2)
+        addEdge(s, d)
+        if (undirected) addEdge(d, s)
+        i += 1
+      }
+      val nV = nodeVals.size
+      val outdeg = new Array[Long](nV)
+      i = 0; while (i < m) { outdeg(esS(i)) += 1L; i += 1 }
+      var pr = Array.fill(nV)(1000000L)
+      for (_ <- 1 to iters) {
+        val c = new Array[Long](nV)
+        i = 0
+        while (i < m) { c(esD(i)) += pr(esS(i)) / outdeg(esS(i)); i += 1 }
+        val next = new Array[Long](nV)
+        i = 0
+        while (i < nV) { next(i) = 150000L + (85L * c(i)) / 100L; i += 1 }
+        pr = next
+      }
+      val spark = edges.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", e0.schema.head.dataType),
+        org.apache.spark.sql.types.StructField("pr",
+          org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          nodeVals.indices
+            .map(j => org.apache.spark.sql.Row(nodeVals(j), pr(j)))
+            .asJava),
+        schema)
+    }
+    val eDir =
+      if (!undirected) e0
+      else e0.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("g"))
+        .select(col("g.src").as("src"), col("g.dst").as("dst"))
+    val e = (if (dedupEdges) eDir.distinct() else eDir)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val withDeg = e.join(
-      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Size-adaptive join strategy, the same stats-driven fork as
+    // connectedComponents: the per-round frames are |V|-sized while the
+    // edge set is |E|-sized. When |V| fits a broadcast, every round is a
+    // map-only pass over the CACHED edges (broadcast rank in, |V|-sized
+    // partial-agg shuffle out) — never a shuffle of |E|. Catalyst can't
+    // make this call itself: the rank frame is derived, so its size
+    // estimate is unknown at plan time, and AQE only downgrades joins
+    // stage-by-stage after shuffles are already written. Above the
+    // threshold (web-scale |V|) every join stays a shuffle join.
+    val nV = nodes.count()
+    val small = nV <= broadcastNodeThreshold
+    def b(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var pr = nodes.withColumn("pr", lit(1000000L))
     for (i <- 1 to iters) {
-      val contrib = withDeg
-        .join(pr.select(col("node").as("src"), col("pr")), Seq("src"))
-        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      pr = nodes.join(contrib, Seq("node"), "left")
+      // rank-per-outlink first: a |V|⋈|V| node-keyed join, not |E|⋈|V|
+      val rate = deg.join(b(pr), Seq("node"))
+        .select(col("node").as("src"), expr("pr div outdeg").as("r"))
+      val contrib = e.join(b(rate), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("r")).as("s"))
+      pr = nodes.join(b(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
       // beyond a few rounds the unrolled plan grows a join+agg level per
@@ -162,7 +284,8 @@ object Graph {
     // so repeated calls never leak e/withDeg for the driver's lifetime
     val out = if (iters >= 4) pr else pr.localCheckpoint(true)
     e.unpersist()
-    withDeg.unpersist()
+    deg.unpersist()
+    nodes.unpersist()
     out
   }
 }

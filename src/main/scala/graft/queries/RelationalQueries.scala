@@ -1181,15 +1181,26 @@ object RelationalQueries {
     // oracle gate (the SQL unrolls the same three rounds). ----
     Q("q53_pagerank",
       (s, dir) => {
-        val cs = T(s, dir, "orders")
+        // each customer–supplier link crosses the plan ONCE: nodes travel
+        // as LONGS (customer 2k, supplier 2k+1 — integer keys hash far
+        // cheaper than display strings, re-derived only on the final
+        // |V|-sized projection), the operator's undirected mode emits
+        // both directions itself, and duplicate pairs are left for the
+        // operator to collapse — its local path dedups on the driver, so
+        // the small-graph plan is scan → join → project → collect with
+        // NO shuffle; its BSP path distincts after the direction explode.
+        val pairs = T(s, dir, "orders")
           .join(T(s, dir, "lineitem"),
             col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst"))
-          .distinct()
-        val und = cs.unionByName(
-          cs.select(col("dst").as("src"), col("src").as("dst")))
-        graft.operators.Graph.pageRankQ(und, 3)
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        graft.operators.Graph.pageRankQ(pairs, 3, undirected = true)
+          .select(
+            when(col("node") % 2 === 0,
+              concat(lit("c"), expr("node div 2")))
+              .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+              .as("node"),
+            col("pr"))
       },
       Some {
         val iter = (k: Int) =>

@@ -62,12 +62,12 @@ class GraphSpec extends SparkSpec {
     assert(r2.values.sum <= 3000000L && r2.values.sum > 2990000L)
   }
 
-  test("pageRankQ plan depth is bounded in the iteration count") {
+  test("pageRankQ plan depth is bounded in the iteration count (BSP path)") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "b")).toDF("s", "d")
     def planNodes(iters: Int): Int =
-      Graph.pageRankQ(edges, iters).queryExecution.optimizedPlan
-        .collect { case p => p }.size
+      Graph.pageRankQ(edges, iters, localEdgeThreshold = 0L)
+        .queryExecution.optimizedPlan.collect { case p => p }.size
     // from round 4 on every round localCheckpoints, so the returned plan
     // must NOT grow with iters — 12 rounds reads like 5 rounds, not like
     // a 12-deep unrolled join tree
@@ -76,7 +76,7 @@ class GraphSpec extends SparkSpec {
     assert(at12 <= at5, s"plan grew with iterations: $at5 -> $at12")
   }
 
-  test("pageRankQ checkpointed rounds match the driver-computed recurrence") {
+  test("pageRankQ BSP checkpointed rounds match the driver-computed recurrence") {
     import spark.implicits._
     // ring with a feeder; 12 iterations crosses the checkpoint threshold,
     // so this proves lineage cuts never change the exact integer values
@@ -90,8 +90,46 @@ class GraphSpec extends SparkSpec {
       }.toMap
       rank = nodes.map(n => n -> (150000L + (85L * in(n)) / 100L)).toMap
     }
-    val got = Graph.pageRankQ(es.toDF("s", "d"), 12).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Graph.pageRankQ(es.toDF("s", "d"), 12, localEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == rank)
+  }
+
+  test("pageRankQ local path agrees bit-exactly with the BSP path") {
+    import spark.implicits._
+    // long node ids (the fast-key encoding q53 uses) + string ids both ways
+    val esL = Seq((2L, 3L), (3L, 2L), (4L, 2L), (6L, 3L), (6L, 2L), (8L, 8L))
+      .toDF("s", "d")
+    for (iters <- Seq(1, 3, 6)) {
+      val local = Graph.pageRankQ(esL, iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val bsp = Graph.pageRankQ(esL, iters, localEdgeThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(local == bsp, s"paths diverged at iters=$iters")
+    }
+    // dedupEdges=false on an already-distinct edge set changes nothing
+    val dedup = Graph.pageRankQ(esL, 3, dedupEdges = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val plain = Graph.pageRankQ(esL, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dedup == plain)
+  }
+
+  test("pageRankQ undirected mode equals hand-doubled directions, both paths") {
+    import spark.implicits._
+    // duplicate pair included: undirected + dedup must collapse it
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (1L, 4L))
+      .toDF("a", "b")
+    val doubled = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L),
+      (2L, 1L), (3L, 2L), (1L, 3L), (4L, 1L)).toDF("a", "b")
+    val want = Graph.pageRankQ(doubled, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val localPath = Graph.pageRankQ(pairs, 3, undirected = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bspPath = Graph.pageRankQ(pairs, 3, undirected = true,
+        localEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(localPath == want, s"local undirected diverged: $localPath vs $want")
+    assert(bspPath == want, s"BSP undirected diverged: $bspPath vs $want")
   }
 }
