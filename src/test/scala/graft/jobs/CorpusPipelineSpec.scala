@@ -52,6 +52,18 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(surviving == 0L, s"$surviving near-dup pairs survived dedup")
   }
 
+  test("an empty post-clean corpus flows through without error (null percentile guard)") {
+    // every doc fails the quality gate → stages 2-7 all see zero rows; the
+    // LM stage's percentile returns NULL and must be guarded, not NPE
+    val junk = Seq((100L, "x", "web"), (101L, "!!", "web"))
+      .toDF("doc_id", "text", "source")
+    val (packed, summary) = CorpusPipeline.run(junk, evalDocs)
+    assert(packed.count() == 0L)
+    val counts = summary.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("0_input") == 2L && counts("1_clean") == 0L &&
+      counts("7_packed") == 0L)
+  }
+
   test("deterministic: two runs produce identical corpora") {
     val (a, _) = CorpusPipeline.run(trainDocs, evalDocs)
     val (b, _) = CorpusPipeline.run(trainDocs, evalDocs)

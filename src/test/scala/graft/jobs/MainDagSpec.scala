@@ -81,4 +81,38 @@ class MainDagSpec extends SparkSpec {
     // electricity_decarb coalesce) summed across S1 rows
     assert(s1jan > 0.0)
   }
+
+  test("green_elec_pre_contracts self-refresh: array '= ALL' + keyed swap, prior year untouched") {
+    val base = Files.createTempDirectory("maindag_gepc").toString
+    val old = java.sql.Timestamp.valueOf("2025-12-31 00:00:00")
+    // the app table BEFORE the cron run (reference reads it back itself):
+    // one all-光電 current-year row (refreshed), one mixed-type row (the
+    // '= ALL' predicate excludes it from delete AND refresh), one
+    // prior-year row (outside the year window entirely)
+    Seq(
+      ("Prov", 1000.0, 2026, "north", Seq("光電"), 5.0, old),
+      ("ProvMixed", 800.0, 2026, "north", Seq("光電", "風電"), 3.0, old),
+      ("Prov", 900.0, 2025, "north", Seq("光電"), 4.0, old))
+      .toDF("provider_name", "contract_ytm_amount", "year", "area",
+        "green_elec_type", "contract_price", "last_update_time")
+      .write.partitionBy("year").parquet(s"$base/app/green_elec_pre_contracts")
+    Seq(("S1", "P1", "Prov", "轉供", 10.0))
+      .toDF("site", "plant", "provider_name", "category1", "amount")
+      .write.parquet(s"$base/staging/green_elect_vol")
+    Seq(("Prov", "north")).toDF("provider_name", "area")
+      .write.parquet(s"$base/raw/area_mapping")
+
+    MainDag.jobs(base, clock)
+      .find(_.name == "staging_cal:green_elec_pre_contracts").get.run(spark)
+
+    val out = spark.read.parquet(s"$base/app/green_elec_pre_contracts")
+      .select("provider_name", "year", "contract_ytm_amount", "last_update_time")
+      .as[(String, Int, Double, java.sql.Timestamp)].collect().toSet
+    val fresh = java.sql.Timestamp.valueOf("2026-02-15 00:00:00")
+    assert(out == Set(
+      ("Prov", 2026, 1000.0, fresh),      // refreshed: new stamp
+      ("ProvMixed", 2026, 800.0, old),    // mixed array: kept verbatim
+      ("Prov", 2025, 900.0, old)),        // prior year: partition untouched
+      s"unexpected table state: $out")
+  }
 }
