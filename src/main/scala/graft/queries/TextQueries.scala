@@ -898,6 +898,26 @@ object TextQueries {
           FROM documents),
         r AS (SELECT *, row_number() OVER (PARTITION BY source
             ORDER BY key_q DESC, doc_id) AS rn FROM k)
-        SELECT doc_id, source, key_q FROM r WHERE rn <= 10"""))
+        SELECT doc_id, source, key_q FROM r WHERE rn <= 10""")),
+
+    // ---- sliding-window chunking (operators/Chunk.sliding): overlapping
+    // W=12/S=5 context windows with (doc, chunk_id, start_tok) provenance —
+    // the segmentation a pretraining/retrieval corpus runs before
+    // embedding or packing. Scale shape: split → transform(sequence) →
+    // posexplode → slice, all inside the scan stage; no UDF, no shuffle.
+    // The tail windows are genuinely shorter (n_tok < W), which the oracle
+    // pins so no engine silently pads or drops them. ----
+    Q("t27_chunk_sliding",
+      (s, dir) => graft.operators.Chunk.sliding(
+        T(s, dir, "documents").select(col("doc_id"), col("text")),
+        window = 12, stride = 5),
+      Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+          s AS (SELECT doc_id, ws, unnest(range(0, len(ws), 5)) AS st FROM t)
+        SELECT doc_id,
+          CAST(st // 5 AS BIGINT) AS chunk_id,
+          CAST(st AS BIGINT) AS start_tok,
+          CAST(least(12, len(ws) - st) AS BIGINT) AS n_tok,
+          array_to_string(ws[st + 1 : st + 12], ' ') AS chunk_text
+        FROM s"""))
   )
 }
