@@ -38,11 +38,17 @@ object Bench {
     }
 
     // two measured passes, report the per-query minimum: the steady-state
-    // number, insulated from co-tenant noise on a shared machine
+    // number, insulated from co-tenant noise on a shared machine. A query
+    // that THROWS must not masquerade as a fast run — errors are collected
+    // and reported in the JSON line.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        errors.getOrElseUpdate(name,
+          String.valueOf(e.getMessage).replaceAll("[\"\\\\\n\r\t]", " ").take(200))
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val pass1 = names.map(n => n -> timeOnce(n)).toMap
@@ -50,7 +56,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
