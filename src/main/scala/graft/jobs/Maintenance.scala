@@ -37,22 +37,37 @@ object Maintenance {
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
 
   /** Rewrite every partition that has fragmented into more than
-    * `maxFilesPerPartition` files into one file each; all other partitions
-    * are untouched (asserted by file identity in MaintenanceSpec). Returns
-    * the rewritten partition values. */
+    * `maxFilesPerPartition` files into `ceil(bytes / targetFileBytes)`
+    * files each (at least one — a small partition compacts to a single
+    * file, a 100 GB partition keeps enough files to stay parallel and
+    * task-sized); all other partitions are untouched (asserted by file
+    * identity in MaintenanceSpec). A partition already at or under the
+    * file-count budget is never rewritten even if its files are small —
+    * compaction is for FRAGMENTATION, not re-binning. Returns the
+    * rewritten partition values. */
   def compactSmallFiles(spark: SparkSession, path: String, partitionCol: String,
-                        maxFilesPerPartition: Int = 1): Seq[String] = {
-    val fragmented = partitionDirs(path, partitionCol)
-      .filter(d => parquetFiles(d).size > maxFilesPerPartition)
+                        maxFilesPerPartition: Int = 1,
+                        targetFileBytes: Long = 128L << 20): Seq[String] = {
+    val fragmented = partitionDirs(path, partitionCol).filter { d =>
+      val fs = parquetFiles(d)
+      // fragmented = over the file budget AND over-split for its size:
+      // a partition legitimately holding N target-sized files stays put
+      val bytes = fs.map(_.length()).sum
+      fs.size > math.max(maxFilesPerPartition.toLong,
+        (bytes + targetFileBytes - 1) / targetFileBytes)
+    }
     fragmented.map { d =>
       // directory names carry the Hive-escaped form (space → %20 etc.);
       // unescape before re-using as the column VALUE, or the rewrite
       // double-escapes (mon=a%2520b) and splits the partition
       val value = ExternalCatalogUtils.unescapePathName(
         d.getName.stripPrefix(s"$partitionCol="))
+      val nOut = math.max(1L,
+        (parquetFiles(d).map(_.length()).sum + targetFileBytes - 1)
+          / targetFileBytes).toInt
       val compacted = spark.read.parquet(d.toString)
         .withColumn(partitionCol, lit(value))
-        .coalesce(1)
+        .coalesce(nOut)
         .localCheckpoint() // materialize BEFORE overwriting what we read
       graft.core.Sink.overwritePartitions(compacted, path, Seq(partitionCol))
       value

@@ -79,6 +79,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(files(path, "mon=2024-01") == before)
   }
 
+  test("compaction is target-size-aware: big partitions keep multiple files") {
+    val path = java.nio.file.Files.createTempDirectory("compact_size").toString
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, "2024-01")).toDF("id", "mon")
+        .repartition(1).write.partitionBy("mon").mode("append").parquet(path)
+    }
+    val dir = new java.io.File(path, "mon=2024-01")
+    val total = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    // target = half the partition: 4 fragments must compact to exactly 2
+    // files, not 1 — a partition bigger than one target file stays parallel
+    val rewritten = Maintenance.compactSmallFiles(spark, path, "mon",
+      targetFileBytes = (total + 1) / 2)
+    assert(rewritten == Seq("2024-01"))
+    assert(files(path, "mon=2024-01").size == 2,
+      s"expected 2 target-sized files, got ${files(path, "mon=2024-01").size}")
+    assert(spark.read.parquet(path).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+
+    // a partition already holding target-sized files is NOT re-binned even
+    // though it has more than maxFilesPerPartition files
+    val again = Maintenance.compactSmallFiles(spark, path, "mon",
+      targetFileBytes = 10L) // every file is over-target
+    assert(again.isEmpty, "well-sized partition was rewritten")
+  }
+
   test("forgetKeys keeps null-key rows in touched partitions") {
     val path = java.nio.file.Files.createTempDirectory("forget_null").toString
     // 2024-01 holds a targeted row AND a null-key row; 2024-02 holds ONLY

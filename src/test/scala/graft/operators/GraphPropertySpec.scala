@@ -67,4 +67,46 @@ class GraphPropertySpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
     assert(res.passed, res.status.toString)
   }
+
+  /** exact integer pagerank reference: same recurrence as the operator */
+  private def prReference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val es = edges.distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val outdeg = es.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    var pr = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = nodes.map { n =>
+        n -> es.filter(_._2 == n).map(e => pr(e._1) / outdeg(e._1)).sum
+      }.toMap
+      pr = nodes.map(n => n -> (150000L + (85L * in(n)) / 100L)).toMap
+    }
+    pr
+  }
+
+  test("pageRankQ local path matches the exact recurrence on random graphs (ScalaCheck)") {
+    import spark.implicits._
+    val prop = Prop.forAll(edgeListGen) { edges =>
+      edges.nonEmpty ==> {
+        val got = Graph.pageRankQ(edges.toDF("a", "b"), 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == prReference(edges, 3)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("pageRankQ BSP path matches the exact recurrence on random graphs (ScalaCheck)") {
+    import spark.implicits._
+    val prop = Prop.forAll(edgeListGen) { edges =>
+      edges.nonEmpty ==> {
+        val got = Graph.pageRankQ(edges.toDF("a", "b"), 3,
+            localEdgeThreshold = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == prReference(edges, 3)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(3), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
