@@ -21,6 +21,12 @@ import java.nio.charset.StandardCharsets
   *    unknown route (app/task/blueprint.py:59-102, jobs/task_names.py)
   *  - `POST /solar/remaining_power/`      → §3.3 SYNC mini-DAG in the
   *    request thread, returns `{"msg":…}` (app/solar/remaining_power.py:12-39)
+  *  - `POST /notification/`               → async notify with the
+  *    reference's defaults (app/notification/blueprint.py:10-61)
+  *  - the five remaining async upload/update routes mount through
+  *    `Hooks.asyncJobs` (path → body handler) with their reference task
+  *    names from [[Api.routeNames]], so `/tasks/ids` polling works for
+  *    them unchanged; an unmounted route 404s
   *
   * The chain bodies are injected ([[Api.Hooks]]): the spec wires them to
   * the real engine seams (model/SignOff, jobs/Mail, a simulator run), so
@@ -36,12 +42,30 @@ object Api {
       /** notify reviewer + flip sign-off status. */
       notifyReviewer: (String, String, String, Seq[String]) => String,
       /** §3.3 sync solar refresh; returns the response message. */
-      solarRefresh: () => String)
+      solarRefresh: () => String,
+      /** the notify task behind POST /notification/
+        * (topic, htmlContent, toList) → result. */
+      notifyMail: (String, String, Seq[String]) => String =
+        (_, _, _) => "notification success",
+      /** the remaining async upload/update endpoints
+        * (reference: jobs/task_names.py routes — shipment upload,
+        * summary update, ratio sim, reconciliation upload, certificate
+        * update): path → (raw request body → task result). Mounting a
+        * route is adding its entry; the task name comes from
+        * [[routeNames]] so `/tasks/ids` polling works unchanged. */
+      asyncJobs: Map[String, String => String] = Map.empty)
 
-  /** route_name → task name (reference: jobs/task_names.py:1-8). */
+  /** route_name → task name — the reference's mapping_list verbatim
+    * (jobs/task_names.py:1-8) plus the two sign-off chains this engine
+    * also tracks by route. */
   val routeNames: Map[String, String] = Map(
-    "sign_off/establish" -> "sign-off-establish-chain",
-    "sign_off/notification-reviewer" -> "sign-off-notify-chain")
+    "/electricity/shipment/upload" -> "shipment-upload",
+    "/electricity/summary/update" -> "electricity-summary-update",
+    "/renewable_energy/sim/ratio" -> "renewable-energy-ratio-sim-update",
+    "/green_power/reconciliation/upload" -> "reconciliation-upload",
+    "/certificate/green_energy/update" -> "green-certificate-update",
+    "/sign_off/establish" -> "sign-off-establish-chain",
+    "/sign_off/notification-reviewer" -> "sign-off-notify-chain")
 
   // -- minimal JSON: only what these five endpoints need --
   private[service] def jstr(s: String): String =
@@ -116,7 +140,7 @@ final class Api(runner: TaskRunner, hooks: Api.Hooks,
       case ("POST", "/sign_off/establish") =>
         val pic = field(body, "pic").getOrElse("")
         val reviewer = field(body, "reviewer").getOrElse("")
-        val name = routeNames("sign_off/establish")
+        val name = routeNames("/sign_off/establish")
         val id = runner.submit(name,
           onError = (tid, e) => taskFailMail(
             "sign_off establish, simulate() | create_sign_off() | send_pic_mail()",
@@ -132,7 +156,7 @@ final class Api(runner: TaskRunner, hooks: Api.Hooks,
           .getOrElse("AI simulated electricity update")
         val content = field(body, "content").getOrElse("<html></html>")
         val toList = fieldList(body, "to_list").getOrElse(Seq.empty)
-        val name = routeNames("sign_off/notification-reviewer")
+        val name = routeNames("/sign_off/notification-reviewer")
         val id = runner.submit(name,
           onError = (tid, e) => taskFailMail(
             "sign_off send_notification, notify() | update_sign_off()",
@@ -159,6 +183,25 @@ final class Api(runner: TaskRunner, hooks: Api.Hooks,
 
       case ("GET", p) if p.startsWith("/tasks/") =>
         val id = p.stripPrefix("/tasks/")
+        respond(ex, 200, taskResponse(id, runner.state(id)))
+
+      case ("POST", "/notification") =>
+        // reference defaults (app/notification/blueprint.py:51-58)
+        val topic = field(body, "topic")
+          .getOrElse("AI simulated electricity update")
+        val content = field(body, "content").getOrElse("<html></html>")
+        val toList = fieldList(body, "to_list").getOrElse(Seq.empty)
+        val id = runner.submit("notify") {
+          hooks.notifyMail(topic, content, toList)
+        }
+        respond(ex, 200, taskResponse(id, runner.state(id)))
+
+      case ("POST", p) if hooks.asyncJobs.contains(p) =>
+        val job = hooks.asyncJobs(p)
+        val b = body // force the lazy read before the handler thread moves on
+        val id = runner.submit(routeNames.getOrElse(p, p),
+          onError = (tid, e) => taskFailMail(
+            p, tid, String.valueOf(e.getMessage))) { job(b) }
         respond(ex, 200, taskResponse(id, runner.state(id)))
 
       case ("POST", "/solar/remaining_power") =>

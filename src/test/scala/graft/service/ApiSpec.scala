@@ -75,7 +75,12 @@ class ApiSpec extends SparkSpec {
           if (toList.nonEmpty) Some(toList) else None)
         s"notified $signId"
       },
-      solarRefresh = () => "solar refresh success"))
+      solarRefresh = () => "solar refresh success",
+      notifyMail = (topic, content, toList) => {
+        router.notify(topic, content,
+          if (toList.nonEmpty) Some(toList) else None)
+        "notification success"
+      }))
     val port = api.start()
     try {
       val (code, body) = post(port, "/sign_off/establish",
@@ -101,7 +106,7 @@ class ApiSpec extends SparkSpec {
         spark.read.parquet(s"$wh/decarb_elect_simulate")) == 3)
 
       // task lookup by route name sees both chain runs as SUCCESS
-      val (c3, listing) = get(port, "/tasks/ids?route_name=sign_off/establish")
+      val (c3, listing) = get(port, "/tasks/ids?route_name=/sign_off/establish")
       assert(c3 == 200)
       assert("\"status\":\"SUCCESS\"".r.findAllIn(listing).size == 2)
       // unknown route_name → 400, the reference's error contract
@@ -112,6 +117,42 @@ class ApiSpec extends SparkSpec {
       // §3.3 sync endpoint answers inline
       val (c4, solar) = post(port, "/solar/remaining_power/", "{}")
       assert(c4 == 200 && Api.field(solar, "msg").get == "solar refresh success")
+
+      // /notification/: async notify through the same mail seam
+      val nid = Api.field(post(port, "/notification/",
+        """{"topic": "heads up", "content": "<p>x</p>", "to_list": ["a@example.com"]}""")._2,
+        "id").get
+      assert(pollTerminal(port, nid) == "SUCCESS")
+      assert(box.sent.last ==
+        Mail.Message("heads up", "<p>x</p>", Seq("a@example.com"), html = true))
+    } finally { api.stop(); runner.shutdown() }
+  }
+
+  test("generic async routes mount via asyncJobs with reference task names") {
+    val runner = new TaskRunner()
+    val uploads = scala.collection.mutable.ArrayBuffer.empty[String]
+    val api = new Api(runner, Api.Hooks(
+      establish = (_, _) => "",
+      notifyReviewer = (_, _, _, _) => "",
+      solarRefresh = () => "",
+      asyncJobs = Map("/electricity/shipment/upload" -> { body =>
+        uploads += body; s"ingested ${body.length} bytes"
+      })))
+    val port = api.start()
+    try {
+      val (code, resp) = post(port, "/electricity/shipment/upload",
+        """{"file": "UEsDBA=="}""")
+      assert(code == 200)
+      val id = Api.field(resp, "id").get
+      assert(pollTerminal(port, id) == "SUCCESS")
+      assert(uploads.size == 1 && uploads.head.contains("UEsDBA=="))
+      // the reference's route mapping resolves it for /tasks/ids
+      val (c2, listing) =
+        get(port, "/tasks/ids?route_name=/electricity/shipment/upload")
+      assert(c2 == 200 && listing.contains("\"status\":\"SUCCESS\""))
+      // an unmounted (but mapped) route is 404: mounting is the embedder's
+      // explicit choice, not implied by the name table
+      assert(post(port, "/certificate/green_energy/update", "{}")._1 == 404)
     } finally { api.stop(); runner.shutdown() }
   }
 
