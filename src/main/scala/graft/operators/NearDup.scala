@@ -159,4 +159,71 @@ object NearDup {
           transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
             x => x("chunk")), " ").as("text_clean"))
   }
+
+  /** Exact repeated-substring detection at ARBITRARY positions — the
+    * ExactSubstr idea from "Deduplicating Training Data Makes Language
+    * Models Better" (Lee et al., 2022), reduced to Spark-friendly
+    * relational form: a token span of length `minGram` is "repeated" when
+    * its gram string occurs more than once ANYWHERE in the corpus
+    * (including elsewhere in the same document); overlapping or touching
+    * flagged spans merge into maximal intervals per document. Strictly
+    * stronger than [[chunkDedup]], whose fixed chunk boundaries miss
+    * repeats that straddle them.
+    *
+    * Scale shape: gram keys are built columnar (slice + hash, no UDF); the
+    * repeated set is one partial-aggregable groupBy; flagging is a semi
+    * join on the hash; interval union is a per-document window over the
+    * FLAGGED positions only (bounded by doc length — never a global
+    * sort). Exact integer logic throughout; oracle-gated as
+    * t28_repeated_spans.
+    *
+    * @return (doc_id, span_id, start_tok, end_tok) with end exclusive,
+    *   span_id numbered 0.. per doc in position order */
+  def repeatedSpans(docs: DataFrame, minGram: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val L = minGram
+    val grams = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
+      .filter(size(col("__ws")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(__ws) - $L),
+            p -> md5(array_join(slice(__ws, p + 1, $L), ' ')))""")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+    val repeated = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("h"))
+    val flagged = grams.join(repeated, Seq("h"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    flagged
+      .withColumn("e", col("pos") + L)
+      .withColumn("prev_e", max(col("e"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ns",
+        when(col("prev_e").isNull || col("pos") > col("prev_e"), 1L).otherwise(0L))
+      .withColumn("span_id",
+        sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1L)
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("start_tok"), max(col("e")).as("end_tok"))
+  }
+
+  /** Companion cut: drop every token inside a repeated span, keep the
+    * rest in order. Spans per doc are bounded (≤ n_tok/2 merged
+    * intervals), so the membership test is an array scan inside the
+    * projection — no extra shuffle beyond [[repeatedSpans]]' own. */
+  def stripRepeatedSpans(docs: DataFrame, minGram: Int = 5,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = repeatedSpans(docs, minGram, idCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("__spans"))
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), expr(
+        """array_join(
+             filter(
+               transform(split(__text, ' '), (t, i) ->
+                 CASE WHEN __spans IS NULL OR NOT exists(__spans,
+                   s -> i >= s.start_tok AND i < s.end_tok) THEN t END),
+               t -> t IS NOT NULL),
+             ' ')""").as("text_clean"))
+  }
 }

@@ -919,5 +919,40 @@ object TextQueries {
           CAST(least(12, len(ws) - st) AS BIGINT) AS n_tok,
           array_to_string(ws[st + 1 : st + 12], ' ') AS chunk_text
         FROM s"""))
+,
+
+    // ---- exact repeated-substring spans (NearDup.repeatedSpans): the
+    // ExactSubstr dedup idea (Lee et al. 2022) in relational form — a
+    // 5-token span repeated ANYWHERE in the corpus is flagged, and
+    // overlapping/touching flags merge to maximal per-doc intervals via
+    // gaps-and-islands. Catches repeats that t21's fixed chunk boundaries
+    // straddle. Scale shape: columnar gram hashing, one partial-agg
+    // groupBy for the repeated set, a semi join to flag, and a per-doc
+    // window over flagged positions only — no global sort. ----
+    Q("t28_repeated_spans",
+      (s, dir) => graft.operators.NearDup.repeatedSpans(
+        T(s, dir, "documents").select(col("doc_id"), col("text")), minGram = 5),
+      Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+          g AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+              md5(array_to_string(ws[p + 1 : p + 5], ' ')) AS h
+            FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 4)) AS p
+                  FROM t WHERE len(ws) >= 5)),
+          d AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+          f AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)),
+          m AS (SELECT doc_id, pos, pos + 5 AS e,
+              max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+            FROM f),
+          s AS (SELECT doc_id, pos, e,
+              CASE WHEN prev_e IS NULL OR pos > prev_e THEN 1 ELSE 0 END AS ns
+            FROM m),
+          sp AS (SELECT doc_id, pos, e,
+              SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS UNBOUNDED PRECEDING) - 1 AS span_id
+            FROM s)
+        SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+          CAST(min(pos) AS BIGINT) AS start_tok,
+          CAST(max(e) AS BIGINT) AS end_tok
+        FROM sp GROUP BY doc_id, span_id"""))
   )
 }

@@ -74,4 +74,35 @@ class NearDupSpec extends SparkSpec {
     val want = bruteForce(docs, 3, 9, 10, 2, 3)
     assert(got == want)
   }
+
+  test("repeatedSpans flags cross-doc repeats, merges overlaps, straddles chunk bounds") {
+    import spark.implicits._
+    // docs 1 & 2 share the 6-token phrase "one two three four five six"
+    // starting at different offsets; doc 3 repeats a phrase INSIDE itself;
+    // doc 4 is clean
+    val docs = Seq(
+      (1L, "a b one two three four five six c d"),
+      (2L, "x one two three four five six y z w"),
+      (3L, "p q r s t u v p q r s t u v"),
+      (4L, "totally unique words nothing here repeats ever")
+    ).toDF("doc_id", "text")
+    val spans = NearDup.repeatedSpans(docs, minGram = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // 6 shared tokens at L=5 → two overlapping flags → ONE merged span
+    // covering exactly the phrase; doc 3's repeat "p q r s t u v" (len 7)
+    // flags positions 0..2 and 7..9 → two spans [0,7) and [7,14) touching
+    // → merged to one full-doc span; doc 4 has none
+    assert(spans == Set(
+      (1L, 0L, 2L, 8L),
+      (2L, 0L, 1L, 7L),
+      (3L, 0L, 0L, 14L)))
+
+    val cleaned = NearDup.stripRepeatedSpans(docs, minGram = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) == "a b c d")
+    assert(cleaned(2L) == "x y z w")
+    assert(cleaned(3L) == "")
+    assert(cleaned(4L) == "totally unique words nothing here repeats ever")
+  }
 }
