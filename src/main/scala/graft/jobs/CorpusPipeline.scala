@@ -33,6 +33,10 @@ object CorpusPipeline {
       asciiOnly: Boolean = true,
       /** drop a train doc sharing at least this many word-3-grams with eval */
       decontamMinShared: Long = 5L,
+      /** when set, strip exact repeated substrings of this many tokens
+        * (NearDup.stripRepeatedSpans — the ExactSubstr pass) after the
+        * near-dup cut; docs falling under minTokens afterwards drop */
+      exactSubstrMinGram: Option[Int] = None,
       /** drop the worst-scoring fraction under the corpus bigram LM (the
         * CCNet-style perplexity tail cut; 0.0 disables the stage) */
       lmDropFraction: Double = 0.1,
@@ -83,13 +87,29 @@ object CorpusPipeline {
     val deduped = exact.join(broadcast(losers), Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // 3b. optional ExactSubstr pass: cut repeated >=g-token spans from the
+    //     surviving docs (one-pass, like Lee et al.'s practical variant),
+    //     recompute token counts, re-apply the length floor. Runs AFTER
+    //     near-dup dedup so cluster losers don't vote spans "repeated".
+    val afterSubstr = cfg.exactSubstrMinGram match {
+      case None => deduped
+      case Some(g) =>
+        val stripped = graft.operators.NearDup.stripRepeatedSpans(
+          deduped.select(col("doc_id"), col("text")), g)
+        deduped.drop("text", "n_tok")
+          .join(stripped.withColumnRenamed("text_clean", "text"), Seq("doc_id"))
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+          .filter(col("n_tok") >= cfg.minTokens)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
     // 4. decontamination: drop train docs sharing >= minShared word-3-grams
     //    with the eval set (t17 semantics turned into a filter, via the
     //    SAME gram definition the oracle-proven query uses)
     def grams(d: DataFrame): DataFrame =
       NearDup.wordGrams(d.select(col("doc_id"), col("text")), 3)
     val evalGrams = grams(evalDocs).select(col("gram")).distinct()
-    val contaminated = grams(deduped)
+    val contaminated = grams(afterSubstr)
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -98,7 +118,7 @@ object CorpusPipeline {
     // second cut: the gram explode above is the next-most-expensive stage,
     // and stages 5-6, three summary counts, and the caller's consumption of
     // the returned frame all sit downstream of it
-    val decontaminated = deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val decontaminated = afterSubstr.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 5. LM perplexity filter (t24 semantics): score every doc under the
@@ -156,20 +176,23 @@ object CorpusPipeline {
       .drop("start", "alpha_ratio")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val summary = Seq(
+    val summary = (Seq(
       "0_input" -> docs.count(),
       "1_clean" -> clean.count(),
       "2_exact_dedup" -> exact.count(),
-      "3_neardup_dedup" -> deduped.count(),
+      "3_neardup_dedup" -> deduped.count()) ++
+      cfg.exactSubstrMinGram.map(_ =>
+        "3b_substr_strip" -> afterSubstr.count()).toSeq ++ Seq(
       "4_decontaminated" -> decontaminated.count(),
       "5_lm_filtered" -> lmFiltered.count(),
       "6_sampled" -> sampled.count(),
-      "7_packed" -> packed.count()
+      "7_packed" -> packed.count())
     ).toDF("stage", "n_docs")
     // the counts above materialized every cache; the returned `packed` is
     // itself cached, so the two upstream cuts can be released here — the
     // caller holds exactly one pinned frame and unpersists it when done
     deduped.unpersist()
+    if (cfg.exactSubstrMinGram.nonEmpty) afterSubstr.unpersist()
     decontaminated.unpersist()
     (packed, summary)
   }

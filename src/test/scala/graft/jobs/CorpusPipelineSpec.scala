@@ -64,6 +64,31 @@ class CorpusPipelineSpec extends SparkSpec {
       counts("7_packed") == 0L)
   }
 
+  test("the ExactSubstr stage strips repeated spans and reports its count") {
+    val cfg = CorpusPipeline.Config(exactSubstrMinGram = Some(5))
+    val (packed, summary) = CorpusPipeline.run(trainDocs, evalDocs, cfg)
+    val counts = summary.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.contains("3b_substr_strip"))
+    assert(counts("3b_substr_strip") <= counts("3_neardup_dedup"))
+    assert(counts("4_decontaminated") <= counts("3b_substr_strip"))
+    assert(counts("7_packed") > 0)
+    // the strip really removed repeated material: measure the repeated-span
+    // token mass WITHIN each run's packed output. The default pipeline
+    // retains corpus-level repeats; the stripped one may keep at most the
+    // new-adjacency artifacts a one-pass strip can create.
+    def spanMass(df: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.NearDup.repeatedSpans(
+          df.select(col("doc_id"), col("text")), 5)
+        .agg(coalesce(sum(col("end_tok") - col("start_tok")), lit(0L)))
+        .head().getLong(0)
+    val (packedDefault, _) = CorpusPipeline.run(trainDocs, evalDocs)
+    val massDefault = spanMass(packedDefault)
+    val massStripped = spanMass(packed)
+    assert(massDefault > 0, "fixture lost its repeats; comparison is vacuous")
+    assert(massStripped < massDefault,
+      s"strip left $massStripped repeated-span tokens vs $massDefault without it")
+  }
+
   test("deterministic: two runs produce identical corpora") {
     val (a, _) = CorpusPipeline.run(trainDocs, evalDocs)
     val (b, _) = CorpusPipeline.run(trainDocs, evalDocs)
