@@ -172,15 +172,20 @@ object Graph {
     // integral keys skip the InternalRow→Row conversion wholesale:
     // executeCollect hands back UnsafeRows and getLong reads them in
     // place — for a 1M-edge collect that conversion is the single
-    // biggest line item after the scan itself
+    // biggest line item after the scan itself. Null slots must be read
+    // via isNullAt first (getLong on a null slot silently yields 0 and
+    // would merge every null into node 0); nulls stay distinct Any keys,
+    // matching what the BSP groupBy does with them.
     val longKeys = e0.schema.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     val probe = e0.limit(localCap + 1)
     val rows: Array[(Any, Any)] =
       if (longKeys)
-        probe.queryExecution.executedPlan.executeCollect().map(r =>
-          (java.lang.Long.valueOf(r.getLong(0)): Any,
-            java.lang.Long.valueOf(r.getLong(1)): Any))
+        probe.queryExecution.executedPlan.executeCollect().map { r =>
+          val a: Any = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          val b: Any = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
+          (a, b)
+        }
       else probe.collect().map(r => (r.get(0), r.get(1)))
     if (rows.length <= localCap) {
       // index-encode node ids once, then the whole computation runs on
