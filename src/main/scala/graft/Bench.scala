@@ -39,20 +39,27 @@ object Bench {
 
     // two measured passes, report the per-query minimum: the steady-state
     // number, insulated from co-tenant noise on a shared machine. A query
-    // that THROWS must not masquerade as a fast run — errors are collected
-    // and reported in the JSON line.
+    // that THROWS must not masquerade as a fast run: errored queries are
+    // EXCLUDED from the queries/total figures entirely (their instant
+    // failure time would otherwise read as a speedup next round) and
+    // reported in the errors map instead.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case e: Throwable =>
         errors.getOrElseUpdate(name,
-          String.valueOf(e.getMessage).replaceAll("[\"\\\\\n\r\t]", " ").take(200))
+          // ALL control chars are illegal in a JSON string — one raw \f in
+          // an error message would make the whole output line unparseable
+          String.valueOf(e.getMessage)
+            .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(200))
       }
       (System.nanoTime() - t0) / 1e9
     }
     val pass1 = names.map(n => n -> timeOnce(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), timeOnce(n)))
+    val results = names
+      .map(n => n -> math.min(pass1(n), timeOnce(n)))
+      .filterNot { case (n, _) => errors.contains(n) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

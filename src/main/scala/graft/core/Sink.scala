@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 /** Idempotent keyed-overwrite writers — the engine-side port of the
   * reference's delete-then-append refresh (S7): every monthly job deletes the
@@ -74,7 +74,12 @@ object Sink {
           return
       }
     val touched = existing.filter(matches).select(partitionCols.map(col): _*).distinct()
-    val kept = existing.join(touched, partitionCols).filter(!matches)
+    // a NULL match must mean KEEP: `!matches` is NULL (not true) for rows
+    // where the predicate is NULL (e.g. a forall over a NULL array), and a
+    // bare filter would silently delete them — the same three-valued-logic
+    // trap Maintenance.forgetKeys fixed for null keys
+    val kept = existing.join(touched, partitionCols)
+      .filter(!coalesce(matches, lit(false)))
     overwritePartitions(kept.unionByName(df), path, partitionCols)
   }
 }

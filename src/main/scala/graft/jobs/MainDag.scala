@@ -231,8 +231,24 @@ object MainDag {
         // (year, provider) window and appends the refreshed rows with an
         // empty-input guard (staging_cal.py:358-375) — the keyed
         // delete-then-append, here as overwriteWhere on year partitions
-        val contracts = rd(s, "app", "green_elec_pre_contracts")
-          .drop("last_update_time").localCheckpoint() // materialize before self-overwrite
+        // fresh warehouse: no contract table yet means no rows to refresh —
+        // the reference's len(...)==0 guard fires and the job is a no-op
+        // (the table is seeded externally, never created by this job)
+        val contracts =
+          try rd(s, "app", "green_elec_pre_contracts")
+            .drop("last_update_time").localCheckpoint() // materialize before self-overwrite
+          catch {
+            case e: org.apache.spark.sql.AnalysisException if Sink.pathMissing(e) =>
+              import org.apache.spark.sql.types._
+              s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType(Seq(
+                  StructField("provider_name", StringType),
+                  StructField("contract_ytm_amount", DoubleType),
+                  StructField("year", IntegerType),
+                  StructField("area", StringType),
+                  StructField("green_elec_type", ArrayType(StringType)),
+                  StructField("contract_price", DoubleType))))
+          }
         val refreshed = StagingCal.greenElecPreContracts(
           rd(s, "staging", "green_elect_vol"), rd(s, "raw", "area_mapping"),
           contracts, clock).localCheckpoint()

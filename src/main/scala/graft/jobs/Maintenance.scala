@@ -48,23 +48,24 @@ object Maintenance {
   def compactSmallFiles(spark: SparkSession, path: String, partitionCol: String,
                         maxFilesPerPartition: Int = 1,
                         targetFileBytes: Long = 128L << 20): Seq[String] = {
-    val fragmented = partitionDirs(path, partitionCol).filter { d =>
-      val fs = parquetFiles(d)
-      // fragmented = over the file budget AND over-split for its size:
-      // a partition legitimately holding N target-sized files stays put
-      val bytes = fs.map(_.length()).sum
-      fs.size > math.max(maxFilesPerPartition.toLong,
-        (bytes + targetFileBytes - 1) / targetFileBytes)
-    }
-    fragmented.map { d =>
+    // one listing + stat pass per partition: the (bytes, count) pair feeds
+    // both the fragmentation test and the output bin count
+    val fragmented = partitionDirs(path, partitionCol)
+      .map { d => val fs = parquetFiles(d); (d, fs.size, fs.map(_.length()).sum) }
+      .filter { case (_, nFiles, bytes) =>
+        // fragmented = over the file budget AND over-split for its size:
+        // a partition legitimately holding N target-sized files stays put
+        nFiles > math.max(maxFilesPerPartition.toLong,
+          (bytes + targetFileBytes - 1) / targetFileBytes)
+      }
+    fragmented.map { case (d, _, bytes) =>
       // directory names carry the Hive-escaped form (space → %20 etc.);
       // unescape before re-using as the column VALUE, or the rewrite
       // double-escapes (mon=a%2520b) and splits the partition
       val value = ExternalCatalogUtils.unescapePathName(
         d.getName.stripPrefix(s"$partitionCol="))
       val nOut = math.max(1L,
-        (parquetFiles(d).map(_.length()).sum + targetFileBytes - 1)
-          / targetFileBytes).toInt
+        (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       val compacted = spark.read.parquet(d.toString)
         .withColumn(partitionCol, lit(value))
         .coalesce(nOut)

@@ -145,14 +145,21 @@ object Graph {
                 localEdgeThreshold: Long = 1L << 22,
                 undirected: Boolean = false): DataFrame = {
     val Array(srcCol, dstCol) = edges.columns
-    // node ids keep their native type: integer keys hash and shuffle far
-    // cheaper than strings, and a producer that already guarantees
-    // distinct edges (e.g. an exploded distinct pair set) skips the
-    // collapse shuffle entirely via dedupEdges = false. With
-    // undirected = true the caller supplies each link ONCE and the
-    // operator emits both directions itself — on the driver for the local
-    // path (halving what crosses the collect) and as an explode for BSP.
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // node ids keep their native type when src and dst agree: integer
+    // keys hash and shuffle far cheaper than strings. MIXED types fall
+    // back to the string encoding — boxed Integer/Long keys would never
+    // unify on the driver and the output schema could only carry one of
+    // the two types. A producer that already guarantees distinct edges
+    // (e.g. an exploded distinct pair set) skips the collapse shuffle
+    // entirely via dedupEdges = false. With undirected = true the caller
+    // supplies each link ONCE and the operator emits both directions
+    // itself — on the driver for the local path (halving what crosses the
+    // collect) and as an explode for BSP.
+    val sameType = edges.schema(0).dataType == edges.schema(1).dataType
+    val e0 =
+      if (sameType) edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      else edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
     // Size-adaptive strategy fork #1 (same shape as connectedComponents):
     // below the threshold the whole RAW edge set fits the driver, and a
     // tight in-memory loop replaces 4 + 3·iters shuffle stages whose

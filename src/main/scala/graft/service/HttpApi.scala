@@ -79,6 +79,34 @@ object Api {
       case c => c.toString
     } + "\""
 
+  /** Decode the standard JSON string escapes (a serializer emits \n for
+    * every multi-line body; leaving it as literal backslash-n would
+    * diverge from the reference's real JSON parser). */
+  private def unescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => b += '"'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case '/' => b += '/'; i += 2
+          case 'n' => b += '\n'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'b' => b += '\b'; i += 2
+          case 'f' => b += '\f'; i += 2
+          case 'u' if i + 5 < s.length =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case other => b += other; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
   /** Extract a top-level string field from a (flat) JSON body. The
     * reference's request bodies are flat objects; a full parser would be
     * a dependency this layer exists to avoid. */
@@ -87,9 +115,7 @@ object Api {
       .compile("\"" + java.util.regex.Pattern.quote(name) +
         "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"")
       .matcher(body)
-    if (m.find())
-      Some(m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-    else None
+    if (m.find()) Some(unescape(m.group(1))) else None
   }
 
   /** Extract a top-level array-of-strings field. */
@@ -98,8 +124,8 @@ object Api {
       .compile("\"" + java.util.regex.Pattern.quote(name) + "\"\\s*:\\s*\\[([^\\]]*)\\]")
       .matcher(body)
     if (!m.find()) None
-    else Some(
-      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+    else Some("\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(m.group(1)).map(g => unescape(g.group(1))).toSeq)
   }
 
   private def taskResponse(id: String, state: String): String =
@@ -115,6 +141,10 @@ final class Api(runner: TaskRunner, hooks: Api.Hooks,
   /** Bind on an ephemeral (or given) port; returns the bound port. */
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // without an executor every handler runs on the single dispatcher
+    // thread — the inline §3.3 mini-DAG would block every /tasks poll for
+    // its whole runtime
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.createContext("/", (ex: HttpExchange) => handle(ex))
     server.start()
     server.getAddress.getPort

@@ -22,13 +22,29 @@ import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
   * sign-offs is the warehouse (model/SignOff); this store only tracks
   * in-flight work, exactly like the reference's celery_taskmeta rows.
   */
-final class TaskRunner(threads: Int = 2) {
+final class TaskRunner(threads: Int = 2, maxRecords: Int = 10000) {
 
   final case class Meta(id: String, name: String, status: String,
-                        result: Option[String], error: Option[String])
+                        result: Option[String], error: Option[String],
+                        seq: Long = 0L)
 
   private val metas = new ConcurrentHashMap[String, Meta]()
   private val pool = Executors.newFixedThreadPool(threads)
+  private val seqGen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Celery expires results (result_expires); an unbounded task-meta store
+    * would leak every result string ever produced in a long-lived service.
+    * When the store exceeds `maxRecords`, the oldest TERMINAL records are
+    * dropped (in-flight tasks are never evicted); an evicted id simply
+    * polls PENDING again — AsyncResult semantics for an expired result. */
+  private def evictIfNeeded(): Unit = if (metas.size() > maxRecords) {
+    import scala.jdk.CollectionConverters._
+    metas.values().asScala.toSeq
+      .filter(m => m.status == "SUCCESS" || m.status == "FAILURE")
+      .sortBy(_.seq)
+      .take(metas.size() - maxRecords)
+      .foreach(m => metas.remove(m.id))
+  }
 
   /** Submit named work; returns the task id immediately (the `.delay()`
     * contract). `work` returns the task's result string (what the
@@ -36,18 +52,20 @@ final class TaskRunner(threads: Int = 2) {
   def submit(name: String, onError: (String, Throwable) => Unit = (_, _) => ())
             (work: => String): String = {
     val id = java.util.UUID.randomUUID().toString
-    metas.put(id, Meta(id, name, "PENDING", None, None))
+    val seq = seqGen.incrementAndGet()
+    metas.put(id, Meta(id, name, "PENDING", None, None, seq))
     pool.execute { () =>
-      metas.put(id, Meta(id, name, "STARTED", None, None))
+      metas.put(id, Meta(id, name, "STARTED", None, None, seq))
       try {
         val r = work
-        metas.put(id, Meta(id, name, "SUCCESS", Some(r), None))
+        metas.put(id, Meta(id, name, "SUCCESS", Some(r), None, seq))
       } catch {
         case e: Throwable =>
           metas.put(id, Meta(id, name, "FAILURE", None,
-            Some(String.valueOf(e.getMessage))))
+            Some(String.valueOf(e.getMessage)), seq))
           try onError(id, e) catch { case _: Throwable => () }
       }
+      evictIfNeeded()
     }
     id
   }
@@ -62,7 +80,7 @@ final class TaskRunner(threads: Int = 2) {
     * SELECT behind `/tasks/ids`. */
   def byName(name: String): Seq[Meta] = {
     import scala.jdk.CollectionConverters._
-    metas.values().asScala.filter(_.name == name).toSeq.sortBy(_.id)
+    metas.values().asScala.filter(_.name == name).toSeq.sortBy(_.seq)
   }
 
   /** Test/embedding helper: block until the task reaches a terminal state. */

@@ -90,9 +90,12 @@ class MainDagSpec extends SparkSpec {
     // '= ALL' predicate excludes it from delete AND refresh), one
     // prior-year row (outside the year window entirely)
     Seq(
-      ("Prov", 1000.0, 2026, "north", Seq("光電"), 5.0, old),
-      ("ProvMixed", 800.0, 2026, "north", Seq("光電", "風電"), 3.0, old),
-      ("Prov", 900.0, 2025, "north", Seq("光電"), 4.0, old))
+      ("Prov", 1000.0, 2026, "north", Option(Seq("光電")), 5.0, old),
+      ("ProvMixed", 800.0, 2026, "north", Option(Seq("光電", "風電")), 3.0, old),
+      // NULL array: '光電' = ALL(NULL) is NULL in Postgres — neither
+      // refreshed NOR deleted; a bare !matches filter would lose this row
+      ("Prov", 700.0, 2026, "south", Option.empty[Seq[String]], 2.0, old),
+      ("Prov", 900.0, 2025, "north", Option(Seq("光電")), 4.0, old))
       .toDF("provider_name", "contract_ytm_amount", "year", "area",
         "green_elec_type", "contract_price", "last_update_time")
       .write.partitionBy("year").parquet(s"$base/app/green_elec_pre_contracts")
@@ -112,7 +115,22 @@ class MainDagSpec extends SparkSpec {
     assert(out == Set(
       ("Prov", 2026, 1000.0, fresh),      // refreshed: new stamp
       ("ProvMixed", 2026, 800.0, old),    // mixed array: kept verbatim
+      ("Prov", 2026, 700.0, old),         // NULL array: kept verbatim
       ("Prov", 2025, 900.0, old)),        // prior year: partition untouched
       s"unexpected table state: $out")
+  }
+
+  test("green_elec_pre_contracts on a fresh warehouse is a no-op, not a permanent failure") {
+    val base = Files.createTempDirectory("maindag_gepc_fresh").toString
+    Seq(("S1", "P1", "Prov", "轉供", 10.0))
+      .toDF("site", "plant", "provider_name", "category1", "amount")
+      .write.parquet(s"$base/staging/green_elect_vol")
+    Seq(("Prov", "north")).toDF("provider_name", "area")
+      .write.parquet(s"$base/raw/area_mapping")
+    // no app table seeded: the reference's empty-input guard fires
+    MainDag.jobs(base, clock)
+      .find(_.name == "staging_cal:green_elec_pre_contracts").get.run(spark)
+    assert(!new java.io.File(s"$base/app/green_elec_pre_contracts").exists(),
+      "no-op run must not create the table")
   }
 }

@@ -118,13 +118,16 @@ class ApiSpec extends SparkSpec {
       val (c4, solar) = post(port, "/solar/remaining_power/", "{}")
       assert(c4 == 200 && Api.field(solar, "msg").get == "solar refresh success")
 
-      // /notification/: async notify through the same mail seam
+      // /notification/: async notify through the same mail seam; the JSON
+      // \n escape must arrive as a REAL newline (what a serializer sends
+      // for any multi-line HTML body)
       val nid = Api.field(post(port, "/notification/",
-        """{"topic": "heads up", "content": "<p>x</p>", "to_list": ["a@example.com"]}""")._2,
+        """{"topic": "heads up", "content": "<p>line1\nline2</p>", "to_list": ["a@example.com"]}""")._2,
         "id").get
       assert(pollTerminal(port, nid) == "SUCCESS")
       assert(box.sent.last ==
-        Mail.Message("heads up", "<p>x</p>", Seq("a@example.com"), html = true))
+        Mail.Message("heads up", "<p>line1\nline2</p>",
+          Seq("a@example.com"), html = true))
     } finally { api.stop(); runner.shutdown() }
   }
 
