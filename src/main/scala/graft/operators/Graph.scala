@@ -176,57 +176,92 @@ object Graph {
     // caps driver memory.
     val localCap =
       math.min(localEdgeThreshold, (Int.MaxValue - 8).toLong).toInt
-    // integral keys skip the InternalRow→Row conversion wholesale:
-    // executeCollect hands back UnsafeRows and getLong reads them in
-    // place — for a 1M-edge collect that conversion is the single
-    // biggest line item after the scan itself. Null slots must be read
-    // via isNullAt first (getLong on a null slot silently yields 0 and
-    // would merge every null into node 0); nulls stay distinct Any keys,
-    // matching what the BSP groupBy does with them.
-    val longKeys = e0.schema.forall(
-      _.dataType == org.apache.spark.sql.types.LongType)
-    val probe = e0.limit(localCap + 1)
-    val rows: Array[(Any, Any)] =
-      if (longKeys)
-        probe.queryExecution.executedPlan.executeCollect().map { r =>
+    // the size check is one fully-parallel count of the raw plan; under
+    // the cap, a second fully-parallel pass collects. (A limit-probe
+    // would fold both into one pass but executeTake runs its partition
+    // waves SEQUENTIALLY — measured slower than two parallel passes on a
+    // 32-core edge build. Callers with an expensive upstream should
+    // persist before calling.)
+    val nE = e0.count()
+    if (nE <= localCap) {
+      // integral keys take a fully-primitive path: executeCollect hands
+      // back UnsafeRows read in place (no Row conversion), node ids
+      // encode through an open-addressing long→int table, and dedup goes
+      // through an open-addressing set of packed (srcId, dstId) — for a
+      // 1M-edge graph the boxed-HashMap version of this loop was ~1 s of
+      // allocation churn, the primitive one is tens of ms. Null slots
+      // (isNullAt; getLong on one silently yields 0 and would merge
+      // every null into node 0) drop the batch to the generic boxed path,
+      // where null stays a distinct key like the BSP groupBy keeps it.
+      val longKeys = e0.schema.forall(
+        _.dataType == org.apache.spark.sql.types.LongType)
+      val internal =
+        if (longKeys) e0.queryExecution.executedPlan.executeCollect()
+        else Array.empty[org.apache.spark.sql.catalyst.InternalRow]
+      val anyNull = longKeys && {
+        var i = 0; var found = false
+        while (i < internal.length && !found) {
+          found = internal(i).isNullAt(0) || internal(i).isNullAt(1); i += 1
+        }
+        found
+      }
+      // generic (boxed) rows when keys aren't all-long or nulls appeared;
+      // null here means "take the primitive path over `internal`"
+      val genericRows: Array[(Any, Any)] =
+        if (longKeys && !anyNull) null
+        else if (longKeys) internal.map { r =>
           val a: Any = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
           val b: Any = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
           (a, b)
         }
-      else probe.collect().map(r => (r.get(0), r.get(1)))
-    if (rows.length <= localCap) {
-      // index-encode node ids once, then the whole computation runs on
-      // primitive arrays: dedup via packed (src,dst) longs, rounds as two
-      // array sweeps — 1M-edge × few-iteration graphs finish in tens of
-      // milliseconds after the collect
-      val idx = new java.util.HashMap[Any, Integer](rows.length)
-      val nodeVals = new scala.collection.mutable.ArrayBuffer[Any]()
-      def id(x: Any): Int = {
-        val v = idx.get(x)
-        if (v != null) v.intValue()
-        else { val n = nodeVals.size; idx.put(x, n); nodeVals += x; n }
-      }
-      val cap = rows.length * (if (undirected) 2 else 1)
+        else e0.collect().map(r => (r.get(0), r.get(1)))
+      val nRows = if (genericRows == null) internal.length else genericRows.length
+      val cap = nRows * (if (undirected) 2 else 1)
       val esS = new Array[Int](cap)
       val esD = new Array[Int](cap)
       var m = 0
-      val seen = if (dedupEdges) new java.util.HashSet[java.lang.Long](cap * 2)
-        else null
+      val seen = if (dedupEdges) new LongOpenSet(cap) else null
       def addEdge(s: Int, d: Int): Unit = {
         if (seen == null || seen.add((s.toLong << 32) | (d.toLong & 0xffffffffL))) {
           esS(m) = s; esD(m) = d; m += 1
         }
       }
-      var i = 0
-      while (i < rows.length) {
-        val s = id(rows(i)._1); val d = id(rows(i)._2)
-        addEdge(s, d)
-        if (undirected) addEdge(d, s)
-        i += 1
-      }
+      val nodeVals: IndexedSeq[Any] =
+        if (genericRows == null) {
+          val idMap = new LongIdMap(cap)
+          var i = 0
+          while (i < nRows) {
+            val s = idMap.getOrAdd(internal(i).getLong(0))
+            val d = idMap.getOrAdd(internal(i).getLong(1))
+            addEdge(s, d)
+            if (undirected) addEdge(d, s)
+            i += 1
+          }
+          new IndexedSeq[Any] {
+            def length: Int = idMap.order.length
+            def apply(j: Int): Any = java.lang.Long.valueOf(idMap.order(j))
+          }
+        } else {
+          val idx = new java.util.HashMap[Any, Integer](nRows)
+          val buf = new scala.collection.mutable.ArrayBuffer[Any]()
+          def id(x: Any): Int = {
+            val v = idx.get(x)
+            if (v != null) v.intValue()
+            else { val n = buf.size; idx.put(x, n); buf += x; n }
+          }
+          var i = 0
+          while (i < nRows) {
+            val s = id(genericRows(i)._1); val d = id(genericRows(i)._2)
+            addEdge(s, d)
+            if (undirected) addEdge(d, s)
+            i += 1
+          }
+          buf.toIndexedSeq
+        }
       val nV = nodeVals.size
       val outdeg = new Array[Long](nV)
-      i = 0; while (i < m) { outdeg(esS(i)) += 1L; i += 1 }
+      var i = 0
+      while (i < m) { outdeg(esS(i)) += 1L; i += 1 }
       var pr = Array.fill(nV)(1000000L)
       for (_ <- 1 to iters) {
         val c = new Array[Long](nV)
@@ -299,5 +334,62 @@ object Graph {
     deg.unpersist()
     nodes.unpersist()
     out
+  }
+
+  /** Open-addressing long→dense-int id assignment (linear probing, load
+    * ≤ 0.5) for the local-path hot loop — a boxed HashMap here costs ~1 s
+    * of allocation churn per million edges. `order(i)` is the key that
+    * was assigned id i. */
+  private final class LongIdMap(expectedInserts: Int) {
+    private val cap = {
+      var c = 16
+      while (c < math.max(1, expectedInserts) * 2) c <<= 1
+      c
+    }
+    private val mask = cap - 1
+    private val ks = new Array[Long](cap)
+    private val vs = Array.fill(cap)(-1)
+    val order = new scala.collection.mutable.ArrayBuffer[Long]()
+    private def slot(k: Long): Int = {
+      val h = k * -7046029254386353131L
+      (((h >>> 32) ^ h).toInt) & mask
+    }
+    def getOrAdd(k: Long): Int = {
+      var i = slot(k)
+      while (true) {
+        val v = vs(i)
+        if (v == -1) { ks(i) = k; vs(i) = order.size; order += k; return order.size - 1 }
+        if (ks(i) == k) return v
+        i = (i + 1) & mask
+      }
+      -1 // unreachable
+    }
+  }
+
+  /** Open-addressing set of NON-NEGATIVE longs (the packed (srcId, dstId)
+    * edge keys; both ids are dense ints ≥ 0). -1 marks an empty slot. */
+  private final class LongOpenSet(expectedInserts: Int) {
+    private val cap = {
+      var c = 16
+      while (c < math.max(1, expectedInserts) * 2) c <<= 1
+      c
+    }
+    private val mask = cap - 1
+    private val ks = Array.fill(cap)(-1L)
+    private def slot(k: Long): Int = {
+      val h = k * -7046029254386353131L
+      (((h >>> 32) ^ h).toInt) & mask
+    }
+    /** true iff k was not present (and is now added). */
+    def add(k: Long): Boolean = {
+      var i = slot(k)
+      while (true) {
+        val cur = ks(i)
+        if (cur == -1L) { ks(i) = k; return true }
+        if (cur == k) return false
+        i = (i + 1) & mask
+      }
+      false // unreachable
+    }
   }
 }
