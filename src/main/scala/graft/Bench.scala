@@ -22,12 +22,12 @@ object Bench {
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet is TIMESTAMP(NANOS); read as raw longs (EventQueries)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // loud (non-fatal) schema-drift diagnosis before anything runs
+    graft.core.Contract.warn(spark, sfDir)
 
     val names = SparkEntry.benchNames
     // warm up on the target scale factor: the measured pass then reflects

@@ -164,25 +164,26 @@ object Graph {
     // below the threshold the whole RAW edge set fits the driver, and a
     // tight in-memory loop replaces 4 + 3·iters shuffle stages whose
     // per-stage scheduling floor — not data — is the cost at this size.
-    // The size check IS the fetch: a limit(threshold+1) probe-collect
-    // materializes the plan exactly once, with no persist pass — if it
-    // comes back over the threshold, the probe is discarded (bounded
-    // waste) and the BSP path recomputes. The local path collects BEFORE
-    // deduplication and collapses duplicates in a driver HashSet, so the
-    // Spark side of a small graph is completely shuffle-free
-    // (scan → join → project → collect). The recurrence is identical
-    // exact-integer arithmetic, so both paths are bit-equal (GraphSpec).
-    // The raw count bounds the distinct count, so the threshold still
-    // caps driver memory.
+    // The local path collects BEFORE deduplication and collapses
+    // duplicates in a driver HashSet, so the Spark side of a small graph
+    // is completely shuffle-free (scan → join → project → collect → one
+    // in-memory cache). The recurrence is identical exact-integer
+    // arithmetic, so both paths are bit-equal (GraphSpec). The raw count
+    // bounds the distinct count, so the threshold still caps driver
+    // memory.
     val localCap =
       math.min(localEdgeThreshold, (Int.MaxValue - 8).toLong).toInt
-    // the size check is one fully-parallel count of the raw plan; under
-    // the cap, a second fully-parallel pass collects. (A limit-probe
-    // would fold both into one pass but executeTake runs its partition
-    // waves SEQUENTIALLY — measured slower than two parallel passes on a
-    // 32-core edge build. Callers with an expensive upstream should
-    // persist before calling.)
-    val nE = e0.count()
+    // the size check is one fully-parallel count over a persisted edge
+    // frame; under the cap, the collect replays the CACHE, not the
+    // upstream plan — so an expensive edge build runs exactly once with
+    // no caller-side persist needed. (A limit-probe would fold the check
+    // and the fetch into one pass without any cache, but executeTake runs
+    // its partition waves SEQUENTIALLY — measured slower than two
+    // parallel passes on a 32-core edge build.) The BSP path below also
+    // reads e0 through this cache and releases it once its own |E| cache
+    // is materialized.
+    val e0p = e0.persist(StorageLevel.MEMORY_AND_DISK)
+    val nE = e0p.count()
     if (nE <= localCap) {
       // integral keys take a fully-primitive path: executeCollect hands
       // back UnsafeRows read in place (no Row conversion), node ids
@@ -196,7 +197,7 @@ object Graph {
       val longKeys = e0.schema.forall(
         _.dataType == org.apache.spark.sql.types.LongType)
       val internal =
-        if (longKeys) e0.queryExecution.executedPlan.executeCollect()
+        if (longKeys) e0p.queryExecution.executedPlan.executeCollect()
         else Array.empty[org.apache.spark.sql.catalyst.InternalRow]
       val anyNull = longKeys && {
         var i = 0; var found = false
@@ -214,7 +215,7 @@ object Graph {
           val b: Any = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
           (a, b)
         }
-        else e0.collect().map(r => (r.get(0), r.get(1)))
+        else e0p.collect().map(r => (r.get(0), r.get(1)))
       val nRows = if (genericRows == null) internal.length else genericRows.length
       val cap = nRows * (if (undirected) 2 else 1)
       val esS = new Array[Int](cap)
@@ -272,6 +273,7 @@ object Graph {
         while (i < nV) { next(i) = 150000L + (85L * c(i)) / 100L; i += 1 }
         pr = next
       }
+      e0p.unpersist()
       val spark = edges.sparkSession
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("node", e0.schema.head.dataType),
@@ -308,6 +310,9 @@ object Graph {
     // stage-by-stage after shuffles are already written. Above the
     // threshold (web-scale |V|) every join stays a shuffle join.
     val nV = nodes.count()
+    // nodes.count materialized the |E| cache of `e` (it derives from it);
+    // the raw pre-dedup cache from the size probe is no longer needed
+    e0p.unpersist()
     val small = nV <= broadcastNodeThreshold
     def b(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var pr = nodes.withColumn("pr", lit(1000000L))

@@ -18,14 +18,13 @@ import Q._
   */
 object EventQueries {
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects outright. Read it as raw nanos (legacy long mode — the conf is
-    * set once at session build in Verify/Bench/SparkSpec, not mutated here)
-    * and floor to microseconds — the same truncation DuckDB applies when
-    * casting its TIMESTAMP_NS to TIMESTAMP, so both engines see identical
-    * instants. */
+  /** Events with `ts` normalized to TIMESTAMP regardless of how the current
+    * testdata generation encodes it (TIMESTAMP(NANOS) → legacy Long nanos,
+    * `timestamp[us]` → TIMESTAMP_NTZ, …) — the dispatch lives in
+    * [[graft.core.Tables.events]] so every consumer (batch, SQL views,
+    * streaming, specs) agrees. */
   private def events(s: org.apache.spark.sql.SparkSession, dir: String) =
-    T(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.core.Tables.events(s, dir)
 
   val all: Seq[Q] = Seq(
 

@@ -20,24 +20,36 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Parquet schema of the events table with raw nano timestamps (see
-    * EventQueries.events for why ts arrives as LongType nanos). */
+  /** Parquet schema of the events table, with `ts` as the CURRENT testdata
+    * encoding (`timestamp[us]` → TIMESTAMP_NTZ). [[readEvents]] overrides the
+    * ts field with whatever type the staged files actually carry, so a
+    * regeneration that flips the encoding again re-dispatches instead of
+    * failing analysis. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** File-source stream over staged event parquet with `ts` normalized to
+    * TIMESTAMP. `readStream` requires a user schema, so peek at the actual
+    * ts dtype with a batch footer read (one driver-side listing — nothing is
+    * scanned), then reuse the central batch/stream-agnostic dispatch
+    * ([[graft.core.Tables.normalizeEventTs]]). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val actualTs = spark.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = actualTs) else f))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    stream.withColumn("ts", graft.core.Tables.normalizeEventTs(stream, "ts"))
+  }
+
   /** Streaming hourly rollup: same output schema as the batch
     * e02_hourly_rollup (window start = the date_trunc'd hour). */
   def hourlyRollup(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    readEvents(spark, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -57,11 +69,7 @@ object EventStream {
     * `dropDuplicatesWithinWatermark` (state expires with the watermark) at
     * the cost of the arrival-order caveat above. */
   def dedupFirst(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    readEvents(spark, dir)
       .groupBy(col("user_id"), col("event_type"))
       .agg(min(struct(col("ts"), col("event_id"))).as("first"))
       .select(col("user_id"), col("event_type"),
@@ -92,12 +100,8 @@ object EventStream {
 
   private def attribution(spark: SparkSession, dir: String,
                           joinType: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(eventType: String, prefix: String): DataFrame =
-      spark.readStream
-        .schema(rawSchema)
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      readEvents(spark, dir)
         .filter(col("event_type") === eventType)
         .select(col("event_id").as(s"${prefix}_id"),
           col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))

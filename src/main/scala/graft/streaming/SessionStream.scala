@@ -71,13 +71,10 @@ object SessionStream {
   /** Drive the streaming form over staged parquet and return the closed
     * sessions collected in a memory sink (test/local harness). */
   def runOnce(spark: SparkSession, dir: String, tableName: String) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import spark.implicits._
-    val events = spark.readStream
-      .schema(EventStream.rawSchema)
-      .parquet(dir)
+    val events = EventStream.readEvents(spark, dir)
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("tsMicros"))
+        unix_micros(col("ts")).as("tsMicros"))
       .as[Event]
     val q = sessions(events).writeStream
       .outputMode("append")

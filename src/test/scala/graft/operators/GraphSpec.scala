@@ -132,4 +132,24 @@ class GraphSpec extends SparkSpec {
     assert(localPath == want, s"local undirected diverged: $localPath vs $want")
     assert(bspPath == want, s"BSP undirected diverged: $bspPath vs $want")
   }
+
+  test("pageRankQ local path scans an expensive upstream exactly once") {
+    // the operator persists the edge frame internally, so the size-probe
+    // count and the collect must replay one upstream computation, not two
+    val acc = spark.sparkContext.longAccumulator("edge_scans")
+    val rdd = spark.sparkContext
+      .parallelize((0 until 40).map(i => (i.toLong % 10, (i + 1).toLong % 10)), 4)
+      .mapPartitions { it => acc.add(1L); it }
+      .map { case (a, b) => org.apache.spark.sql.Row(a, b) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.LongType)))
+    val edges = spark.createDataFrame(rdd, schema)
+    acc.reset()
+    Graph.pageRankQ(edges, 3).collect()
+    assert(acc.value == 4L,
+      s"expected one scan (4 partition computes), saw ${acc.value}")
+  }
 }

@@ -93,10 +93,8 @@ class AsofJoinPlanSpec extends SparkSpec {
   }
 
   test("native as-of reproduces e05's purchase<-click enrichment") {
-    // events.parquet is TIMESTAMP(NANOS): read as raw longs (session conf
-    // nanosAsLong, set in SparkSpec) and floor to micros like EventQueries
-    val ev = spark.read.parquet(s"$sfSmoke/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // ts normalized by the central dtype dispatch, like EventQueries
+    val ev = graft.core.Tables.events(spark, sfSmoke)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_event_id"),
         col("ts").as("p_ts"))

@@ -120,8 +120,7 @@ class AsofOptimizationSpec extends SparkSpec {
   test("pushdown through the node composes with the window in e07's shape") {
     // right side behind a row_number window (Relational.latest): the mirrored
     // key filter must still flow through the window to the scan
-    val ev = spark.read.parquet(s"$sfSmoke/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.core.Tables.events(spark, sfSmoke)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_event_id"),
         col("ts").as("p_ts"), col("value").as("p_value"))

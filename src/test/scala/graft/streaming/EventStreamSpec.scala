@@ -32,10 +32,10 @@ class EventStreamSpec extends SparkSpec {
     val streamed = EventStream.runAttributionOnce(spark, dir.toString, "ev_attr")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    // batch equivalent: identical predicate over the static table
-    val ev = spark.read.schema(EventStream.rawSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // batch equivalent: identical predicate over the static table (the
+    // staged dir holds a file literally named events.parquet, so the
+    // central loader's $dir/events.parquet path resolves to it)
+    val ev = graft.core.Tables.events(spark, dir.toString)
     def side(t: String, p: String) = ev.filter(col("event_type") === t)
       .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
         col("ts").as(s"${p}_ts"))

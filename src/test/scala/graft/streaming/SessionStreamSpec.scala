@@ -60,8 +60,7 @@ class SessionStreamSpec extends SparkSpec {
     // == 1800 is a conservative superset), making the equality meaningful
     // rather than accidentally true.
     import org.apache.spark.sql.functions._
-    val ev = spark.read.parquet(s"$sfSmoke/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.core.Tables.events(spark, sfSmoke)
     val gapW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val boundaryGaps = ev.withColumn("prev", lag(col("ts"), 1).over(gapW))
