@@ -43,14 +43,19 @@ object KMeans {
     * encoder. `in` is the quantized BIGINT vector column to score. */
   private[graft] def bestCentroid(cents: Seq[(Long, Array[Long])],
                                   in: Column = col("qv")): Column = {
-    val distStructs: Seq[Column] = cents.map { case (j, cv) =>
-      val litC = array(cv.map(lit(_)): _*)
+    // ONE 2-D literal (k×dim ArrayData) + a loop, not k·dim unrolled lit()
+    // nodes: the unrolled tree made Catalyst analysis/optimization of every
+    // assignment pass cost hundreds of ms and the generated code huge; the
+    // matrix form is two literal nodes and a codegen'd loop with identical
+    // exact-integer arithmetic and the same struct total order.
+    val mat = typedlit(cents.map(_._2.toSeq))
+    val ids = typedlit(cents.map(_._1))
+    array_min(transform(sequence(lit(0), lit(cents.size - 1)), j =>
       struct(
-        aggregate(zip_with(in, litC, (x, c) => (x - c) * (x - c)),
+        aggregate(zip_with(in, element_at(mat, j + lit(1)),
+            (x, c) => (x - c) * (x - c)),
           lit(0L), (acc, d) => acc + d).as("dist"),
-        lit(j).as("cluster"))
-    }
-    array_min(array(distStructs: _*))
+        element_at(ids, j + lit(1)).as("cluster"))))
   }
 
   /** Parse a collected long-format centroid frame (cluster, i, cv) into the
@@ -77,18 +82,19 @@ object KMeans {
   def lloyd(df: DataFrame, idCol: String, vecCol: String, k: Int,
             iters: Int): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"k=$k iters=$iters must be positive")
-    val firstDim = df.select(size(col(vecCol))).take(1)
-    require(firstDim.nonEmpty, "k-means needs a non-empty input")
-    val dim = firstDim.head.getInt(0)
     val q = df.select(col(idCol).as("id"),
       expr(s"transform($vecCol, v -> CAST(floor(v*1000.0+0.5) AS BIGINT))")
         .as("qv"))
 
-    // seeds: vectors of the k smallest ids, cluster = seed rank
+    // seeds: vectors of the k smallest ids, cluster = seed rank. The ONE
+    // TakeOrdered job also yields the dimensionality — no separate probe.
+    val seedRows = q.orderBy(col("id")).limit(k).collect()
+    require(seedRows.nonEmpty, "k-means needs a non-empty input")
     var centroids: Seq[(Long, Array[Long])] =
-      q.orderBy(col("id")).limit(k).collect().zipWithIndex.map { case (r, j) =>
+      seedRows.zipWithIndex.map { case (r, j) =>
         (j.toLong, r.getSeq[Long](1).toArray)
       }.toSeq
+    val dim = centroids.head._2.length
 
     // map-only pass: id, qv, best = struct(dist, cluster) over literal centroids
     def assign(cents: Seq[(Long, Array[Long])]): DataFrame =

@@ -37,19 +37,61 @@ object Pq {
       "v -> CAST(floor(v*1000.0+0.5) AS BIGINT))")
 
   /** Train one k-entry codebook per subspace over the corpus. `dim` must
-    * divide evenly into `m` subspaces. */
+    * divide evenly into `m` subspaces.
+    *
+    * All m subspaces train TOGETHER: the seeds (the k smallest ids'
+    * vectors, [[KMeans.lloyd]]'s convention) come from one TakeOrdered
+    * collect that also yields the dimensionality, and each Lloyd
+    * refinement is ONE scan + ONE (m·k·d)-group partial-aggregable shuffle
+    * covering every subspace — not m independent lloyd() calls each with
+    * its own probe/seed/recenter jobs. Per-job scheduling cost is what
+    * dominates small trainings, and at 100 TB the single shared scan reads
+    * the corpus once per iteration instead of m times. The arithmetic is
+    * bit-identical to per-subspace lloyd: quantize-then-slice equals
+    * slice-then-quantize elementwise, and the recenter groups are the same
+    * (subspace, cluster, i) cells. */
   def train(df: DataFrame, idCol: String, vecCol: String,
             m: Int, k: Int, iters: Int): Codebooks = {
-    val firstDim = df.select(size(col(vecCol))).take(1)
-    require(firstDim.nonEmpty, "PQ training needs a non-empty input")
-    val dim = firstDim.head.getInt(0)
+    require(k > 0 && iters > 0, s"k=$k iters=$iters must be positive")
+    val q0 = df.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, v -> CAST(floor(v*1000.0+0.5) AS BIGINT))")
+        .as("qv"))
+    val seedRows = q0.orderBy(col("id")).limit(k).collect()
+    require(seedRows.nonEmpty, "PQ training needs a non-empty input")
+    val dim = seedRows.head.getSeq[Long](1).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val d = dim / m
-    val books = (0 until m).map { s =>
-      val slice = df.select(col(idCol),
-        expr(s"slice($vecCol, ${s * d + 1}, $d)").as("__sub"))
-      val (_, cents) = KMeans.lloyd(slice, idCol, "__sub", k, iters)
-      KMeans.parseCentroids(cents.collect())
+    var books: Seq[Seq[(Long, Array[Long])]] = (0 until m).map { s =>
+      seedRows.zipWithIndex.map { case (r, j) =>
+        (j.toLong, r.getSeq[Long](1).slice(s * d, (s + 1) * d).toArray)
+      }.toSeq
+    }
+    for (_ <- 1 until iters) {
+      // per-row: m (subspace, nearest-cluster, slice) structs, exploded so
+      // the recenter is one shuffle over every subspace's cells at once
+      val perSub = array((0 until m).map { s =>
+        val sub = expr(s"slice(qv, ${s * d + 1}, $d)")
+        struct(lit(s).as("s"),
+          KMeans.bestCentroid(books(s), sub).getField("cluster").as("cluster"),
+          sub.as("sub"))
+      }: _*)
+      val upd = q0.select(explode(perSub).as("g"))
+        .select(col("g.s").as("s"), col("g.cluster").as("cluster"),
+          posexplode(col("g.sub")).as(Seq("i0", "v")))
+        .groupBy(col("s"), col("cluster"), (col("i0") + 1).as("i"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("c"))
+        .select(col("s"), col("cluster"), col("i"),
+          // exact rational round-half-up — see KMeans' centroid-update note
+          floor((lit(2.0) * col("sv") + col("c")) / (lit(2.0) * col("c")))
+            .cast("long").as("cv"))
+        .collect()
+      val bySub = upd.groupBy(_.getInt(0))
+      books = (0 until m).map { s =>
+        bySub.getOrElse(s, Array.empty).groupBy(_.getLong(1)).map {
+          case (c, rs) => (c, rs.sortBy(_.getInt(2)).map(_.getLong(3)))
+        }.toSeq.sortBy(_._1)
+      }
+      require(books.forall(_.forall(_._2.length == d)), "ragged centroid")
     }
     Codebooks(m, d, books)
   }

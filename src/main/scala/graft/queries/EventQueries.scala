@@ -73,7 +73,8 @@ object EventQueries {
         FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
                 ORDER BY ts ASC, event_id ASC) AS rn
               FROM events) x
-        WHERE rn = 1""")),
+        WHERE rn = 1"""),
+      bench = true),
 
     // ---- as-of join: attach to each purchase the most recent prior (or
     // simultaneous) click by the same user — pandas merge_asof semantics,
@@ -192,7 +193,8 @@ object EventQueries {
           FROM v)
         SELECT m.user_id, v_event_id, v_ts, c.c_event_id, m.c_ts,
           date_diff('second', v_ts, m.c_ts) AS wait_sec
-        FROM m LEFT JOIN c ON c.user_id = m.user_id AND c.c_ts = m.c_ts""")),
+        FROM m LEFT JOIN c ON c.user_id = m.user_id AND c.c_ts = m.c_ts"""),
+      bench = true),
 
     // ---- a filter + narrow projection WRITTEN ABOVE the native as-of join:
     // without the engine's optimizer rules (plans.AsofFilterPushdown /
