@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventQueries, FinancialQueries, JobQueries, ModelQueries, Q, RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{EventQueries, FinancialQueries, JobQueries, ModelQueries, MultimodalQueries, Q, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
   val registry: Seq[Q] =
     RelationalQueries.all ++ EventQueries.all ++ TextQueries.all ++
       VectorQueries.all ++ FinancialQueries.all ++ ModelQueries.all ++
-      JobQueries.all
+      JobQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A 4-way
     * snowflake join + aggregate — the shape of the reference's
