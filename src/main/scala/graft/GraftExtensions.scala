@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "exact quantized (1e-3) integer squared L2 norm of array<float>"),
       (exprs: Seq[Expression]) =>
         VectorExpressions.QuantizedNorm2(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_nearest_centroid"),
+      info("graft_nearest_centroid",
+        "argmin struct(dist, cluster) of a quantized vector over a foldable centroid matrix"),
+      (exprs: Seq[Expression]) =>
+        VectorExpressions.NearestCentroid(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((FunctionIdentifier("graft_char_grams"),
       info("graft_char_grams",
         "distinct character n-grams of a string, first-occurrence order"),

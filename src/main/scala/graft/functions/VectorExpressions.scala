@@ -119,6 +119,122 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Nearest centroid of a quantized vector against a FOLDABLE centroid
+    * matrix → struct(dist, cluster): one codegen'd k×d loop over the matrix
+    * (embedded as a primitive `long[][]` reference object) replacing the
+    * k-element array_min over k interpreted aggregate(zip_with(...)) chains
+    * — the assignment kernel of [[graft.operators.KMeans]] (Lloyd
+    * iterations, index maintenance) and [[graft.operators.Pq]] (subspace
+    * encode). Semantics are identical to the HOF form: exact integer
+    * squared L2 over already-quantized BIGINT vectors, ties to the LOWER
+    * cluster id (the struct total order array_min implied). Inputs must be
+    * null-free (the quantization transform guarantees it).
+    *
+    * `centsLit`/`idsLit` must be literals (typedlit) — checked at analysis
+    * — so the matrix folds once per plan, not per row. */
+  case class NearestCentroid(vec: Expression, centsLit: Expression,
+                             idsLit: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+    override def first: Expression = vec
+    override def second: Expression = centsLit
+    override def third: Expression = idsLit
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dist", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster", LongType, nullable = false)))
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = (vec.dataType, centsLit.dataType, idsLit.dataType) match {
+        case (ArrayType(LongType, _),
+              ArrayType(ArrayType(LongType, _), _),
+              ArrayType(LongType, _)) => centsLit.foldable && idsLit.foldable
+        case _ => false
+      }
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "expected (array<bigint>, foldable array<array<bigint>>, foldable " +
+          s"array<bigint>), got (${vec.dataType.simpleString}, " +
+          s"${centsLit.dataType.simpleString}, ${idsLit.dataType.simpleString})")
+    }
+
+    @transient private lazy val matrix: Array[Array[Long]] = {
+      val ad = centsLit.eval(null).asInstanceOf[ArrayData]
+      Array.tabulate(ad.numElements())(j =>
+        ad.getArray(j).toLongArray())
+    }
+    @transient private lazy val ids: Array[Long] =
+      idsLit.eval(null).asInstanceOf[ArrayData].toLongArray()
+
+    private def best(q: ArrayData): (Long, Long) = {
+      var bestD = Long.MaxValue
+      var bestC = Long.MaxValue
+      var j = 0
+      while (j < matrix.length) {
+        val c = matrix(j)
+        val n = math.min(q.numElements(), c.length)
+        var acc = 0L
+        var i = 0
+        while (i < n) { val d = q.getLong(i) - c(i); acc += d * d; i += 1 }
+        if (acc < bestD || (acc == bestD && ids(j) < bestC)) {
+          bestD = acc; bestC = ids(j)
+        }
+        j += 1
+      }
+      (bestD, bestC)
+    }
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val q = vec.eval(input)
+      if (q == null) null
+      else {
+        val (d, c) = best(q.asInstanceOf[ArrayData])
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](d, c))
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (q, _, _) => {
+        val m = ctx.addReferenceObj("centMatrix", matrix, "long[][]")
+        val idRef = ctx.addReferenceObj("centIds", ids, "long[]")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        val row = ctx.freshName("row")
+        val bestD = ctx.freshName("bestD")
+        val bestC = ctx.freshName("bestC")
+        s"""
+          long $bestD = Long.MAX_VALUE;
+          long $bestC = Long.MAX_VALUE;
+          for (int $j = 0; $j < $m.length; $j++) {
+            long[] $row = $m[$j];
+            int $n = java.lang.Math.min($q.numElements(), $row.length);
+            long $acc = 0L;
+            for (int $i = 0; $i < $n; $i++) {
+              long $d = $q.getLong($i) - $row[$i];
+              $acc += $d * $d;
+            }
+            if ($acc < $bestD || ($acc == $bestD && $idRef[$j] < $bestC)) {
+              $bestD = $acc;
+              $bestC = $idRef[$j];
+            }
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            new Object[]{java.lang.Long.valueOf($bestD), java.lang.Long.valueOf($bestC)});
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression): Expression =
+      copy(vec = newFirst, centsLit = newSecond, idsLit = newThird)
+  }
+
   /** Register the expressions as session functions (idempotent) — the public
     * route to a Column handle for a custom Expression. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -127,6 +243,8 @@ object VectorExpressions {
       exprs => QuantizedDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_quantized_norm2",
       exprs => QuantizedNorm2(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_nearest_centroid",
+      exprs => NearestCentroid(exprs(0), exprs(1), exprs(2)), "scala_udf")
   }
 
   def quantizedDot(a: Column, b: Column): Column =
@@ -134,4 +252,8 @@ object VectorExpressions {
 
   def quantizedNorm2(a: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_quantized_norm2", a)
+
+  def nearestCentroid(vec: Column, cents: Column, ids: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "graft_nearest_centroid", vec, cents, ids)
 }

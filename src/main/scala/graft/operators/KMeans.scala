@@ -43,19 +43,16 @@ object KMeans {
     * encoder. `in` is the quantized BIGINT vector column to score. */
   private[graft] def bestCentroid(cents: Seq[(Long, Array[Long])],
                                   in: Column = col("qv")): Column = {
-    // ONE 2-D literal (k×dim ArrayData) + a loop, not k·dim unrolled lit()
-    // nodes: the unrolled tree made Catalyst analysis/optimization of every
-    // assignment pass cost hundreds of ms and the generated code huge; the
-    // matrix form is two literal nodes and a codegen'd loop with identical
-    // exact-integer arithmetic and the same struct total order.
-    val mat = typedlit(cents.map(_._2.toSeq))
-    val ids = typedlit(cents.map(_._1))
-    array_min(transform(sequence(lit(0), lit(cents.size - 1)), j =>
-      struct(
-        aggregate(zip_with(in, element_at(mat, j + lit(1)),
-            (x, c) => (x - c) * (x - c)),
-          lit(0L), (acc, d) => acc + d).as("dist"),
-        element_at(ids, j + lit(1)).as("cluster"))))
+    // ONE 2-D literal (k×dim ArrayData) + a native codegen'd argmin loop
+    // (functions/VectorExpressions.NearestCentroid), not k·dim unrolled
+    // lit() nodes feeding interpreted zip_with/aggregate chains: the
+    // unrolled tree made Catalyst analysis of every assignment pass cost
+    // hundreds of ms and the higher-order functions ran one closure per
+    // element per centroid per row. The kernel is a tight long[][] loop
+    // with identical exact-integer arithmetic and the same
+    // (dist, cluster) total order, ties to the lower cluster id.
+    graft.functions.VectorExpressions.nearestCentroid(in,
+      typedlit(cents.map(_._2.toSeq)), typedlit(cents.map(_._1)))
   }
 
   /** Parse a collected long-format centroid frame (cluster, i, cv) into the
@@ -82,6 +79,8 @@ object KMeans {
   def lloyd(df: DataFrame, idCol: String, vecCol: String, k: Int,
             iters: Int): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"k=$k iters=$iters must be positive")
+    // self-register the native kernel for sessions built without GraftExtensions
+    graft.functions.VectorExpressions.register(df.sparkSession)
     val q = df.select(col(idCol).as("id"),
       expr(s"transform($vecCol, v -> CAST(floor(v*1000.0+0.5) AS BIGINT))")
         .as("qv"))
@@ -142,6 +141,7 @@ object KMeans {
     * the pass is one scan — no join, no shuffle. */
   def assignTo(df: DataFrame, idCol: String, vecCol: String,
                centroids: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
     val cents = parseCentroids(centroids.collect())
     require(cents.nonEmpty, "assignTo needs at least one centroid")
     df.select(col(idCol).as("id"),
