@@ -184,7 +184,26 @@ object Graph {
     // is materialized.
     val e0p = e0.persist(StorageLevel.MEMORY_AND_DISK)
     val nE = e0p.count()
-    if (nE <= localCap) {
+    // Middle rung of the size ladder: the RAW edge set can blow the cap
+    // while the DISTINCT pair set still fits (heavy-multiplicity graphs —
+    // e.g. a fact-table edge build emits one row per transaction). The
+    // distinct shuffle is never wasted: if the deduped set is still too
+    // big, the BSP path below needed exactly this frame anyway (directed
+    // case) or its explode input (undirected). Ladder: raw-fit → collect
+    // raw, shuffle-free; distinct-fit → ONE dedup shuffle + collect;
+    // neither → BSP. At 100 TB neither fits and nothing changes.
+    val eDistinct: Option[(DataFrame, Long)] =
+      if (nE > localCap && dedupEdges) {
+        val d = e0p.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        val n = d.count()
+        e0p.unpersist() // raw cache is dead on every remaining path
+        Some((d, n))
+      } else None
+    val localFrame: Option[DataFrame] =
+      if (nE <= localCap) Some(e0p)
+      else eDistinct.filter(_._2 <= localCap).map(_._1)
+    if (localFrame.isDefined) {
+      val lf = localFrame.get
       // integral keys take a fully-primitive path: executeCollect hands
       // back UnsafeRows read in place (no Row conversion), node ids
       // encode through an open-addressing long→int table, and dedup goes
@@ -197,7 +216,7 @@ object Graph {
       val longKeys = e0.schema.forall(
         _.dataType == org.apache.spark.sql.types.LongType)
       val internal =
-        if (longKeys) e0p.queryExecution.executedPlan.executeCollect()
+        if (longKeys) lf.queryExecution.executedPlan.executeCollect()
         else Array.empty[org.apache.spark.sql.catalyst.InternalRow]
       val anyNull = longKeys && {
         var i = 0; var found = false
@@ -215,7 +234,7 @@ object Graph {
           val b: Any = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
           (a, b)
         }
-        else e0p.collect().map(r => (r.get(0), r.get(1)))
+        else lf.collect().map(r => (r.get(0), r.get(1)))
       val nRows = if (genericRows == null) internal.length else genericRows.length
       val cap = nRows * (if (undirected) 2 else 1)
       val esS = new Array[Int](cap)
@@ -273,7 +292,7 @@ object Graph {
         while (i < nV) { next(i) = 150000L + (85L * c(i)) / 100L; i += 1 }
         pr = next
       }
-      e0p.unpersist()
+      lf.unpersist()
       val spark = edges.sparkSession
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("node", e0.schema.head.dataType),
@@ -286,14 +305,21 @@ object Graph {
             .asJava),
         schema)
     }
+    // BSP: when the middle rung already deduped, reuse its persisted frame
+    // (directly for the directed case — no second distinct; as the explode
+    // input for undirected, where (a,b)/(b,a) twins still need the
+    // post-explode distinct).
+    val eBase = eDistinct.map(_._1).getOrElse(e0p)
     val eDir =
-      if (!undirected) e0
-      else e0.select(explode(array(
+      if (!undirected) eBase
+      else eBase.select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("g"))
         .select(col("g.src").as("src"), col("g.dst").as("dst"))
-    val e = (if (dedupEdges) eDir.distinct() else eDir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e =
+      if (eDistinct.isDefined && !undirected) eDir // persisted + distinct already
+      else (if (dedupEdges) eDir.distinct() else eDir)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -311,8 +337,12 @@ object Graph {
     // threshold (web-scale |V|) every join stays a shuffle join.
     val nV = nodes.count()
     // nodes.count materialized the |E| cache of `e` (it derives from it);
-    // the raw pre-dedup cache from the size probe is no longer needed
+    // the probe caches are no longer needed. unpersist is idempotent, so
+    // the middle-rung case (e0p already released, eDistinct feeding `e`
+    // directly or through the explode) needs no special-casing beyond
+    // not releasing `e` itself.
     e0p.unpersist()
+    eDistinct.foreach { case (d, _) => if (d ne e) d.unpersist() }
     val small = nV <= broadcastNodeThreshold
     def b(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var pr = nodes.withColumn("pr", lit(1000000L))

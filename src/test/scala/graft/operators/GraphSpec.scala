@@ -133,6 +133,24 @@ class GraphSpec extends SparkSpec {
     assert(bspPath == want, s"BSP undirected diverged: $bspPath vs $want")
   }
 
+  test("pageRankQ middle rung: raw over cap, distinct under cap — all ladder rungs agree") {
+    import spark.implicits._
+    // 40 raw rows, 4 distinct pairs: rung 1 (raw-fit) at the default cap,
+    // rung 2 (distinct-fit) at cap 10, BSP-with-reused-distinct at cap 0
+    val raw = (0 until 40).map(i => ((i % 4).toLong, ((i % 4) + 1).toLong))
+      .toDF("a", "b")
+    def run(cap: Long, undir: Boolean) =
+      Graph.pageRankQ(raw, 3, localEdgeThreshold = cap, undirected = undir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (undir <- Seq(false, true)) {
+      val rung1 = run(1L << 22, undir)
+      val rung2 = run(10L, undir)
+      val bsp = run(0L, undir)
+      assert(rung2 == rung1, s"distinct-fit rung diverged (undirected=$undir)")
+      assert(bsp == rung1, s"BSP-reuse diverged (undirected=$undir)")
+    }
+  }
+
   test("pageRankQ local path scans an expensive upstream exactly once") {
     // the operator persists the edge frame internally, so the size-probe
     // count and the collect must replay one upstream computation, not two
