@@ -46,7 +46,20 @@ object Graph {
     // finishes in one collect instead of log(diameter) BSP rounds each
     // paying the per-job scheduling floor. Above it, the distributed BSP
     // path below handles edge sets that never fit one machine.
-    val n = e2.count()
+    // Same middle rung as pageRankQ: a raw set over the cap may still
+    // dedup under it (heavy-multiplicity producers), and the distinct is
+    // free either way — duplicates are semantically harmless to min-label
+    // propagation but inflate every BSP join, so the deduped frame is the
+    // better BSP input too.
+    val nRaw = e2.count()
+    val (base, n) =
+      if (nRaw <= localEdgeThreshold) (e2, nRaw)
+      else {
+        val d = e2.distinct().persist(lvl)
+        val nd = d.count()
+        e2.unpersist()
+        (d, nd)
+      }
     if (n <= localEdgeThreshold) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -56,7 +69,7 @@ object Graph {
         while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      e2.collect().foreach { row =>
+      base.collect().foreach { row =>
         val a = row.getLong(0); val b = row.getLong(1)
         val ra = find(a); val rb = find(b)
         // min root wins, so every tree's root is its component minimum
@@ -64,13 +77,13 @@ object Graph {
         parent.getOrElseUpdate(math.min(ra, rb), math.min(ra, rb))
       }
       val out = parent.keysIterator.map(id => (id, find(id))).toSeq.sorted
-      e2.unpersist()
+      base.unpersist()
       val spark = edges.sparkSession
       import spark.implicits._
       return out.toDF("id", "component")
     }
-    val sym = e2
-      .unionByName(e2.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = base
+      .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
       .persist(lvl)
     // localCheckpoint each round: the new label frame references the old
     // one several times (neighbor step + jump step), so carrying logical
@@ -104,7 +117,7 @@ object Graph {
       rounds += 1
     }
     sym.unpersist()
-    e2.unpersist()
+    base.unpersist()
     labels.select(col("id"), col("label").as("component"))
   }
 

@@ -133,6 +133,18 @@ class GraphSpec extends SparkSpec {
     assert(bspPath == want, s"BSP undirected diverged: $bspPath vs $want")
   }
 
+  test("connectedComponents middle rung: raw over cap, distinct under cap — rungs agree") {
+    import spark.implicits._
+    val raw = (0 until 40).map(i => ((i % 4).toLong, ((i % 4) + 1).toLong))
+      .toDF("a", "b")
+    def run(cap: Long) = Graph.connectedComponents(raw, localEdgeThreshold = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rung1 = run(1L << 20)
+    assert(run(10L) == rung1, "distinct-fit rung diverged")
+    assert(run(0L) == rung1, "BSP-from-deduped diverged")
+    assert(rung1.values.toSet == Set(0L)) // 0-1-2-3-4 chain → component 0
+  }
+
   test("pageRankQ middle rung: raw over cap, distinct under cap — all ladder rungs agree") {
     import spark.implicits._
     // 40 raw rows, 4 distinct pairs: rung 1 (raw-fit) at the default cap,
