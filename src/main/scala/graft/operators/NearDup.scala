@@ -111,11 +111,16 @@ object NearDup {
     // SortedIntersectSize — no per-pair hash set or intermediate array,
     // the exact-verify kernel at candidate volume), then the exact Jaccard
     val thresh: Column = lit(tNum.toDouble / tDen.toDouble)
+    // no broadcast() hint on the gram-set side: it is the FULL corpus's
+    // sorted gram ids — broadcastable at test scale, certain driver/executor
+    // OOM at the design point. AQE picks broadcast at runtime when the
+    // materialized side is actually small and a shuffle join when it is
+    // not, which is exactly the size-adaptive behavior the operator wants.
     cands
-      .join(broadcast(docSets.select(col("doc_id").as("a_id"),
-        col("gs").as("ga"), col("n").as("n_a"))), "a_id")
-      .join(broadcast(docSets.select(col("doc_id").as("b_id"),
-        col("gs").as("gb"), col("n").as("n_b"))), "b_id")
+      .join(docSets.select(col("doc_id").as("a_id"),
+        col("gs").as("ga"), col("n").as("n_a")), "a_id")
+      .join(docSets.select(col("doc_id").as("b_id"),
+        col("gs").as("gb"), col("n").as("n_b")), "b_id")
       .withColumn("inter",
         graft.functions.TextExpressions.sortedIntersectSize(col("ga"), col("gb")))
       .withColumn("jaccard", col("inter").cast("double") /
