@@ -91,6 +91,14 @@ object NearDup {
     // per-doc sorted gram-id set + its prefix; ceil(t*n) in integer
     // arithmetic ((tNum*n + tDen - 1) div tDen) so the bound never loses
     // pairs to float rounding
+    // broadcast(rare) is deliberate and NOT left to AQE: the other side is
+    // the exploded gram stream — the largest intermediate in the operator —
+    // and a shuffle join would write it to shuffle storage before AQE could
+    // downgrade (measured: dropping the hint costs 2.3x at sf0.1). The
+    // dictionary is CHAR-n-gram vocabulary, bounded by observed distinct
+    // n-char sequences, not corpus row count; at the scale where it outgrows
+    // broadcast, raise gramLen blocking or pre-bucket the dictionary —
+    // the corpus stream should never shuffle on gram keys.
     val docSets = grams.join(broadcast(rare), Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("tok_id"))).as("gs"))

@@ -58,7 +58,7 @@ object TextQueries {
     val pairs = nearDupPairs(s, dir).select(col("a_id"), col("b_id"))
     val labels = graft.operators.Graph.connectedComponents(pairs)
     val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(broadcast(sizes), Seq("component"))
+    labels.join(sizes, Seq("component")) // cluster-count-sized: AQE decides
       .select(col("id").as("doc_id"), col("component").as("cluster_id"),
         col("cluster_size"))
   }
@@ -268,7 +268,9 @@ object TextQueries {
           .filter(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id"))
         T(s, dir, "documents")
-          .join(broadcast(losers), Seq("doc_id"), "left_anti")
+          // losers is a corpus FRACTION (every non-minimum dup member),
+          // not a bounded dim — AQE picks broadcast only while it fits
+          .join(losers, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"), col("source"))
       },
       Some(s"""$sqlDupLabels
@@ -292,6 +294,11 @@ object TextQueries {
         val nDocs = T(s, dir, "documents").select(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score_q").desc, col("tok"))
+        // broadcast(df) is deliberate: tf is the big side and already
+        // shuffled by its groupBy — a shuffle join would re-shuffle it on
+        // tok before AQE could downgrade (measured 2x at 10x scale). t12
+        // demonstrates the broadcast-dictionary regime; t24 is the pinned
+        // no-broadcast regime for dictionaries that outgrow it.
         tf.join(broadcast(df), Seq("tok"))
           .crossJoin(broadcast(nDocs))
           .withColumn("score_q", col("tf") * expr("(n_docs * 1000000) div df"))
@@ -717,7 +724,7 @@ object TextQueries {
       (s, dir) => {
         val p = postings(s, dir)
         val dfreq = p.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        p.join(broadcast(dfreq), Seq("tok"))
+        p.join(broadcast(dfreq), Seq("tok")) // same regime choice as t12
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_distinct"), sum(col("df")).as("sum_df"),
             (sum(col("df")).cast("double") / count(lit(1))).as("avg_df"))

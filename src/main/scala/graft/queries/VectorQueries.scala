@@ -304,7 +304,9 @@ object VectorQueries {
           norm2Q(col("embedding")).as("a_n2"))
         val vb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
           norm2Q(col("embedding")).as("b_n2"))
-        cand.join(broadcast(va), Seq("a_id")).join(broadcast(vb), Seq("b_id"))
+        // va/vb are the FULL vector table re-keyed: corpus-sized, so the
+        // verify join strategy is AQE's call, not a forced broadcast
+        cand.join(va, Seq("a_id")).join(vb, Seq("b_id"))
           .withColumn("cos_sim",
             cosine(dotQ(col("a_emb"), col("b_emb")), col("a_n2"), col("b_n2")))
           .filter(col("cos_sim") >= 0.35)
