@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.graft.GraftSqlShims
 
 /** Scale patterns for the shapes that break first at 100 TB: skewed join
   * keys and repeated co-located joins.
@@ -62,17 +63,36 @@ object Scale {
     * `sortCols` must be a TOTAL order (include a unique tiebreaker): with
     * duplicate sort keys spanning a range boundary the tie order — and so
     * the ids — would depend on sampled boundaries. RDD is the right tool
-    * here (genuine per-partition imperative logic); the result re-enters the
-    * DataFrame world with the id attached (oracle-gated as q49). */
+    * here (genuine per-partition imperative logic) — but on the INTERNAL
+    * row representation: `.rdd` would decode every row to an external Row
+    * and `createDataFrame` would re-encode it through the RowEncoder,
+    * three full materializations of the dataset. `toRdd` + one
+    * UnsafeProjection per row + the internal-rows bridge
+    * ([[GraftSqlShims.internalCreateDataFrame]]) keep the whole pass in
+    * Tungsten format (a modest measured win at 10× — the sort itself
+    * dominates — and strictly less per-row work at any scale; a
+    * localCheckpoint to fold zipWithIndex's count pass into one
+    * materialization measured a wash and was rejected). The result re-enters
+    * the DataFrame world with the id attached (oracle-gated as q49). */
   def globalRowNumber(df: DataFrame, idCol: String, numPartitions: Int,
                       sortCols: Column*): DataFrame = {
     val sorted = df.repartitionByRange(numPartitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    val withId = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    df.sparkSession.createDataFrame(withId,
-      sorted.schema.add(idCol, LongType, nullable = false))
+    val outSchema = sorted.schema.add(idCol, LongType, nullable = false)
+    val withId = sorted.queryExecution.toRdd.zipWithIndex()
+      .mapPartitions { it =>
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(outSchema)
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        val idRow =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        it.map { case (r, i) =>
+          idRow.update(0, i + 1L)
+          proj(joined(r, idRow))
+            .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        }
+      }
+    GraftSqlShims.internalCreateDataFrame(df.sparkSession, withId, outSchema)
   }
 
   /** Bloom-filter semi-join reduction: build a bloom over the (selective)

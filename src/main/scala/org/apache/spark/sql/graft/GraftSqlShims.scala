@@ -18,6 +18,17 @@ object GraftSqlShims {
   /** The analyzed logical plan of a DataFrame. */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
+  /** Wrap an RDD of InternalRows as a DataFrame WITHOUT the external-Row
+    * round trip (`createDataFrame(RDD[Row])` decodes and re-encodes every
+    * row through the RowEncoder): the Tungsten-representation bridge for
+    * operators that compute on `queryExecution.toRdd`. Rows must conform
+    * to `schema` (trusted, as with Spark's own internal uses). */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[ClassicSparkSession].internalCreateDataFrame(rdd, schema)
+
   /** Idempotently add an extra planner strategy to this session. */
   def addStrategy(spark: SparkSession,
                   strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
