@@ -84,7 +84,9 @@ object CorpusPipeline {
     // cut the expensive prefix here: stages 4-6 and four summary counts
     // all read this frame, and without the persist each would re-run the
     // near-dup candidate join and clustering
-    val deduped = exact.join(broadcast(losers), Seq("doc_id"), "left_anti")
+    // losers/contaminated are corpus FRACTIONS, not bounded dims — no
+    // broadcast hints; AQE broadcasts while they fit and shuffles beyond
+    val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 3b. optional ExactSubstr pass: cut repeated >=g-token spans from the
@@ -118,7 +120,7 @@ object CorpusPipeline {
     // second cut: the gram explode above is the next-most-expensive stage,
     // and stages 5-6, three summary counts, and the caller's consumption of
     // the returned frame all sit downstream of it
-    val decontaminated = afterSubstr.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val decontaminated = afterSubstr.join(contaminated, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 5. LM perplexity filter (t24 semantics): score every doc under the

@@ -260,8 +260,9 @@ object TextQueries {
 
     // ---- the dedup pipeline's final act: the cleaned corpus. Every doc
     // that is a non-minimum member of a dup cluster is dropped; cluster
-    // minima and untouched docs survive. One broadcast anti-join against
-    // the (tiny) loser set — the corpus itself never shuffles. ----
+    // minima and untouched docs survive. One anti-join against the loser
+    // set — AQE broadcasts it while it fits (it is a corpus fraction, not
+    // a bounded dim), and the corpus side never shuffles in that regime. ----
     Q("t14_corpus_dedup",
       (s, dir) => {
         val losers = dupClusters(s, dir)
