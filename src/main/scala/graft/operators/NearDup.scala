@@ -137,6 +137,82 @@ object NearDup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Incremental near-dup ingest: pairs involving a NEW batch of documents
+    * against an existing corpus WITHOUT recomputing the corpus — the text
+    * twin of [[graft.jobs.AnnIndex.append]]'s frozen-centroid contract.
+    *
+    * The rarity dictionary (DF cap + AllPairs rarity ranks) is FROZEN on
+    * the existing corpus: document frequencies of a large corpus move
+    * negligibly per batch, and a frozen dictionary is what makes the
+    * operation incremental — new grams unseen in the old corpus are
+    * ignored until the next full dictionary rebuild, exactly as an IVF
+    * index assigns new vectors to existing centroids until retrained.
+    * Candidates come from joining the FULL corpus's prefix postings
+    * against the NEW batch's only, so pair work scales with
+    * |batch|·postings, not |corpus|²; the output covers new×old and
+    * new×new pairs (a_id < b_id, exact Jaccard ≥ tNum/tDen over
+    * frozen-dictionary gram sets — the same verify semantics as
+    * [[jaccardPairs]]). Oracle-gated as t29 with the dictionary CTE built
+    * from the old split only. */
+  def incrementalJaccardPairs(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      gramLen: Int = 4,
+      capNum: Int = 1, capDen: Int = 10,
+      tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    graft.functions.TextExpressions.register(oldDocs.sparkSession)
+    def norm(df: DataFrame) = {
+      val Array(idCol, textCol) = df.columns.take(2)
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    }
+    val old = norm(oldDocs)
+    val fresh = norm(newDocs)
+    def grams(d: DataFrame) = d.repartition(32)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.charGrams(col("text"), gramLen))
+          .as("tok"))
+    // FROZEN dictionary: df + rarity rank over the OLD corpus only
+    val nOld = old.select(count(lit(1)).as("n_docs"))
+    val rare = grams(old).groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(nOld)
+      .filter(col("df") * capDen <= col("n_docs") * capNum)
+      .withColumn("tok_id", row_number().over(
+        Window.orderBy(col("df"), col("tok"))).cast("int"))
+      .select(col("tok"), col("tok_id"))
+    // gram sets for the whole (old ∪ new) corpus against that dictionary;
+    // broadcast(rare) for the same measured reason as the full build
+    val docSets = grams(old.unionByName(fresh)).join(broadcast(rare), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tok_id"))).as("gs"))
+      .withColumn("n", size(col("gs")))
+      .withColumn("prefix",
+        expr(s"slice(gs, 1, n - ((n*$tNum + $tDen - 1) div $tDen) + 1)"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pp = docSets.select(col("doc_id"), col("n"), explode(col("prefix")).as("tok_id"))
+    val ppNew = pp.join(fresh.select(col("doc_id")), Seq("doc_id"))
+    // full-side prefix × new-side prefix: every qualifying pair with at
+    // least one new member shares a prefix token across this join
+    val cands = pp.select(col("doc_id").as("a_id"), col("n").as("na"), col("tok_id"))
+      .join(ppNew.select(col("doc_id").as("b_id"), col("n").as("nb"), col("tok_id")),
+        Seq("tok_id"))
+      .filter(col("a_id") =!= col("b_id") &&
+        greatest(col("na"), col("nb")) * tNum <= least(col("na"), col("nb")) * tDen)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+    val thresh: Column = lit(tNum.toDouble / tDen.toDouble)
+    cands
+      .join(docSets.select(col("doc_id").as("a_id"),
+        col("gs").as("ga"), col("n").as("n_a")), "a_id")
+      .join(docSets.select(col("doc_id").as("b_id"),
+        col("gs").as("gb"), col("n").as("n_b")), "b_id")
+      .withColumn("inter",
+        graft.functions.TextExpressions.sortedIntersectSize(col("ga"), col("gb")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= thresh)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** Chunk-level (sub-document) dedup — the RefinedWeb/CCNet-style pass
     * that removes repeated passages ACROSS documents while keeping the host
     * documents. Documents are segmented into fixed `chunkWords`-word

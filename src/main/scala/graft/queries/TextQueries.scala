@@ -961,6 +961,53 @@ object TextQueries {
         SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
           CAST(min(pos) AS BIGINT) AS start_tok,
           CAST(max(e) AS BIGINT) AS end_tok
-        FROM sp GROUP BY doc_id, span_id"""))
+        FROM sp GROUP BY doc_id, span_id""")),
+
+    // ---- incremental near-dup ingest (NearDup.incrementalJaccardPairs):
+    // a NEW batch (doc_id % 7 == 0 as the stand-in) pairs against the
+    // existing corpus under the corpus's FROZEN rarity dictionary — the
+    // text twin of AnnIndex.append's frozen-centroid contract. Pair work
+    // scales with |batch|, not |corpus|²; output = new×old and new×new
+    // pairs only. The oracle freezes its dictionary CTE on the old split
+    // and brute-forces the pair restriction, so the frozen-dictionary
+    // semantics (not just the pair set) are what hash-matches. ----
+    Q("t29_incremental_neardup",
+      (s, dir) => {
+        val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        graft.operators.NearDup.incrementalJaccardPairs(
+          docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(7)) === 0))
+      },
+      Some("""WITH oldd AS MATERIALIZED (
+          SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        newd AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+        grams_old AS MATERIALIZED (
+          SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 4) AS tok
+          FROM (SELECT doc_id, text,
+                  unnest(range(1, greatest(length(text) - 2, 1))) AS i
+                FROM oldd) g),
+        rare AS (SELECT tok
+          FROM (SELECT tok, count(*) AS df FROM grams_old GROUP BY tok)
+          WHERE df * 10 <= (SELECT count(*) FROM oldd)),
+        grams_all AS MATERIALIZED (
+          SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 4) AS tok
+          FROM (SELECT doc_id, text,
+                  unnest(range(1, greatest(length(text) - 2, 1))) AS i
+                FROM documents) g),
+        kept AS MATERIALIZED (
+          SELECT grams_all.doc_id, grams_all.tok
+          FROM grams_all JOIN rare USING (tok)),
+        counts AS (SELECT doc_id, count(*) AS n_tok FROM kept GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+          FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          WHERE a.doc_id IN (SELECT doc_id FROM newd)
+             OR b.doc_id IN (SELECT doc_id FROM newd)
+          GROUP BY 1, 2),
+        j AS (SELECT a_id, b_id,
+            CAST(inter AS DOUBLE)/CAST(ca.n_tok + cb.n_tok - inter AS DOUBLE) AS jaccard
+          FROM pairs
+          JOIN counts ca ON pairs.a_id = ca.doc_id
+          JOIN counts cb ON pairs.b_id = cb.doc_id)
+        SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.8"""))
   )
 }

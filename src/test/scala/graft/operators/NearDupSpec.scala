@@ -75,6 +75,58 @@ class NearDupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  /** incremental brute-force reference: dictionary FROZEN on the old split,
+    * gram sets over all docs against it, pairs restricted to >=1 new side */
+  private def bruteForceIncremental(oldDocs: Seq[(Long, String)],
+                                    newDocs: Seq[(Long, String)], n: Int,
+                                    capNum: Int, capDen: Int,
+                                    tNum: Int, tDen: Int): Set[(Long, Long)] = {
+    val oldSets = oldDocs.map { case (id, t) => id -> grams(t, n) }.toMap
+    val df = oldSets.values.flatten.groupBy(identity).map { case (g, v) => g -> v.size }
+    val keep = df.filter { case (_, d) => d * capDen <= oldDocs.size * capNum }.keySet
+    val all = (oldDocs ++ newDocs).map { case (id, t) => id -> grams(t, n).intersect(keep) }
+    val newIds = newDocs.map(_._1).toSet
+    val t = tNum.toDouble / tDen.toDouble
+    (for {
+      (a, ga) <- all
+      (b, gb) <- all
+      if a < b && (newIds(a) || newIds(b)) && ga.nonEmpty && gb.nonEmpty
+      inter = ga.intersect(gb).size
+      j = inter.toDouble / (ga.size + gb.size - inter).toDouble
+      if j >= t
+    } yield (a, b)).toSet
+  }
+
+  test("incrementalJaccardPairs: frozen dictionary, new-side-only pairs, equals brute force") {
+    import spark.implicits._
+    for (seed <- Seq(3, 42)) {
+      val docs = randomCorpus(seed)
+      val (oldD, newD) = docs.partition(_._1 % 3 != 0) // family straddles the split
+      val got = NearDup.incrementalJaccardPairs(
+          oldD.toDF("doc_id", "text"), newD.toDF("doc_id", "text"),
+          gramLen = 4, capNum = 9, capDen = 10, tNum = 4, tDen = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = bruteForceIncremental(oldD, newD, 4, 9, 10, 4, 5)
+      assert(got == want, s"seed=$seed: got ${got.size}, want ${want.size}")
+      assert(want.nonEmpty, s"seed=$seed produced no pairs — weak fixture")
+      // no old×old pair may appear even though both sides are near-dups
+      val newIds = newD.map(_._1).toSet
+      assert(got.forall { case (a, b) => newIds(a) || newIds(b) })
+      // full-corpus pairs restricted to >=1 new side are a SUPERSET marker:
+      // the incremental result must differ from full recompute exactly by
+      // the frozen dictionary, which this corpus (old-dominated df) keeps
+      // identical — so equality against the restriction of brute force
+      // over the union dictionary would NOT hold in general; the frozen
+      // reference above is the contract.
+    }
+    // empty new batch → empty result, no job blow-up
+    val docs = randomCorpus(1)
+    val none = NearDup.incrementalJaccardPairs(
+      docs.toDF("doc_id", "text"),
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(none.collect().isEmpty)
+  }
+
   test("repeatedSpans flags cross-doc repeats, merges overlaps, straddles chunk bounds") {
     import spark.implicits._
     // docs 1 & 2 share the 6-token phrase "one two three four five six"
