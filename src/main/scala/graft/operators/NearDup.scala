@@ -72,22 +72,36 @@ object NearDup {
     // grams dedup row-locally inside one codegen'd native expression
     // (graft.functions.TextExpressions.DistinctCharGrams): no distinct
     // shuffle, no interpreted HOF chain, and docs shorter than gramLen
-    // yield an empty array by construction
+    // yield an empty array by construction. The explode fans out to the
+    // cluster's parallelism (the corpus may arrive in few fat files);
+    // never a fixed constant, which would cap the corpus-wide explode at
+    // that many tasks on a large cluster.
     graft.functions.TextExpressions.register(docs.sparkSession)
-    val grams = d.repartition(32)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val grams = d.repartition(par)
       .select(col("doc_id"),
         explode(graft.functions.TextExpressions.charGrams(col("text"), gramLen))
           .as("tok"))
-    val nDocs = d.select(count(lit(1)).as("n_docs"))
+    // corpus size as a driver-side scalar (one long — bounded by
+    // construction): the 1-row-agg crossJoin alternative plans an Exchange
+    // SinglePartition, and keeping the operator's physical plan free of
+    // single-reducer stages is exactly what PlanAuditSpec pins for t06/t29
+    val nDocs = d.count()
     // rare-gram dictionary with dense int ids ordered by ascending document
     // frequency: position in this order IS the rarity rank the prefix
-    // filter keys on
-    val rare = grams.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .crossJoin(nDocs)
-      .filter(col("df") * capDen <= col("n_docs") * capNum)
-      .withColumn("tok_id", row_number().over(
-        Window.orderBy(col("df"), col("tok"))).cast("int"))
-      .select(col("tok"), col("tok_id"))
+    // filter keys on. Ranking goes through Scale.globalRowNumber (range
+    // partition + local sort + zipWithIndex offsets) — a global
+    // `row_number() OVER (ORDER BY df, tok)` would funnel the ENTIRE
+    // dictionary (tens-to-hundreds of millions of distinct grams for a
+    // multilingual corpus at the design point) through one
+    // Exchange-SinglePartition reducer. (df, tok) is a total order: tok is
+    // unique post-groupBy, so the ranks — and the oracle-visible pair set —
+    // are deterministic.
+    val dfCapped = grams.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * capDen <= lit(nDocs) * capNum)
+    val rare = Scale.globalRowNumber(dfCapped, "tok_rank", par,
+        col("df"), col("tok"))
+      .select(col("tok"), col("tok_rank").cast("int").as("tok_id"))
     // per-doc sorted gram-id set + its prefix; ceil(t*n) in integer
     // arithmetic ((tNum*n + tDen - 1) div tDen) so the bound never loses
     // pairs to float rounding
@@ -153,31 +167,50 @@ object NearDup {
     * new×new pairs (a_id < b_id, exact Jaccard ≥ tNum/tDen over
     * frozen-dictionary gram sets — the same verify semantics as
     * [[jaccardPairs]]). Oracle-gated as t29 with the dictionary CTE built
-    * from the old split only. */
+    * from the old split only.
+    *
+    * Memoized per (session, both input plans, params) like [[jaccardPairs]]:
+    * the build persists its doc-set frame, and repeated invocations (bench
+    * warmup + measured passes) would otherwise each pin a fresh
+    * session-lifetime cache. */
   def incrementalJaccardPairs(
       oldDocs: DataFrame, newDocs: DataFrame,
       gramLen: Int = 4,
       capNum: Int = 1, capDen: Int = 10,
-      tNum: Int = 4, tDen: Int = 5): DataFrame = {
+      tNum: Int = 4, tDen: Int = 5): DataFrame =
+    graft.core.Memo(oldDocs.sparkSession,
+      s"neardup-inc:${oldDocs.queryExecution.logical.semanticHash()}:" +
+        s"${newDocs.queryExecution.logical.semanticHash()}:" +
+        s"$gramLen:$capNum:$capDen:$tNum:$tDen") {
+      buildIncremental(oldDocs, newDocs, gramLen, capNum, capDen, tNum, tDen)
+    }
+
+  private def buildIncremental(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      gramLen: Int,
+      capNum: Int, capDen: Int,
+      tNum: Int, tDen: Int): DataFrame = {
     graft.functions.TextExpressions.register(oldDocs.sparkSession)
+    val par = oldDocs.sparkSession.sparkContext.defaultParallelism
     def norm(df: DataFrame) = {
       val Array(idCol, textCol) = df.columns.take(2)
       df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     }
     val old = norm(oldDocs)
     val fresh = norm(newDocs)
-    def grams(d: DataFrame) = d.repartition(32)
+    def grams(d: DataFrame) = d.repartition(par)
       .select(col("doc_id"),
         explode(graft.functions.TextExpressions.charGrams(col("text"), gramLen))
           .as("tok"))
-    // FROZEN dictionary: df + rarity rank over the OLD corpus only
-    val nOld = old.select(count(lit(1)).as("n_docs"))
-    val rare = grams(old).groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .crossJoin(nOld)
-      .filter(col("df") * capDen <= col("n_docs") * capNum)
-      .withColumn("tok_id", row_number().over(
-        Window.orderBy(col("df"), col("tok"))).cast("int"))
-      .select(col("tok"), col("tok_id"))
+    // FROZEN dictionary: df + rarity rank over the OLD corpus only —
+    // driver-side scalar count + globalRowNumber rank for the same
+    // SinglePartition-free plan shape as the full build (see `build`)
+    val nOld = old.count()
+    val dfCapped = grams(old).groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * capDen <= lit(nOld) * capNum)
+    val rare = Scale.globalRowNumber(dfCapped, "tok_rank", par,
+        col("df"), col("tok"))
+      .select(col("tok"), col("tok_rank").cast("int").as("tok_id"))
     // gram sets for the whole (old ∪ new) corpus against that dictionary;
     // broadcast(rare) for the same measured reason as the full build
     val docSets = grams(old.unionByName(fresh)).join(broadcast(rare), Seq("tok"))

@@ -183,6 +183,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"ADC scan must not shuffle:\n$plan")
   }
 
+  test("t06/t29 near-dup plans have no single-partition stage") {
+    // the rarity-dictionary rank goes through Scale.globalRowNumber (range
+    // partition + zipWithIndex) and the corpus count is a driver-side
+    // scalar, so NOTHING in the near-dup family funnels the dictionary —
+    // tens-to-hundreds of millions of grams at the design point — through
+    // one reducer. This pins the round-6 verdict's one weak plan fixed.
+    for (name <- Seq("t06_ngram_jaccard", "t29_incremental_neardup")) {
+      val df = SparkEntry.queries(name)(spark, sfSmoke)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"),
+        s"$name has a single-reducer stage:\n$plan")
+    }
+  }
+
   test("q46 SCD2 merge is one shuffle join between slice and snapshot") {
     val df = SparkEntry.queries("q46_scd2_merge")(spark, sfSmoke)
     val plan = df.queryExecution.executedPlan.toString
