@@ -4,13 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and prints
   * one JSON line. Per-query timing includes plan + execution (count action);
-  * a warmup pass on sf0.001 primes the JVM/codegen so the measured numbers
-  * reflect steady-state throughput, not JIT cost.
+  * a warmup pass on the target dir primes the JVM/codegen so the measured
+  * numbers reflect steady-state throughput, not JIT cost.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  /** The bench session config, shared with [[BenchScale]] so sf0.1 and
+    * scaled-up numbers are measured under identical settings. */
+  def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -22,10 +23,20 @@ object Bench {
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // no-op unless the testdata regenerates as TIMESTAMP(NANOS), in which
+      // case the scan yields Long nanos and Tables.normalizeEventTs
+      // re-dispatches instead of the scan throwing before dispatch
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  /** Warmup + two measured passes over the bench set against `sfDir`;
+    * returns the one-line JSON report. */
+  def run(spark: SparkSession, sfDir: String): String = {
     // loud (non-fatal) schema-drift diagnosis before anything runs
     graft.core.Contract.warn(spark, sfDir)
 
@@ -65,7 +76,14 @@ object Bench {
     val total = results.map(_._2).sum
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = buildSession(cpus)
+    println(run(spark, sfDir))
     spark.stop()
   }
 }

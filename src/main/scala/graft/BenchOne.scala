@@ -24,6 +24,8 @@ object BenchOne {
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep the NANOS→Long branch of Tables.normalizeEventTs reachable
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -27,6 +27,8 @@ object ScaleUp {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // keep the NANOS→Long branch of Tables.normalizeEventTs reachable
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -58,11 +60,14 @@ object ScaleUp {
     write("events", reps(graft.core.Tables(spark, in, "events"))
       .withColumn("event_id", off("event_id"))
       .withColumn("user_id", off("user_id")).drop("__r"))
-    // documents: near-dup replicas (suffix token changes a few shingles)
+    // documents: near-dup replicas (suffix token changes a few shingles).
+    // Replica 0 stays byte-identical to the base corpus — embeddings' jitter
+    // is already zero at __r = 0, and keeping both sides unperturbed keeps
+    // the text-side and vector-side near-dup structure consistent per doc
     write("documents", reps(graft.core.Tables(spark, in, "documents"))
       .withColumn("doc_id", off("doc_id"))
-      .withColumn("text", concat(col("text"), lit(" r"),
-        col("__r").cast("string")))
+      .withColumn("text", when(col("__r") === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" r"), col("__r").cast("string"))))
       .withColumn("n_chars", length(col("text")).cast("long")).drop("__r"))
     // embeddings: deterministic per-replica jitter in the 4th decimal —
     // inside near-dup range, outside exact-dup range

@@ -18,7 +18,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Contract {
 
+  /** events.ts has a scanned-type dispatch ([[Tables.normalizeEventTs]]), so
+    * all three historical encodings are acceptable THERE. The date columns of
+    * orders/lineitem have no such dispatch — a regeneration shipping them as
+    * raw longs would break every date query, so `bigint` must NOT pass their
+    * contract silently (that silent pass is the exact failure mode this file
+    * exists to name). */
   private val ts = Set("timestamp", "timestamp_ntz", "bigint")
+  private val tsNoDispatch = Set("timestamp", "timestamp_ntz")
 
   /** table -> ordered (column, accepted simpleString dtypes). */
   val expected: Map[String, Seq[(String, Set[String])]] = Map(
@@ -41,14 +48,14 @@ object Contract {
     "orders" -> Seq(
       "o_orderkey" -> Set("bigint"), "o_custkey" -> Set("bigint"),
       "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
-      "o_orderdate" -> ts, "o_orderpriority" -> Set("string")),
+      "o_orderdate" -> tsNoDispatch, "o_orderpriority" -> Set("string")),
     "lineitem" -> Seq(
       "l_orderkey" -> Set("bigint"), "l_partkey" -> Set("bigint"),
       "l_suppkey" -> Set("bigint"), "l_linenumber" -> Set("int"),
       "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
       "l_discount" -> Set("double"), "l_tax" -> Set("double"),
       "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
-      "l_shipdate" -> ts),
+      "l_shipdate" -> tsNoDispatch),
     "events" -> Seq(
       "event_id" -> Set("bigint"), "ts" -> ts, "user_id" -> Set("bigint"),
       "event_type" -> Set("string"), "value" -> Set("double"),

@@ -11,6 +11,33 @@ import scala.jdk.CollectionConverters._
   */
 object Graph {
 
+  /** Driver-heap-derived default for the size-ladder's local-path edge cap.
+    * The local rungs collect the edge set to the driver: measured cost is
+    * ~128 bytes/edge all-in (collected UnsafeRow batch + primitive
+    * edge/id/dedup tables at ≤0.5 load), and the rung may spend at most
+    * `heapFraction` of the heap — so the cap scales with the deployment
+    * (~3.3M edges on a 4 GiB driver, ~107M on 128 GiB) instead of being a
+    * constant tuned on one box. Clamped to [2^16, Int.MaxValue-8] (the
+    * ladder's floor / the JVM array ceiling). The derivation is exercised
+    * at simulated driver sizes in GraphSpec. */
+  def derivedLocalEdgeCap(
+      heapBytes: Long = Runtime.getRuntime.maxMemory(),
+      bytesPerEdge: Long = 128L,
+      heapFraction: Double = 0.10): Long =
+    math.max(1L << 16,
+      math.min((heapBytes * heapFraction).toLong / bytesPerEdge,
+        (Int.MaxValue - 8).toLong))
+
+  /** Heap-derived default for the BSP broadcast rung: a broadcast rank frame
+    * costs ~48 bytes/node (long node + long rank + row overhead) and is
+    * resident per executor JVM, so cap it at a twentieth of the heap —
+    * ~4.5M nodes on 4 GiB, capped at 2^28 on large drivers (beyond that a
+    * shuffle join is the right plan regardless of memory). */
+  def derivedBroadcastNodeCap(
+      heapBytes: Long = Runtime.getRuntime.maxMemory(),
+      bytesPerNode: Long = 48L): Long =
+    math.max(1L << 14, math.min(heapBytes / 20 / bytesPerNode, 1L << 28))
+
   /** Connected components by min-label propagation with pointer jumping:
     * each round every node takes the min of its own label and its
     * neighbors' labels (BSP step), then follows its label one hop
@@ -29,12 +56,13 @@ object Graph {
     *
     * @param edges two-column DataFrame of undirected edges
     * @param localEdgeThreshold edge count at or below which a driver-side
-    *   union-find replaces the BSP loop (stats-driven strategy choice)
+    *   union-find replaces the BSP loop (stats-driven strategy choice);
+    *   defaults to the heap-derived [[derivedLocalEdgeCap]]
     * @return (id, component) — component = min node id reachable
     */
   def connectedComponents(
       edges: DataFrame,
-      localEdgeThreshold: Long = 1L << 20): DataFrame = {
+      localEdgeThreshold: Long = derivedLocalEdgeCap()): DataFrame = {
     val Array(srcCol, dstCol) = edges.columns
     val lvl = StorageLevel.MEMORY_AND_DISK
     val e2 = edges
@@ -153,9 +181,9 @@ object Graph {
     * @param iters BSP rounds to run
     * @return (node, pr) with pr in 1e-6 units (a rank of 1.0 = 1000000) */
   def pageRankQ(edges: DataFrame, iters: Int,
-                broadcastNodeThreshold: Long = 1L << 20,
+                broadcastNodeThreshold: Long = derivedBroadcastNodeCap(),
                 dedupEdges: Boolean = true,
-                localEdgeThreshold: Long = 1L << 22,
+                localEdgeThreshold: Long = derivedLocalEdgeCap(),
                 undirected: Boolean = false): DataFrame = {
     val Array(srcCol, dstCol) = edges.columns
     // node ids keep their native type when src and dst agree: integer

@@ -22,9 +22,9 @@ object EventQueries {
     * testdata generation encodes it (TIMESTAMP(NANOS) → legacy Long nanos,
     * `timestamp[us]` → TIMESTAMP_NTZ, …) — the dispatch lives in
     * [[graft.core.Tables.events]] so every consumer (batch, SQL views,
-    * streaming, specs) agrees. */
+    * streaming, specs) agrees. Memoized per (session, dir) via [[Q.TEvents]]. */
   private def events(s: org.apache.spark.sql.SparkSession, dir: String) =
-    graft.core.Tables.events(s, dir)
+    Q.TEvents(s, dir)
 
   val all: Seq[Q] = Seq(
 

@@ -1008,6 +1008,54 @@ object TextQueries {
           FROM pairs
           JOIN counts ca ON pairs.a_id = ca.doc_id
           JOIN counts cb ON pairs.b_id = cb.doc_id)
-        SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.8"""))
+        SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.8""")),
+
+    // ---- PII redaction (operators/Pii) on the hash gate via the v01
+    // trick: the corpus has no PII, so BOTH engines append identical
+    // deterministic PII (email + IPv4 + phone, all derived from doc_id),
+    // run the SAME RE2-subset regex chain, and hash-compare the redacted
+    // text plus the before/after counts — proving the redaction AND the
+    // residual-PII = 0 pipeline gate cross-engine, not just in PiiSpec.
+    // The oracle chain is generated from Pii.patterns, so the two sides
+    // cannot drift. Phone injected last: its repetition tail would
+    // otherwise swallow leading digits of a following token in both
+    // engines, an ambiguity not worth gating on. ----
+    Q("p01_pii_redact",
+      (s, dir) => {
+        import graft.operators.Pii
+        val withPii = T(s, dir, "documents").select(col("doc_id"),
+          concat_ws(" ", coalesce(col("text"), lit("")),
+            concat(lit("u"), col("doc_id").cast("string"), lit("@ex.com")),
+            concat(lit("10."), pmod(col("doc_id"), lit(200)).cast("string"),
+              lit(".0."), pmod(col("doc_id"), lit(250)).cast("string")),
+            concat(lit("+1 415 555 "),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+            .as("t"))
+        withPii.select(col("doc_id"),
+          Pii.redact(col("t")).as("text_redacted"),
+          Pii.piiCount(col("t")).cast("long").as("pii_before"),
+          Pii.piiCount(Pii.redact(col("t"))).cast("long").as("pii_after"))
+      },
+      Some {
+        val chain = graft.operators.Pii.patterns.foldLeft("t") {
+          case (acc, (re, tok)) => s"regexp_replace($acc, '$re', '$tok', 'g')"
+        }
+        def cnt(e: String) = graft.operators.Pii.patterns
+          .map { case (re, _) => s"len(regexp_extract_all($e, '$re'))" }
+          .mkString(" + ")
+        s"""WITH src AS (SELECT doc_id,
+            coalesce(text, '') ||
+            ' u' || CAST(doc_id AS VARCHAR) || '@ex.com' ||
+            ' 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+              '.0.' || CAST(doc_id % 250 AS VARCHAR) ||
+            ' +1 415 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              AS t
+          FROM documents)
+          SELECT doc_id, $chain AS text_redacted,
+            CAST(${cnt("t")} AS BIGINT) AS pii_before,
+            CAST(${cnt(chain)} AS BIGINT) AS pii_after
+          FROM src"""
+      },
+      bench = true)
   )
 }

@@ -39,7 +39,12 @@ object EventStream {
     * scanned), then reuse the central batch/stream-agnostic dispatch
     * ([[graft.core.Tables.normalizeEventTs]]). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val actualTs = spark.read.parquet(dir).schema("ts").dataType
+    // an EMPTY staging dir can't be peeked ("unable to infer schema") but is
+    // a legitimate stream start state — fall back to the current known
+    // encoding; the dispatch self-corrects on the next session once files
+    // exist
+    val actualTs = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
+      .getOrElse(rawSchema("ts").dataType)
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = actualTs) else f))
     val stream = spark.readStream.schema(schema).parquet(dir)
