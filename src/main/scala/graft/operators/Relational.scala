@@ -171,6 +171,103 @@ object Relational {
       .select((keys ++ lPayload ++ rPayload).map(col): _*)
   }
 
+  /** Broadcast as-of join — the third as-of form, for the price-attach /
+    * rate-attach shape where the right side is dimension-sized history
+    * (prices, FX rates, config versions) and the left side is the fact
+    * stream. Both other forms shuffle the LEFT side (the union+window form
+    * once at combined width, the native exec once at its own width); at the
+    * design point that side is the 100 TB one, so when the right side fits
+    * a broadcast, the correct plan shuffles NEITHER: the right side packs
+    * into one time-sorted array per key, broadcasts, and each left row
+    * binary-searches its key's history in place
+    * ([[graft.functions.TimeExpressions.AsofPickSorted]], codegen'd) —
+    * a map-only operator over the fact stream, O(log h) per row.
+    *
+    * Same semantics as [[asofJoin]]: latest right row with equal keys and
+    * right time <= left time; null left/right times match nothing; null
+    * KEYS group together and can match (the join uses null-safe equality,
+    * matching the window form's grouping semantics); rows tied on
+    * (keys, time) resolve by payload order — pre-dedup the right side for
+    * a stable pick. Output = keys ++ left payload ++ right payload.
+    *
+    * The packed right side must fit a broadcast: per-key history arrays,
+    * ~|right| total entries. That is the operator's contract, not a tuning
+    * choice — for a big right side use [[graft.plans.AsofJoin]] (measured
+    * fastest when both sides are large) or [[asofJoin]].
+    */
+  def asofJoinBroadcast(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        leftTime: String, rightTime: String): DataFrame = {
+    val lPayload = left.columns.toIndexedSeq.filterNot(keys.contains)
+    val rPayload = right.columns.toIndexedSeq.filterNot(keys.contains)
+    require(lPayload.intersect(rPayload).isEmpty,
+      s"asofJoinBroadcast payload columns must be disjoint: ${lPayload.intersect(rPayload)}")
+    import org.apache.spark.sql.types._
+    def checkTime(df: DataFrame, c: String): Unit = {
+      val ok = df.schema(c).dataType match {
+        case TimestampType | TimestampNTZType | DateType | LongType | IntegerType => true
+        case _ => false
+      }
+      require(ok, s"as-of time column $c must be an integral/date/timestamp " +
+        s"type, got ${df.schema(c).dataType.simpleString}")
+    }
+    checkTime(left, leftTime); checkTime(right, rightTime)
+    require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
+      s"as-of time columns must share a type: ${left.schema(leftTime).dataType
+        .simpleString} vs ${right.schema(rightTime).dataType.simpleString}")
+    graft.functions.TimeExpressions.register(left.sparkSession)
+    // pack: one (time, payload) array per key, sorted ascending by time
+    // (struct sort is lexicographic and __t is the first field); null right
+    // times can never match, so they are dropped before the collect — which
+    // also upholds AsofPickSorted's non-null-__t contract
+    val pk = keys.indices.map(i => s"__k$i")
+    val packed = right.filter(col(rightTime).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(rightTime).as("__t"),
+        struct(rPayload.map(col): _*).as("__p")))).as("__arr"))
+      .select(keys.zip(pk).map { case (k, a) => col(k).as(a) } :+ col("__arr"): _*)
+    // null-safe key equality = the window form's "null keys group together"
+    val cond = keys.zip(pk).map { case (k, a) => col(k) <=> col(a) }
+      .reduce(_ && _)
+    left.join(broadcast(packed), cond, "left")
+      .withColumn("__pick", graft.functions.TimeExpressions
+        .asofPickSorted(col("__arr"), col(leftTime)))
+      .select(keys.map(col) ++ lPayload.map(col) ++
+        rPayload.map(c => col(s"__pick.$c").as(c)): _*)
+  }
+
+  /** Stats-driven as-of dispatch, the measured strategy choice (AsofBench
+    * sweep, PERF.md round 7):
+    *
+    *  - right side under `broadcastThreshold` (estimated from the optimized
+    *    plan, default = the session's autoBroadcastJoinThreshold) →
+    *    [[asofJoinBroadcast]]: zero shuffle of the fact side, the dominant
+    *    win whenever it applies;
+    *  - otherwise → the native sorted-merge exec [[graft.plans.AsofJoin]],
+    *    which beat the union+window form at EVERY measured (rows × payload
+    *    width) cell once the payload is actually consumed — narrow per-side
+    *    shuffles beat one padded-width shuffle from 40 k rows up, and the
+    *    margin grows with scale (1.7–1.8× at 4 M rows);
+    *  - a `rightTiebreak` forces the composed [[asofJoin]] — tie-ordering
+    *    by arbitrary columns only exists there.
+    */
+  def asofJoinAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTime: String, rightTime: String,
+                   rightTiebreak: Seq[String] = Nil,
+                   broadcastThreshold: Long = -1L): DataFrame =
+    if (rightTiebreak.nonEmpty)
+      asofJoin(left, right, keys, leftTime, rightTime, rightTiebreak)
+    else {
+      val thresh =
+        if (broadcastThreshold >= 0L) broadcastThreshold
+        else left.sparkSession.conf
+          .get("spark.sql.autoBroadcastJoinThreshold", "10485760").toLong
+      val rBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (rBytes <= thresh)
+        asofJoinBroadcast(left, right, keys, leftTime, rightTime)
+      else graft.plans.AsofJoin.asof(left, right, keys, leftTime, rightTime)
+    }
+
   /** Complete a (keys × month) grid: every key combination gets a row for
     * EVERY month between the frame's min and max period, missing cells
     * zero-filled — the closed form of the reference's month-at-a-time

@@ -154,6 +154,47 @@ object EventQueries {
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.p_ts >= c.c_ts""")),
 
+    // ---- the SAME as-of semantics a THIRD way: broadcast form. The click
+    // history packs into one time-sorted array per user, broadcasts, and
+    // each purchase binary-searches its user's history in place (native
+    // codegen AsofPickSorted) — ZERO shuffle of the purchase side, the plan
+    // for the price-attach shape where the left side is the 100 TB one and
+    // the right side is dimension-sized. Identical oracle as e05/e06, so
+    // the gate proves all three independent implementations against DuckDB's
+    // native ASOF; PlanAuditSpec pins the no-left-exchange property. ----
+    Q("e10_asof_broadcast",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_event_id"),
+            col("ts").as("p_ts"), col("value").as("p_value"))
+        val c = graft.operators.Relational.latest(
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id").as("c_event_id"),
+              col("ts").as("c_ts")),
+          Seq("user_id", "c_ts"), Seq("c_event_id"))
+        graft.operators.Relational
+          .asofJoinBroadcast(p, c, Seq("user_id"), "p_ts", "c_ts")
+          .withColumn("gap_sec",
+            unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
+      },
+      Some("""WITH p AS (
+          SELECT user_id, event_id AS p_event_id, CAST(ts AS TIMESTAMP) AS p_ts,
+            value AS p_value
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, c_event_id, c_ts FROM (
+            SELECT user_id, event_id AS c_event_id, CAST(ts AS TIMESTAMP) AS c_ts,
+              row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click') x
+          WHERE rn = 1)
+        SELECT p.user_id, p_event_id, p_ts, p_value, c_event_id, c_ts,
+          date_diff('second', c_ts, p_ts) AS gap_sec
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.p_ts >= c.c_ts"""),
+      bench = true),
+
     // ---- FORWARD as-of join (pandas merge_asof direction='forward'): for
     // each view, the FIRST subsequent click by the same user — time-to-
     // conversion analysis. Engine: Relational.asofJoinForward (the same

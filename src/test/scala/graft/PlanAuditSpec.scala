@@ -197,6 +197,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("e10 broadcast as-of never shuffles the fact side") {
+    // the broadcast form's whole point: only the click-history side pays
+    // exchanges (its latest-window + the per-key packing groupBy); the
+    // purchase side flows scan -> filter -> broadcast join -> project. A
+    // regression to a shuffled join would both drop the BroadcastHashJoin
+    // and add fact-side exchanges.
+    val df = SparkEntry.queries("e10_asof_broadcast")(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"not a broadcast join:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2,
+      s"expected only the 2 history-side shuffles, got $shuffles:\n$plan")
+    assert(!plan.contains("SinglePartition") && !plan.contains("rangepartitioning"),
+      s"unexpected global stage:\n$plan")
+  }
+
   test("q46 SCD2 merge is one shuffle join between slice and snapshot") {
     val df = SparkEntry.queries("q46_scd2_merge")(spark, sfSmoke)
     val plan = df.queryExecution.executedPlan.toString

@@ -156,6 +156,58 @@ class RelationalSpec extends SparkSpec {
     assert(canon(fast) == canon(naiveBest))
   }
 
+  test("asofJoinBroadcast matches the composed form, null keys grouping included") {
+    val rnd = new scala.util.Random(13)
+    def k(): Option[Long] =
+      if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(8).toLong)
+    val l = Seq.tabulate(200)(i => (k(), rnd.nextInt(50).toLong, i.toLong))
+      .toDF("k", "lt", "lid")
+    val r = Seq.tabulate(150)(i =>
+      (k(), rnd.nextInt(50).toLong * 7L % 50L, i.toLong)).toDF("k", "rt", "rid")
+    // deterministic right side: one row per (k, rt) — all three forms only
+    // promise a stable pick on a deduped right
+    val rd = Relational.latest(r, Seq("k", "rt"), Seq("rid"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "lt", "lid", "rt", "rid").collect()
+        .map(x => (if (x.isNullAt(0)) -99L else x.getLong(0), x.getLong(1),
+          x.getLong(2),
+          if (x.isNullAt(3)) -1L else x.getLong(3),
+          if (x.isNullAt(4)) -1L else x.getLong(4))).toSet
+    val composed = canon(Relational.asofJoin(l, rd, Seq("k"), "lt", "rt"))
+    val bcast = canon(Relational.asofJoinBroadcast(l, rd, Seq("k"), "lt", "rt"))
+    assert(bcast == composed)
+    // null keys matched each other (grouping semantics), not dropped
+    assert(composed.exists(t => t._1 == -99L && t._5 != -1L))
+  }
+
+  test("asofJoinAuto: broadcast under threshold, native above, composed for tiebreak") {
+    val l = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 7L, "p3"))
+      .toDF("k", "lt", "lv")
+    val r = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (1L, 2L, "r2"))
+      .toDF("k", "rt", "rv")
+    val expected = Set(
+      (1L, 10L, "p1", 10L, "r10"), (1L, 20L, "p2", 15L, "r15"),
+      (2L, 7L, "p3", -1L, ""))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "lt", "lv", "rt", "rv").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+          if (x.isNullAt(3)) -1L else x.getLong(3),
+          if (x.isNullAt(4)) "" else x.getString(4))).toSet
+    val bc = Relational.asofJoinAuto(l, r, Seq("k"), "lt", "rt",
+      broadcastThreshold = Long.MaxValue)
+    assert(bc.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(canon(bc) == expected)
+    val nat = Relational.asofJoinAuto(l, r, Seq("k"), "lt", "rt",
+      broadcastThreshold = 0L)
+    assert(nat.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    assert(canon(nat) == expected)
+    val tie = Relational.asofJoinAuto(l, r, Seq("k"), "lt", "rt",
+      rightTiebreak = Seq("rv"), broadcastThreshold = Long.MaxValue)
+    val tiePlan = tie.queryExecution.executedPlan.toString
+    assert(!tiePlan.contains("AsofJoin") && tiePlan.contains("Window"))
+    assert(canon(tie) == expected)
+  }
+
   test("completeMonthGrid synthesizes zero rows for every missing month") {
     val df = Seq(("A", "2024-01-01", 10.0), ("A", "2024-04-01", 5.0),
       ("B", "2024-02-01", 1.0)).toDF("k", "mon", "v")
