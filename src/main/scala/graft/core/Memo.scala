@@ -12,6 +12,23 @@ object Memo {
 
   private val map = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def apply(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    map.computeIfAbsent((s, key), _ => build)
+  /** NOT computeIfAbsent: builders memoize on top of other memoized frames
+    * (a memoized query builder loads memoized tables), and a nested
+    * `computeIfAbsent` on the same ConcurrentHashMap throws "Recursive
+    * update" whenever the two keys hash to the same bin — a
+    * key-layout-dependent crash that surfaces only when an unrelated entry
+    * shifts the table. `synchronized` is reentrant, so nested builds on the
+    * same thread are fine; cross-thread builds serialize, which is exactly
+    * what a cache of session-lifetime persisted frames wants (two racing
+    * builders would otherwise each pin a cached copy and leak one). */
+  def apply(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (s, key)
+    val got = map.get(k)
+    if (got != null) got
+    else map.synchronized {
+      val again = map.get(k)
+      if (again != null) again
+      else { val built = build; map.put(k, built); built }
+    }
+  }
 }

@@ -117,6 +117,60 @@ object Scale {
     else fact.where(graft.functions.BloomExpressions.mightContain(bf, col(factKey)))
   }
 
+  /** Exact anti-join (NOT EXISTS on key equality) with BOTH sides
+    * bloom-pruned — the incremental-ingest dedup primitive: "which rows of
+    * this batch are NOT already in the corpus" without joining batch against
+    * corpus.
+    *
+    * Why the plain form breaks at 100 TB: `batch.join(corpus, key,
+    * "left_anti")` shuffles EVERY corpus key and every batch row, even
+    * though (a) almost all batch rows miss — a bloom over the corpus keys
+    * proves most non-membership without any join — and (b) the few
+    * bloom-positive candidates can only match corpus keys in THEIR OWN tiny
+    * key set, so a second bloom built over the candidates prunes the corpus
+    * side before the verify join. What actually shuffles: the candidate
+    * rows (~true-dup fraction + fpp of the batch) and the candidate-matching
+    * corpus keys (~the same) — never either full input. Bloom-definite
+    * non-members flow through a scan+filter with no join work at all.
+    *
+    * False positives on either bloom survive only to the exact verify
+    * anti-join, so the composed result is EXACTLY the plain left_anti
+    * (oracle-gated as t30, property-tested against the built-in anti-join in
+    * ScaleSpec). Null fact keys never equal anything, so they are kept
+    * unconditionally — xxhash64 hashes SQL NULL to a probeable value, which
+    * would otherwise let a null key "match" the bloom.
+    *
+    * The two bloom builds are eager one-row aggs (partial-aggregable — each
+    * is one map-side-combined scan of its own side only). The second scans
+    * the fact side once more for candidates; at the design point that second
+    * scan is column-pruned to the key and is the price of never shuffling
+    * the corpus. */
+  def bloomAntiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                    dimKey: String, expectedItems: Long = 1000000L,
+                    numBits: Long = 8L * 1000000L): DataFrame = {
+    graft.functions.BloomExpressions.register(fact.sparkSession)
+    def bloomOf(df: DataFrame, key: String): Array[Byte] = df
+      .where(col(key).isNotNull)
+      .agg(graft.functions.BloomExpressions
+        .bloomAgg(col(key), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val bf = bloomOf(dim, dimKey)
+    if (bf == null) fact // empty dim side: the anti-join keeps everything
+    else {
+      val might = graft.functions.BloomExpressions.mightContain(bf, col(factKey))
+      val sure = fact.where(col(factKey).isNull || !might)
+      val cand = fact.where(col(factKey).isNotNull && might)
+      val bfc = bloomOf(cand, factKey)
+      val dimPruned =
+        if (bfc == null) dim.where(lit(false))
+        else dim.where(
+          graft.functions.BloomExpressions.mightContain(bfc, col(dimKey)))
+      sure.unionByName(
+        cand.join(dimPruned.select(col(dimKey).as(factKey)), Seq(factKey),
+          "left_anti"))
+    }
+  }
+
   /** Z-order (Morton) key: bit-interleave of already-quantized dimension
     * columns, each in [0, 2^bits). Pure shift/mask column algebra — codegen
     * inlines it, no UDF — and exact integer, so the layout key is

@@ -1010,6 +1010,51 @@ object TextQueries {
           JOIN counts cb ON pairs.b_id = cb.doc_id)
         SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.8""")),
 
+    // ---- bloom-pruned incremental exact dedup (Scale.bloomAntiJoin): the
+    // batch-vs-corpus "which of these new docs are already in the corpus"
+    // anti-join with BOTH sides bloom-pruned, so neither full input ever
+    // shuffles — the ingest-time twin of t05's whole-corpus dedup. The
+    // testdata has almost no exact duplicates across a doc_id split, so the
+    // batch is CONSTRUCTED (v01/p01 trick, identically in both engines):
+    // `fresh` rows get a doc_id-unique suffix (definitely novel — these
+    // exercise the bloom-negative fast path, plus the fpp→verify path on
+    // false positives), `copies` re-ingest corpus texts under new ids
+    // (definitely duplicate — the verified-positive path). The bloom is
+    // sized ~8 bits/key (fpp ≈ 2–3%), so at sf0.1 the verify anti-join
+    // provably sees real false positives and removes them: the hash match
+    // IS the exactness proof. ----
+    Q("t30_bloom_incremental_dedup",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+          .select(col("doc_id"), col("text"))
+        val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit(" fresh-"), col("doc_id").cast("string"))
+              .as("text"))
+        val copies = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0 &&
+            pmod(col("doc_id"), lit(7)) === 3)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+        val batch = fresh.unionByName(copies)
+        graft.operators.Scale.bloomAntiJoin(
+          batch.withColumn("h", md5(col("text"))),
+          corpus.select(md5(col("text")).as("h")),
+          "h", "h", expectedItems = 10000L, numBits = 80000L)
+          .select(col("doc_id"))
+      },
+      Some("""WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        batch AS (
+          SELECT doc_id + 10000000 AS doc_id,
+                 text || ' fresh-' || CAST(doc_id AS VARCHAR) AS text
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 20000000 AS doc_id, text
+          FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 3)
+        SELECT b.doc_id FROM batch b
+        WHERE NOT EXISTS (
+          SELECT 1 FROM corpus c WHERE md5(c.text) = md5(b.text))""")),
+
     // ---- PII redaction (operators/Pii) on the hash gate via the v01
     // trick: the corpus has no PII, so BOTH engines append identical
     // deterministic PII (email + IPv4 + phone, all derived from doc_id),

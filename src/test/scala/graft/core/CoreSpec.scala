@@ -50,6 +50,23 @@ class CoreSpec extends SparkSpec {
       ("2026-02", "c", 30.0)))
   }
 
+  test("Memo supports nested builds (memoized builder loading memoized inputs)") {
+    // regression: computeIfAbsent-based Memo threw "Recursive update" when a
+    // memoized query builder called Memo again for its table loads and the
+    // two keys landed in one hash bin — key-layout-dependent, so this pins
+    // the reentrant contract directly with many nested pairs
+    import graft.core.Memo
+    for (i <- 1 to 64) {
+      val outer = Memo(spark, s"memo-nest-outer-$i") {
+        Memo(spark, s"memo-nest-inner-$i")(spark.range(i.toLong).toDF("v"))
+          .withColumn("w", col("v") * 2)
+      }
+      assert(outer.count() == i.toLong)
+      // both levels cached: same object back on re-request
+      assert(Memo(spark, s"memo-nest-outer-$i")(fail("must not rebuild")) eq outer)
+    }
+  }
+
   test("overwriteWhere rewrites only touched partitions by predicate") {
     val dir = Files.createTempDirectory("sink2").toString + "/t"
     val v1 = Seq(("2026-01", "a", 1.0), ("2026-01", "x", 9.0), ("2026-02", "b", 2.0))

@@ -150,6 +150,54 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.bloomPrune(fact, dim, "k", "dk", 10L, 64L).count() == 0L)
   }
 
+  test("bloomAntiJoin is exactly the plain left_anti under forced false positives") {
+    // deliberately undersized bloom (64 bits for 300 keys → high fpp): many
+    // non-members probe positive, so exactness here proves the verify
+    // anti-join removes every false positive
+    val fact = spark.range(2000L)
+      .select((col("id") * 7L % 4001L).as("k"), col("id").as("v"))
+    val dim = spark.range(300L).select((col("id") * 13L % 4001L).as("dk"))
+    val got = Scale.bloomAntiJoin(fact, dim, "k", "dk",
+      expectedItems = 300L, numBits = 64L)
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    val plain = fact.join(dim, col("k") === col("dk"), "left_anti")
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    assert(got == plain && plain.nonEmpty && plain.size < 2000)
+  }
+
+  test("bloomAntiJoin keeps null fact keys and tolerates null dim keys") {
+    // xxhash64 hashes SQL NULL to a real value, so an unguarded bloom probe
+    // could let a null key "match"; anti-join equality semantics say a null
+    // key matches nothing and must survive
+    val fact = Seq((Some(1L), "a"), (None, "b"), (Some(2L), "c"),
+      (None, "d")).toDF("k", "v")
+    val dim = Seq(Some(1L), None, Some(99L)).toDF("dk")
+    val got = Scale.bloomAntiJoin(fact, dim, "k", "dk", 10L, 1024L)
+      .select("v").as[String].collect().toSet
+    val plain = fact.join(dim, col("k") === col("dk"), "left_anti")
+      .select("v").as[String].collect().toSet
+    assert(got == plain && got == Set("b", "c", "d"))
+  }
+
+  test("bloomAntiJoin on an empty dim keeps the whole fact side") {
+    val fact = spark.range(50L).select(col("id").as("k"))
+    val dim = spark.range(0L).select(col("id").as("dk"))
+    assert(Scale.bloomAntiJoin(fact, dim, "k", "dk", 10L, 64L).count() == 50L)
+  }
+
+  test("bloomAntiJoin prunes both sides: probes on fact and on dim branches") {
+    val fact = spark.range(5000L).select(col("id").as("k"))
+    val dim = spark.range(100L).select((col("id") * 50L).as("dk"))
+    val out = Scale.bloomAntiJoin(fact, dim, "k", "dk",
+      expectedItems = 100L, numBits = 2048L)
+    assert(out.count() == 4900L)
+    // one might_contain filter on the fact (candidate split) and one on the
+    // dim (verify-side prune) — both blooms engaged in the executed plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert("might_contain".r.findAllIn(plan).size >= 2,
+      s"expected bloom probes on both sides:\n$plan")
+  }
+
   test("globalRowNumber matches the window numbering with no single-partition stage") {
     val df = spark.range(10000L)
       .select((col("id") * 37L % 10007L).as("k"), col("id").as("payload"))
