@@ -313,7 +313,14 @@ object NearDup {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
     val repeated = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("h"))
-    val flagged = grams.join(repeated, Seq("h"), "left_semi")
+    unionSpans(grams.join(repeated, Seq("h"), "left_semi"), L)
+  }
+
+  /** Merge flagged gram windows (doc_id, pos) into maximal per-document
+    * intervals — the shared tail of [[repeatedSpans]] and
+    * [[boilerplateSpans]]. One window over the FLAGGED positions only
+    * (bounded by doc length — never a global sort). */
+  private def unionSpans(flagged: DataFrame, L: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     flagged
       .withColumn("e", col("pos") + L)
@@ -327,18 +334,82 @@ object NearDup {
       .agg(min(col("pos")).as("start_tok"), max(col("e")).as("end_tok"))
   }
 
+  /** Per-source boilerplate detection — the CCNet/RefinedWeb pass that
+    * strips template phrases (headers, footers, legal banners) shared
+    * across MOST documents of one source, while leaving phrases that merely
+    * occur twice somewhere (that is [[repeatedSpans]]' job) alone. A word
+    * `minGram`-gram is boilerplate for source S when it occurs in more than
+    * fracNum/fracDen of S's documents; flagged gram windows merge into
+    * maximal per-document spans exactly as in [[repeatedSpans]].
+    *
+    * Scale shape: the per-(source, gram) document frequency is one
+    * distinct + one partial-aggregable groupBy over uniform md5 keys — no
+    * per-source global structure, so a source with 10⁹ docs costs the same
+    * shuffle shape as one with 10². The boilerplate dictionary is tiny by
+    * construction (df-fraction threshold), so the flagging semi-join
+    * broadcasts; the interval union is per-document-bounded. Oracle-gated
+    * as t31 with injected per-source headers plus df-fraction boundary and
+    * negative controls.
+    *
+    * @return (doc_id, span_id, start_tok, end_tok), end exclusive */
+  def boilerplateSpans(docs: DataFrame, minGram: Int = 5,
+                       fracNum: Int = 1, fracDen: Int = 2,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       srcCol: String = "source"): DataFrame = {
+    val L = minGram
+    val base = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      col(textCol).as("text"))
+    val grams = base
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("__ws"))
+      .filter(size(col("__ws")) >= L)
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        s"""transform(sequence(0, size(__ws) - $L),
+            p -> md5(array_join(slice(__ws, p + 1, $L), ' ')))""")))
+      .select(col("doc_id"), col("source"),
+        col("pos").cast("long").as("pos"), col("col").as("h"))
+    // denominator counts EVERY doc of the source (including those too short
+    // to emit grams) — the df fraction is over the source's corpus, not its
+    // gram-bearing subset
+    val nd = base.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    val df = grams.select(col("source"), col("h"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("df"))
+    val boiler = df.join(nd, "source")
+      .filter(col("df") * fracDen > col("nd") * fracNum)
+      .select(col("source"), col("h"))
+    unionSpans(grams.join(boiler, Seq("source", "h"), "left_semi"), L)
+  }
+
+  /** Companion cut for [[boilerplateSpans]]: drop every token inside a
+    * boilerplate span, keep the rest in order — same bounded-array
+    * projection as [[stripRepeatedSpans]]. */
+  def stripBoilerplate(docs: DataFrame, minGram: Int = 5,
+                       fracNum: Int = 1, fracDen: Int = 2,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       srcCol: String = "source"): DataFrame =
+    stripWithSpans(docs,
+      boilerplateSpans(docs, minGram, fracNum, fracDen, idCol, textCol, srcCol),
+      idCol, textCol)
+
   /** Companion cut: drop every token inside a repeated span, keep the
     * rest in order. Spans per doc are bounded (≤ n_tok/2 merged
     * intervals), so the membership test is an array scan inside the
     * projection — no extra shuffle beyond [[repeatedSpans]]' own. */
   def stripRepeatedSpans(docs: DataFrame, minGram: Int = 5,
-                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spans = repeatedSpans(docs, minGram, idCol, textCol)
-      .groupBy(col("doc_id"))
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    stripWithSpans(docs, repeatedSpans(docs, minGram, idCol, textCol),
+      idCol, textCol)
+
+  /** Drop every token of `docs` covered by a (doc_id, start_tok, end_tok)
+    * interval of `spans`; spans per doc are bounded (≤ n_tok/2 merged
+    * intervals), so the membership test is an array scan inside the
+    * projection — no extra shuffle beyond the span computation's own. */
+  private def stripWithSpans(docs: DataFrame, spans: DataFrame,
+                             idCol: String, textCol: String): DataFrame = {
+    val perDoc = spans.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("__spans"))
     docs
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .join(spans, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), expr(
         """array_join(
              filter(

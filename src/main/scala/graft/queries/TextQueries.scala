@@ -1055,6 +1055,62 @@ object TextQueries {
         WHERE NOT EXISTS (
           SELECT 1 FROM corpus c WHERE md5(c.text) = md5(b.text))""")),
 
+    // ---- per-source boilerplate spans (NearDup.boilerplateSpans): the
+    // CCNet/RefinedWeb template-stripping pass — a word 5-gram is
+    // boilerplate for a source when it appears in > 1/2 of that source's
+    // docs. The corpus is word soup with no organic templates, so headers
+    // are INJECTED identically in both engines (v01/p01 trick), with three
+    // controls: docs with doc_id % 3 != 0 get their source's header (df ≈
+    // 2/3 > 1/2 → flagged), header length varies BY SOURCE (two span
+    // shapes, so the hash pins positions, not just membership), and grams
+    // straddling the header/text boundary carry a per-doc random first
+    // text token (df ≈ 0 → the negative control that bounds span ends).
+    // ----
+    Q("t31_boilerplate_spans",
+      (s, dir) => {
+        val base = T(s, dir, "documents").select(col("doc_id"), col("source"),
+          when(pmod(col("doc_id"), lit(3)) =!= 0,
+            concat(lit("hdr-"), col("source"), lit(" "),
+              expr("repeat('tos ', 4 + length(source) % 3)"), col("text")))
+            .otherwise(col("text")).as("text"))
+        graft.operators.NearDup.boilerplateSpans(base, minGram = 5,
+          fracNum = 1, fracDen = 2)
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, source,
+            CASE WHEN doc_id % 3 <> 0
+              THEN 'hdr-' || source || ' ' ||
+                   repeat('tos ', 4 + length(source) % 3) || text
+              ELSE text END AS text
+          FROM documents),
+        t AS (SELECT doc_id, source, str_split(text, ' ') AS ws FROM base),
+        g AS (SELECT doc_id, source, CAST(p AS BIGINT) AS pos,
+            md5(array_to_string(ws[p + 1 : p + 5], ' ')) AS h
+          FROM (SELECT doc_id, source, ws, unnest(range(0, len(ws) - 4)) AS p
+                FROM t WHERE len(ws) >= 5)),
+        nd AS (SELECT source, count(*) AS nd FROM base GROUP BY source),
+        df AS (SELECT source, h, count(DISTINCT doc_id) AS df
+               FROM g GROUP BY source, h),
+        b AS (SELECT df.source, df.h FROM df JOIN nd USING (source)
+              WHERE df.df * 2 > nd.nd * 1),
+        f AS (SELECT g.doc_id, g.pos FROM g
+              JOIN b ON g.source = b.source AND g.h = b.h),
+        m AS (SELECT doc_id, pos, pos + 5 AS e,
+            max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+          FROM f),
+        sx AS (SELECT doc_id, pos, e,
+            CASE WHEN prev_e IS NULL OR pos > prev_e THEN 1 ELSE 0 END AS ns
+          FROM m),
+        sp AS (SELECT doc_id, pos, e,
+            SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS UNBOUNDED PRECEDING) - 1 AS span_id
+          FROM sx)
+        SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+          CAST(min(pos) AS BIGINT) AS start_tok,
+          CAST(max(e) AS BIGINT) AS end_tok
+        FROM sp GROUP BY doc_id, span_id""")),
+
     // ---- PII redaction (operators/Pii) on the hash gate via the v01
     // trick: the corpus has no PII, so BOTH engines append identical
     // deterministic PII (email + IPv4 + phone, all derived from doc_id),

@@ -157,4 +157,34 @@ class NearDupSpec extends SparkSpec {
     assert(cleaned(3L) == "")
     assert(cleaned(4L) == "totally unique words nothing here repeats ever")
   }
+
+  test("boilerplateSpans: per-source df fraction, boundary at exactly half, short docs count") {
+    import spark.implicits._
+    val hdr = "HDR legal terms apply here now" // 6 tokens → span [0, 6)
+    val docs = Seq(
+      // source A: header in 3 of 5 docs (df 3, nd 5: 3*2 > 5 → boilerplate)
+      (1L, s"$hdr u1 v1 w1 x1 y1", "A"),
+      (2L, s"$hdr u2 v2 w2 x2 y2", "A"),
+      (3L, s"$hdr u3 v3 w3 x3 y3", "A"),
+      (4L, "clean words only nothing shared at all", "A"),
+      (5L, "tiny doc", "A"), // < 5 tokens: no grams, but counts in nd
+      // source B: the SAME header text, but in 1 of 2 docs — df*2 = nd,
+      // strictly-greater fails → per-source isolation + boundary control
+      (11L, s"$hdr m1 m2 m3 m4 m5", "B"),
+      (12L, "different things entirely here bb cc dd ee ff gg", "B")
+    ).toDF("doc_id", "text", "source")
+    val spans = NearDup.boilerplateSpans(docs, minGram = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // straddling grams (header tail + per-doc unique token) have df 1 and
+    // must NOT extend the span past the header
+    assert(spans == Set((1L, 0L, 0L, 6L), (2L, 0L, 0L, 6L), (3L, 0L, 0L, 6L)))
+
+    val cleaned = NearDup.stripBoilerplate(docs, minGram = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) == "u1 v1 w1 x1 y1")
+    assert(cleaned(4L) == "clean words only nothing shared at all")
+    assert(cleaned(5L) == "tiny doc")
+    assert(cleaned(11L) == s"$hdr m1 m2 m3 m4 m5") // B is untouched
+  }
 }
