@@ -197,6 +197,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t30/t31 round-7 additions have no single-partition stage") {
+    // t30: the returned plan is filter-union + a candidates-only anti-join
+    // (the one-row bloom aggs are eager and outside it); t31: the df
+    // dictionary is per-(source, gram) and the span window is per-doc —
+    // neither may funnel the corpus through one reducer
+    for (name <- Seq("t30_bloom_incremental_dedup", "t31_boilerplate_spans")) {
+      val df = SparkEntry.queries(name)(spark, sfSmoke)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"),
+        s"$name has a single-reducer stage:\n$plan")
+    }
+  }
+
   test("e10 broadcast as-of never shuffles the fact side") {
     // the broadcast form's whole point: only the click-history side pays
     // exchanges (its latest-window + the per-key packing groupBy); the
