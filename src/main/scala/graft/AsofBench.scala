@@ -46,7 +46,9 @@ object AsofBench {
 
     def prep(factor: Int, padWidth: Int): (DataFrame, DataFrame) = {
       val dir = s"/tmp/asof_bench/f${factor}_w$padWidth"
-      if (!new java.io.File(s"$dir/p.parquet").exists()) {
+      // check the LAST-written artifact: a run killed between the two
+      // writes must rebuild, not half-read a stale cache
+      if (!new java.io.File(s"$dir/c.parquet/_SUCCESS").exists()) {
         val ev = graft.core.Tables(spark, base, "events")
           .crossJoin(spark.range(factor).select(col("id").as("__r")))
           .withColumn("event_id", col("event_id") + col("__r") * 1000000000L)

@@ -31,12 +31,29 @@ object Graph {
   /** Heap-derived default for the BSP broadcast rung: a broadcast rank frame
     * costs ~48 bytes/node (long node + long rank + row overhead) and is
     * resident per executor JVM, so cap it at a twentieth of the heap —
-    * ~4.5M nodes on 4 GiB, capped at 2^28 on large drivers (beyond that a
-    * shuffle join is the right plan regardless of memory). */
+    * ~4.5M nodes on 4 GiB. The upper clamp is Spark's own 8 GiB broadcast
+    * hard limit divided by bytes/node: a cap that admits an inexecutable
+    * broadcast is not a cap. */
   def derivedBroadcastNodeCap(
       heapBytes: Long = Runtime.getRuntime.maxMemory(),
       bytesPerNode: Long = 48L): Long =
-    math.max(1L << 14, math.min(heapBytes / 20 / bytesPerNode, 1L << 28))
+    math.max(1L << 14,
+      math.min(heapBytes / 20 / bytesPerNode, (8L << 30) / bytesPerNode))
+
+  /** Executor-aware broadcast cap: the broadcast is resident per EXECUTOR
+    * JVM, so on a cluster the binding heap is `spark.executor.memory`, not
+    * the (possibly much larger) driver's — sizing a 128 GiB driver's
+    * broadcast into 8 GiB executors is the OOM this guards. In local mode
+    * the conf is unset and the driver JVM IS the executor, so the
+    * driver-heap derivation is exactly right there. The driver still
+    * materializes the value first, hence the min with its own heap. */
+  def derivedBroadcastNodeCap(spark: org.apache.spark.sql.SparkSession): Long = {
+    val executorBytes = spark.conf.getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory())
+    derivedBroadcastNodeCap(
+      math.min(executorBytes, Runtime.getRuntime.maxMemory()))
+  }
 
   /** Connected components by min-label propagation with pointer jumping:
     * each round every node takes the min of its own label and its
@@ -181,10 +198,14 @@ object Graph {
     * @param iters BSP rounds to run
     * @return (node, pr) with pr in 1e-6 units (a rank of 1.0 = 1000000) */
   def pageRankQ(edges: DataFrame, iters: Int,
-                broadcastNodeThreshold: Long = derivedBroadcastNodeCap(),
+                broadcastNodeThreshold: Long = -1L,
                 dedupEdges: Boolean = true,
                 localEdgeThreshold: Long = derivedLocalEdgeCap(),
                 undirected: Boolean = false): DataFrame = {
+    // -1 = derive from the session (executor-aware); an explicit value wins
+    val bcastNodeCap =
+      if (broadcastNodeThreshold >= 0L) broadcastNodeThreshold
+      else derivedBroadcastNodeCap(edges.sparkSession)
     val Array(srcCol, dstCol) = edges.columns
     // node ids keep their native type when src and dst agree: integer
     // keys hash and shuffle far cheaper than strings. MIXED types fall
@@ -384,7 +405,7 @@ object Graph {
     // not releasing `e` itself.
     e0p.unpersist()
     eDistinct.foreach { case (d, _) => if (d ne e) d.unpersist() }
-    val small = nV <= broadcastNodeThreshold
+    val small = nV <= bcastNodeCap
     def b(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var pr = nodes.withColumn("pr", lit(1000000L))
     for (i <- 1 to iters) {

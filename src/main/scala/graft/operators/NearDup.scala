@@ -40,10 +40,23 @@ object NearDup {
       capNum: Int = 1, capDen: Int = 10,
       tNum: Int = 4, tDen: Int = 5): DataFrame =
     graft.core.Memo(docs.sparkSession,
-      s"neardup:${docs.queryExecution.logical.semanticHash()}:" +
-        s"$gramLen:$capNum:$capDen:$tNum:$tDen") {
+      s"neardup:${planKey(docs)}:$gramLen:$capNum:$capDen:$tNum:$tDen") {
       build(docs, gramLen, capNum, capDen, tNum, tDen)
     }
+
+  /** Memo key component for an input frame: the logical plan's semantic
+    * hash PLUS (for file-sourced plans) a fingerprint of the concrete file
+    * inventory. The semantic hash alone aliases two different DATA states
+    * of the same directory — precisely the incremental-ingest pattern,
+    * where a later batch lands new files in-session and a stale cached pair
+    * set would silently miss them. The file listing is already resolved on
+    * the memoized relation, so this costs no extra I/O; non-file inputs
+    * (`inputFiles` empty) fall back to the plan hash alone. */
+  private def planKey(df: DataFrame): String = {
+    val files = df.inputFiles
+    val fp = if (files.isEmpty) "" else ":" + files.sorted.mkString("|").hashCode
+    s"${df.queryExecution.logical.semanticHash()}$fp"
+  }
 
   /** Distinct word n-grams per doc as (doc_id, gram) — the decontamination
     * unit (t17 and jobs/CorpusPipeline share this one definition). Guards
@@ -197,8 +210,7 @@ object NearDup {
       capNum: Int = 1, capDen: Int = 10,
       tNum: Int = 4, tDen: Int = 5): DataFrame =
     graft.core.Memo(oldDocs.sparkSession,
-      s"neardup-inc:${oldDocs.queryExecution.logical.semanticHash()}:" +
-        s"${newDocs.queryExecution.logical.semanticHash()}:" +
+      s"neardup-inc:${planKey(oldDocs)}:${planKey(newDocs)}:" +
         s"$gramLen:$capNum:$capDen:$tNum:$tDen") {
       buildIncremental(oldDocs, newDocs, gramLen, capNum, capDen, tNum, tDen)
     }
@@ -329,17 +341,30 @@ object NearDup {
     *   span_id numbered 0.. per doc in position order */
   def repeatedSpans(docs: DataFrame, minGram: Int = 5,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val L = minGram
-    val grams = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
-      .filter(size(col("__ws")) >= L)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, size(__ws) - $L),
-            p -> md5(array_join(slice(__ws, p + 1, $L), ' ')))""")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+    val grams = gramWindows(docs, minGram, idCol, textCol)
     val repeated = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("h"))
-    unionSpans(grams.join(repeated, Seq("h"), "left_semi"), L)
+    unionSpans(grams.join(repeated, Seq("h"), "left_semi"), minGram)
+  }
+
+  /** (doc_id, extra…, pos, h): md5-hashed word `L`-gram windows per doc —
+    * the shared head of the span family ([[repeatedSpans]] and
+    * [[boilerplateSpans]] differ only in which dictionary flags the
+    * windows). Columnar split→slice→md5, no UDF; docs shorter than `L`
+    * words emit nothing. */
+  private def gramWindows(docs: DataFrame, L: Int, idCol: String,
+                          textCol: String,
+                          extra: Seq[String] = Nil): DataFrame = {
+    val keep = col("doc_id") +: extra.map(col)
+    docs
+      .select((col(idCol).as("doc_id") +: extra.map(col)) :+
+        split(col(textCol), " ").as("__ws"): _*)
+      .filter(size(col("__ws")) >= L)
+      .select(keep :+ posexplode(expr(
+        s"""transform(sequence(0, size(__ws) - $L),
+            p -> md5(array_join(slice(__ws, p + 1, $L), ' ')))""")): _*)
+      .select(keep ++ Seq(col("pos").cast("long").as("pos"),
+        col("col").as("h")): _*)
   }
 
   /** Merge flagged gram windows (doc_id, pos) into maximal per-document
@@ -385,14 +410,7 @@ object NearDup {
     val L = minGram
     val base = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
       col(textCol).as("text"))
-    val grams = base
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("__ws"))
-      .filter(size(col("__ws")) >= L)
-      .select(col("doc_id"), col("source"), posexplode(expr(
-        s"""transform(sequence(0, size(__ws) - $L),
-            p -> md5(array_join(slice(__ws, p + 1, $L), ' ')))""")))
-      .select(col("doc_id"), col("source"),
-        col("pos").cast("long").as("pos"), col("col").as("h"))
+    val grams = gramWindows(base, L, "doc_id", "text", extra = Seq("source"))
     // denominator counts EVERY doc of the source (including those too short
     // to emit grams) — the df fraction is over the source's corpus, not its
     // gram-bearing subset

@@ -216,9 +216,12 @@ object Relational {
         .simpleString} vs ${right.schema(rightTime).dataType.simpleString}")
     graft.functions.TimeExpressions.register(left.sparkSession)
     // pack: one (time, payload) array per key, sorted ascending by time
-    // (struct sort is lexicographic and __t is the first field); null right
-    // times can never match, so they are dropped before the collect — which
-    // also upholds AsofPickSorted's non-null-__t contract
+    // (struct sort is lexicographic and __t is the first field — which also
+    // makes the equal-timestamp pick deterministic, but requires every
+    // payload type to be orderable; asofJoinAuto routes map-typed payloads
+    // to the native exec instead); null right times can never match, so
+    // they are dropped before the collect — which also upholds
+    // AsofPickSorted's non-null-__t contract
     val pk = keys.indices.map(i => s"__k$i")
     val packed = right.filter(col(rightTime).isNotNull)
       .groupBy(keys.map(col): _*)
@@ -260,10 +263,21 @@ object Relational {
     else {
       val thresh =
         if (broadcastThreshold >= 0L) broadcastThreshold
-        else left.sparkSession.conf
-          .get("spark.sql.autoBroadcastJoinThreshold", "10485760").toLong
+        // the conf accepts byte-suffixed size strings ("10MB", "10m") as
+        // well as plain numbers — parse, never .toLong the raw string
+        else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          left.sparkSession.conf
+            .get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
       val rBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (rBytes <= thresh)
+      // the broadcast form's per-key time-sort orders struct(__t, payload)
+      // lexicographically (deterministic tie-break), which requires every
+      // right payload type to be ORDERABLE — a map-typed payload would fail
+      // analysis there while the native exec handles it fine
+      val rOrderable = right.schema.fields
+        .filter(f => f.name != rightTime && !keys.contains(f.name))
+        .forall(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(f.dataType))
+      if (rBytes <= thresh && rOrderable)
         asofJoinBroadcast(left, right, keys, leftTime, rightTime)
       else graft.plans.AsofJoin.asof(left, right, keys, leftTime, rightTime)
     }

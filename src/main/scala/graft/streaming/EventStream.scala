@@ -39,12 +39,20 @@ object EventStream {
     * scanned), then reuse the central batch/stream-agnostic dispatch
     * ([[graft.core.Tables.normalizeEventTs]]). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    // an EMPTY staging dir can't be peeked ("unable to infer schema") but is
-    // a legitimate stream start state — fall back to the current known
+    // an EMPTY (or not-yet-created) staging dir can't be peeked but is a
+    // legitimate stream start state — fall back to the current known
     // encoding; the dispatch self-corrects on the next session once files
-    // exist
-    val actualTs = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
-      .getOrElse(rawSchema("ts").dataType)
+    // exist. ONLY that case falls back: a corrupt footer, permission
+    // failure, or wrong path must surface as itself, not as a silently
+    // guessed schema that fails much later
+    val actualTs =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" ||
+              e.getErrorClass == "PATH_NOT_FOUND" =>
+          rawSchema("ts").dataType
+      }
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = actualTs) else f))
     val stream = spark.readStream.schema(schema).parquet(dir)

@@ -82,7 +82,11 @@ object NearDupStream {
           for (d <- batch) {
             for (p <- seen if p != d)
               out += (if (p < d) Hit(bkey, p, d) else Hit(bkey, d, p))
-            if (seen.size < maxPerBucket) seen = d :: seen
+            // membership check, not just the cap: the upstream corpus dir
+            // is written at-least-once (foreachBatch replays on crash), and
+            // a replayed doc re-inserted here would burn a bucket slot per
+            // replay until copies of a few ids crowd out real members
+            if (seen.size < maxPerBucket && !seen.contains(d)) seen = d :: seen
           }
           state.update(seen)
           out.result().iterator

@@ -182,8 +182,19 @@ class GraphSpec extends SparkSpec {
     val bc4g = Graph.derivedBroadcastNodeCap(heapBytes = 4L << 30)
     val bc128g = Graph.derivedBroadcastNodeCap(heapBytes = 128L << 30)
     assert(bc4g == (4L << 30) / 20 / 48 && bc4g < bc128g)
+    // the upper clamp is Spark's 8 GiB broadcast hard limit in node units —
+    // never a node count whose broadcast could not execute at all
     assert(bc128g == (128L << 30) / 20 / 48 &&
-      Graph.derivedBroadcastNodeCap(heapBytes = 1L << 40) == 1L << 28)
+      Graph.derivedBroadcastNodeCap(heapBytes = 1L << 62) == (8L << 30) / 48)
+    // session-aware derivation: spark.executor.memory (when set) binds the
+    // broadcast, not the driver heap — a big-driver/small-executor cluster
+    // must get the small cap
+    assert(Graph.derivedBroadcastNodeCap(spark) ==
+      Graph.derivedBroadcastNodeCap(heapBytes = math.min(
+        spark.conf.getOption("spark.executor.memory")
+          .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+          .getOrElse(Long.MaxValue),
+        Runtime.getRuntime.maxMemory())))
     // the derived caps drive the SAME bit-equal rungs: a cap derived from a
     // simulated tiny heap forces BSP, a big one the local path — results agree
     import spark.implicits._

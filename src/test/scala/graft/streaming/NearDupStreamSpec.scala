@@ -73,6 +73,23 @@ class NearDupStreamSpec extends SparkSpec {
     assert(mine == t07 && t07.nonEmpty)
   }
 
+  test("an at-least-once replay never burns bucket slots") {
+    // the corpus dir is written by an at-least-once foreachBatch: a replayed
+    // file re-delivers docs 1 and 2. Without the membership guard the
+    // replay would re-insert doc 1 into the cap-3 bucket, crowding out doc
+    // 3's slot and silently losing the (3,4) pair
+    val same = "identical text repeated in every single document here"
+    val dir = Files.createTempDirectory("neardup_replay")
+    addBatch(dir, "b1", Seq(1L -> same, 2L -> same))
+    addBatch(dir, "b1_replay", Seq(1L -> same, 2L -> same))
+    addBatch(dir, "b2", Seq(3L -> same))
+    addBatch(dir, "b3", Seq(4L -> same))
+    val got = NearDupStream.runOnce(spark, dir.toString, "neardup_replay",
+      maxPerBucket = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L)))
+  }
+
   test("full bucket keeps flagging but stops growing (maxPerBucket)") {
     val same = "identical text repeated in every single document here"
     val dir = Files.createTempDirectory("neardup_cap")
