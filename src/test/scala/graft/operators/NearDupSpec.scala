@@ -158,6 +158,37 @@ class NearDupSpec extends SparkSpec {
     assert(cleaned(4L) == "totally unique words nothing here repeats ever")
   }
 
+  test("incrementalJaccardPairs rebuilds when new files land in the corpus dir") {
+    import spark.implicits._
+    // the incremental API's use case: a later batch lands MORE FILES in the
+    // same directory mid-session. A memo keyed on the logical plan alone
+    // aliases the two data states (same dir → same semantic hash) and
+    // serves the stale pair set; the file-inventory key must rebuild.
+    val dirOld = java.nio.file.Files.createTempDirectory("inc_old").toString
+    val dirNew = java.nio.file.Files.createTempDirectory("inc_new").toString
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((1L, t1), (2L, "completely unrelated content with different words entirely"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dirOld)
+    Seq((10L, "nothing in common with anything else at all here"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dirNew)
+    // capDen = 1: the tiny corpus would otherwise DF-cap away every gram
+    val r1 = graft.operators.NearDup.incrementalJaccardPairs(
+        spark.read.parquet(dirOld), spark.read.parquet(dirNew),
+        capNum = 1, capDen = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!r1.contains((1L, 11L)))
+    // batch 2: a near-dup of doc 1 arrives as a NEW FILE in the same dir
+    Seq((11L, t1)).toDF("doc_id", "text").write.mode("append").parquet(dirNew)
+    val newDf2 = spark.read.parquet(dirNew)
+    // the alias the memo must NOT fall for: same plan semantics, more data
+    assert(newDf2.queryExecution.logical.semanticHash() ==
+      spark.read.parquet(dirNew).queryExecution.logical.semanticHash())
+    val r2 = graft.operators.NearDup.incrementalJaccardPairs(
+        spark.read.parquet(dirOld), newDf2, capNum = 1, capDen = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(r2.contains((1L, 11L)), s"stale memo served pre-batch pairs: $r2")
+  }
+
   test("boilerplateSpans: per-source df fraction, boundary at exactly half, short docs count") {
     import spark.implicits._
     val hdr = "HDR legal terms apply here now" // 6 tokens → span [0, 6)
