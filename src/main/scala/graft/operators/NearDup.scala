@@ -38,24 +38,44 @@ object NearDup {
       docs: DataFrame,
       gramLen: Int = 4,
       capNum: Int = 1, capDen: Int = 10,
-      tNum: Int = 4, tDen: Int = 5): DataFrame =
-    graft.core.Memo(docs.sparkSession,
-      s"neardup:${planKey(docs)}:$gramLen:$capNum:$capDen:$tNum:$tDen") {
-      build(docs, gramLen, capNum, capDen, tNum, tDen)
+      tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    val slot = s"neardup:${docs.queryExecution.logical.semanticHash()}:" +
+      s"$gramLen:$capNum:$capDen:$tNum:$tDen"
+    val full = s"$slot:${fileFingerprint(docs)}"
+    graft.core.Memo(docs.sparkSession, full) {
+      build(docs, gramLen, capNum, capDen, tNum, tDen, slot, full)
     }
+  }
 
-  /** Memo key component for an input frame: the logical plan's semantic
-    * hash PLUS (for file-sourced plans) a fingerprint of the concrete file
-    * inventory. The semantic hash alone aliases two different DATA states
-    * of the same directory — precisely the incremental-ingest pattern,
-    * where a later batch lands new files in-session and a stale cached pair
-    * set would silently miss them. The file listing is already resolved on
-    * the memoized relation, so this costs no extra I/O; non-file inputs
-    * (`inputFiles` empty) fall back to the plan hash alone. */
-  private def planKey(df: DataFrame): String = {
+  /** Memo key components for an input frame: the logical plan's semantic
+    * hash (the SLOT — one per logical query) plus a fingerprint of the
+    * concrete file inventory (the full key). The semantic hash alone
+    * aliases two different DATA states of the same directory — precisely
+    * the incremental-ingest pattern, where a later batch lands new files
+    * in-session and a stale cached pair set would silently miss them. The
+    * file listing is already resolved on the memoized relation, so this
+    * costs no extra I/O; non-file inputs (`inputFiles` empty) contribute
+    * nothing beyond the plan hash. */
+  private def fileFingerprint(df: DataFrame): String = {
     val files = df.inputFiles
-    val fp = if (files.isEmpty) "" else ":" + files.sorted.mkString("|").hashCode
-    s"${df.queryExecution.logical.semanticHash()}$fp"
+    if (files.isEmpty) "nofiles" else files.sorted.mkString("|").hashCode.toString
+  }
+
+  /** One pinned docSets cache per logical SLOT: persist the new build's
+    * frame and release the slot's previous incarnation (a superseded file
+    * inventory). Without this, a long-running ingest session pins one
+    * docSets cache per arrived batch for the session's lifetime; a
+    * superseded pairs frame re-executed later simply recomputes from
+    * lineage. Same full key (racing duplicate build) is NOT unpersisted. */
+  private val pinnedDocSets = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (String, DataFrame)]()
+
+  private def pinDocSets(slot: String, fullKey: String,
+                         docSets: DataFrame): DataFrame = {
+    val pinned = docSets.persist(StorageLevel.MEMORY_AND_DISK)
+    val prev = pinnedDocSets.put((docSets.sparkSession, slot), (fullKey, pinned))
+    if (prev != null && prev._1 != fullKey) prev._2.unpersist(false)
+    pinned
   }
 
   /** Distinct word n-grams per doc as (doc_id, gram) — the decontamination
@@ -79,7 +99,8 @@ object NearDup {
       docs: DataFrame,
       gramLen: Int,
       capNum: Int, capDen: Int,
-      tNum: Int, tDen: Int): DataFrame = {
+      tNum: Int, tDen: Int,
+      slot: String, fullKey: String): DataFrame = {
     val Array(idCol, textCol) = docs.columns.take(2)
     val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // grams dedup row-locally inside one codegen'd native expression
@@ -126,13 +147,13 @@ object NearDup {
     // n-char sequences, not corpus row count; at the scale where it outgrows
     // broadcast, raise gramLen blocking or pre-bucket the dictionary —
     // the corpus stream should never shuffle on gram keys.
-    val docSets = grams.join(broadcast(rare), Seq("tok"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("tok_id"))).as("gs"))
-      .withColumn("n", size(col("gs")))
-      .withColumn("prefix",
-        expr(s"slice(gs, 1, n - ((n*$tNum + $tDen - 1) div $tDen) + 1)"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docSets = pinDocSets(slot, fullKey,
+      grams.join(broadcast(rare), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("tok_id"))).as("gs"))
+        .withColumn("n", size(col("gs")))
+        .withColumn("prefix",
+          expr(s"slice(gs, 1, n - ((n*$tNum + $tDen - 1) div $tDen) + 1)")))
     val pp = docSets
       .select(col("doc_id"), col("n"), posexplode(col("prefix")))
       .select(col("doc_id"), col("n"), col("pos").as("p"), col("col").as("tok_id"))
@@ -208,18 +229,23 @@ object NearDup {
       oldDocs: DataFrame, newDocs: DataFrame,
       gramLen: Int = 4,
       capNum: Int = 1, capDen: Int = 10,
-      tNum: Int = 4, tDen: Int = 5): DataFrame =
-    graft.core.Memo(oldDocs.sparkSession,
-      s"neardup-inc:${planKey(oldDocs)}:${planKey(newDocs)}:" +
-        s"$gramLen:$capNum:$capDen:$tNum:$tDen") {
-      buildIncremental(oldDocs, newDocs, gramLen, capNum, capDen, tNum, tDen)
+      tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    val slot = s"neardup-inc:${oldDocs.queryExecution.logical.semanticHash()}:" +
+      s"${newDocs.queryExecution.logical.semanticHash()}:" +
+      s"$gramLen:$capNum:$capDen:$tNum:$tDen"
+    val full = s"$slot:${fileFingerprint(oldDocs)}:${fileFingerprint(newDocs)}"
+    graft.core.Memo(oldDocs.sparkSession, full) {
+      buildIncremental(oldDocs, newDocs, gramLen, capNum, capDen, tNum, tDen,
+        slot, full)
     }
+  }
 
   private def buildIncremental(
       oldDocs: DataFrame, newDocs: DataFrame,
       gramLen: Int,
       capNum: Int, capDen: Int,
-      tNum: Int, tDen: Int): DataFrame = {
+      tNum: Int, tDen: Int,
+      slot: String, fullKey: String): DataFrame = {
     graft.functions.TextExpressions.register(oldDocs.sparkSession)
     val par = oldDocs.sparkSession.sparkContext.defaultParallelism
     def norm(df: DataFrame) = {
@@ -243,13 +269,13 @@ object NearDup {
       .select(col("tok"), col("tok_rank").cast("int").as("tok_id"))
     // gram sets for the whole (old ∪ new) corpus against that dictionary;
     // broadcast(rare) for the same measured reason as the full build
-    val docSets = grams(old.unionByName(fresh)).join(broadcast(rare), Seq("tok"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("tok_id"))).as("gs"))
-      .withColumn("n", size(col("gs")))
-      .withColumn("prefix",
-        expr(s"slice(gs, 1, n - ((n*$tNum + $tDen - 1) div $tDen) + 1)"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docSets = pinDocSets(slot, fullKey,
+      grams(old.unionByName(fresh)).join(broadcast(rare), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("tok_id"))).as("gs"))
+        .withColumn("n", size(col("gs")))
+        .withColumn("prefix",
+          expr(s"slice(gs, 1, n - ((n*$tNum + $tDen - 1) div $tDen) + 1)")))
     val pp = docSets
       .select(col("doc_id"), col("n"), posexplode(col("prefix")))
       .select(col("doc_id"), col("n"), col("pos").as("p"), col("col").as("tok_id"))

@@ -187,6 +187,21 @@ class NearDupSpec extends SparkSpec {
         spark.read.parquet(dirOld), newDf2, capNum = 1, capDen = 1)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(r2.contains((1L, 11L)), s"stale memo served pre-batch pairs: $r2")
+
+    // slot eviction: further batches must not pin one docSets cache each —
+    // the persistent-RDD census stays flat as batches keep arriving
+    r2 // materialized above
+    val before = spark.sparkContext.getPersistentRDDs.size
+    for (i <- 20L to 23L) {
+      Seq((i, s"filler text number $i with its own words"))
+        .toDF("doc_id", "text").write.mode("append").parquet(dirNew)
+      graft.operators.NearDup.incrementalJaccardPairs(
+        spark.read.parquet(dirOld), spark.read.parquet(dirNew),
+        capNum = 1, capDen = 1).count()
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"superseded docSets caches leaked: $before -> $after persistent RDDs")
   }
 
   test("boilerplateSpans: per-source df fraction, boundary at exactly half, short docs count") {
