@@ -18,7 +18,9 @@ import org.apache.spark.storage.StorageLevel
   *     and J(A,B) >= tNum/tDen is only possible if the docs share a gram
   *     inside their first |x| - ceil(t*|x|) + 1 rarest grams — candidates
   *     come from joining those tiny prefix postings only;
-  *  4. length prune (t*max(|A|,|B|) <= min(|A|,|B|) necessary condition);
+  *  4. length prune (t*max(|A|,|B|) <= min(|A|,|B|)) and the PPJoin
+  *     positional bound (overlap <= 1 + min remaining after each side's
+  *     prefix position), both applied BEFORE the candidate shuffle;
   *  5. exact verification: set intersection of the two full gram-id sets.
   */
 object NearDup {
