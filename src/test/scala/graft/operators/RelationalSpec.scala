@@ -208,6 +208,29 @@ class RelationalSpec extends SparkSpec {
     assert(canon(tie) == expected)
   }
 
+  test("asofJoinAuto: size-string conf thresholds and map payloads dispatch safely") {
+    val l = Seq((1L, 10L, "p1"), (1L, 20L, "p2")).toDF("k", "lt", "lv")
+    val r = Seq((1L, 10L, "r10"), (1L, 15L, "r15")).toDF("k", "rt", "rv")
+    // the conf accepts byte-suffixed size strings; the default dispatch
+    // path must parse them, not crash on .toLong
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      val auto = Relational.asofJoinAuto(l, r, Seq("k"), "lt", "rt")
+      assert(auto.count() == 2L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // a map-typed right payload is unorderable: the broadcast form's
+    // lexicographic struct sort would fail analysis, so auto must route
+    // it to the native exec even under an infinite threshold
+    val rm = r.withColumn("attrs", map(lit("a"), col("rv")))
+    val auto2 = Relational.asofJoinAuto(l, rm, Seq("k"), "lt", "rt",
+      broadcastThreshold = Long.MaxValue)
+    assert(auto2.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    val got = auto2.select("k", "lt", "rt", "rv").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3))).toSet
+    assert(got == Set((1L, 10L, 10L, "r10"), (1L, 20L, 15L, "r15")))
+  }
+
   test("completeMonthGrid synthesizes zero rows for every missing month") {
     val df = Seq(("A", "2024-01-01", 10.0), ("A", "2024-04-01", 5.0),
       ("B", "2024-02-01", 1.0)).toDF("k", "mon", "v")
