@@ -47,8 +47,15 @@ object Graph {
     * the conf is unset and the driver JVM IS the executor, so the
     * driver-heap derivation is exactly right there. The driver still
     * materializes the value first, hence the min with its own heap. */
-  def derivedBroadcastNodeCap(spark: org.apache.spark.sql.SparkSession): Long = {
-    val executorBytes = spark.conf.getOption("spark.executor.memory")
+  def derivedBroadcastNodeCap(spark: org.apache.spark.sql.SparkSession): Long =
+    derivedBroadcastNodeCapFrom(
+      spark.sparkContext.getConf.getOption("spark.executor.memory"))
+
+  /** Core of the session overload, split out because spark.executor.memory
+    * is a static conf a test cannot set on a live session. */
+  private[operators] def derivedBroadcastNodeCapFrom(
+      executorMem: Option[String]): Long = {
+    val executorBytes = executorMem
       .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
       .getOrElse(Runtime.getRuntime.maxMemory())
     derivedBroadcastNodeCap(

@@ -188,13 +188,17 @@ class GraphSpec extends SparkSpec {
       Graph.derivedBroadcastNodeCap(heapBytes = 1L << 62) == (8L << 30) / 48)
     // session-aware derivation: spark.executor.memory (when set) binds the
     // broadcast, not the driver heap — a big-driver/small-executor cluster
-    // must get the small cap
+    // must get the small cap. The conf is static, so the set-branch is
+    // exercised through the split-out core with a simulated cluster value
+    // (and "2g" exercises the size-string parse)
     assert(Graph.derivedBroadcastNodeCap(spark) ==
-      Graph.derivedBroadcastNodeCap(heapBytes = math.min(
-        spark.conf.getOption("spark.executor.memory")
-          .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
-          .getOrElse(Long.MaxValue),
-        Runtime.getRuntime.maxMemory())))
+      Graph.derivedBroadcastNodeCapFrom(
+        spark.sparkContext.getConf.getOption("spark.executor.memory")))
+    assert(Graph.derivedBroadcastNodeCapFrom(Some("2g")) ==
+      Graph.derivedBroadcastNodeCap(heapBytes =
+        math.min(2L << 30, Runtime.getRuntime.maxMemory())))
+    assert(Graph.derivedBroadcastNodeCapFrom(None) ==
+      Graph.derivedBroadcastNodeCap(heapBytes = Runtime.getRuntime.maxMemory()))
     // the derived caps drive the SAME bit-equal rungs: a cap derived from a
     // simulated tiny heap forces BSP, a big one the local path — results agree
     import spark.implicits._
