@@ -16,7 +16,7 @@ import graft.functions.{TextExpressions, VectorExpressions}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", null, name, usage, "")
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator tier: the native as-of join (graft.plans.AsofJoinNode

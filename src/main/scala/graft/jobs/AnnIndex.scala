@@ -75,9 +75,9 @@ object AnnIndex {
     graft.functions.VectorExpressions.register(spark)
     val qQuant = query.map(x => math.floor(x * 1000.0 + 0.5).toLong)
     val probes = probeClusters(spark, path, qQuant, nProbe)
-    val qLit = array(query.map(lit(_)): _*).cast("array<float>")
+    val qLit = array(query.toIndexedSeq.map(lit(_)): _*).cast("array<float>")
     val cand = spark.read.parquet(s"$path/vectors")
-      .filter(col("cluster").isin(probes: _*))
+      .filter(col("cluster").isin(probes.toIndexedSeq: _*))
     cand
       .withColumn("dot",
         graft.functions.VectorExpressions.quantizedDot(col("embedding"), qLit))

@@ -89,7 +89,7 @@ object Maintenance {
     if (touched.isEmpty) return (Seq.empty, 0L)
     val touchedVals = touched.map(_._1)
     val kept = t
-      .filter(col(partitionCol).cast("string").isin(touchedVals: _*))
+      .filter(col(partitionCol).cast("string").isin(touchedVals.toIndexedSeq: _*))
       // NULL keys must survive: `!isin` is NULL (not true) for a null key
       // under three-valued logic, so a bare filter would silently delete
       // every null-key row in a touched partition

@@ -286,7 +286,7 @@ object RePurposeOptimizer {
         .groupBy(col("year")).agg(sum(col("ai_amount")).as("ai_amount")), Seq("year"))
       .withColumn("area", lit("全集團"))
       .withColumn("price", lit(null).cast("double"))
-    val all = amounts.unionByName(ww.select(amounts.columns.map(col): _*))
+    val all = amounts.unionByName(ww.select(amounts.columns.toIndexedSeq.map(col): _*))
     val stamp = lit(stampTime)
     val rate = all.select(col("area"), col("category"),
       round(col("amount") / col("ai_amount") * 100, 1).as("amount"), col("year"))

@@ -146,7 +146,7 @@ object Pq {
              vecCol: String, cb: Codebooks, query: Array[Float],
              topK: Int, shortlist: Int): DataFrame = {
     val q = query.map(x => math.floor(x * 1000.0 + 0.5).toLong)
-    val qLit = array(q.map(lit(_)): _*)
+    val qLit = array(q.toIndexedSeq.map(lit(_)): _*)
     val short = adcScores(encoded, cb, query)
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(shortlist)

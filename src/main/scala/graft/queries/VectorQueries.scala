@@ -461,7 +461,7 @@ object VectorQueries {
         val cb = graft.operators.Pq.train(e, "vec_id", "embedding",
           m = 4, k = 8, iters = 1)
         val query = e.filter(col("vec_id") === 0)
-          .select(col("embedding")).head.getSeq[Float](0).toArray
+          .select(col("embedding")).head().getSeq[Float](0).toArray
         graft.operators.Pq.adcScores(
             graft.operators.Pq.encode(e, "vec_id", "embedding", cb), cb, query)
           .select(col("vec_id"), col("adc_dist"))

@@ -49,8 +49,8 @@ object EventStream {
       try spark.read.parquet(dir).schema("ts").dataType
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" ||
-              e.getErrorClass == "PATH_NOT_FOUND" =>
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+              e.getCondition == "PATH_NOT_FOUND" =>
           rawSchema("ts").dataType
       }
     val schema = StructType(rawSchema.map(f =>
