@@ -248,45 +248,76 @@ object NearDup {
       capNum: Int, capDen: Int,
       tNum: Int, tDen: Int,
       slot: String, fullKey: String): DataFrame = {
-    graft.functions.TextExpressions.register(oldDocs.sparkSession)
-    val par = oldDocs.sparkSession.sparkContext.defaultParallelism
-    def norm(df: DataFrame) = {
-      val Array(idCol, textCol) = df.columns.take(2)
-      df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    }
-    val old = norm(oldDocs)
-    val fresh = norm(newDocs)
-    def grams(d: DataFrame) = d.repartition(par)
-      .select(col("doc_id"),
-        explode(graft.functions.TextExpressions.charGrams(col("text"), gramLen))
-          .as("tok"))
+    val old = normDocs(oldDocs)
+    val fresh = normDocs(newDocs)
     // FROZEN dictionary: df + rarity rank over the OLD corpus only —
     // driver-side scalar count + globalRowNumber rank for the same
     // SinglePartition-free plan shape as the full build (see `build`)
-    val nOld = old.count()
-    val dfCapped = grams(old).groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .filter(col("df") * capDen <= lit(nOld) * capNum)
-    val rare = Scale.globalRowNumber(dfCapped, "tok_rank", par,
-        col("df"), col("tok"))
-      .select(col("tok"), col("tok_rank").cast("int").as("tok_id"))
-    // gram sets for the whole (old ∪ new) corpus against that dictionary;
-    // broadcast(rare) for the same measured reason as the full build
+    val rare = rarityDictionary(
+      charGramStream(old, gramLen), old.count(), capNum, capDen,
+      old.sparkSession.sparkContext.defaultParallelism)
+    // gram sets for the whole (old ∪ new) corpus against that dictionary
     val docSets = pinDocSets(slot, fullKey,
-      grams(old.unionByName(fresh)).join(broadcast(rare), Seq("tok"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("tok_id"))).as("gs"))
-        .withColumn("n", size(col("gs")))
-        .withColumn("prefix",
-          expr(s"slice(gs, 1, n - ((n*$tNum + $tDen - 1) div $tDen) + 1)")))
+      docSetsAgainst(charGramStream(old.unionByName(fresh), gramLen), rare,
+        tNum, tDen))
+    incrementalPairsOver(docSets, fresh.select(col("doc_id")), tNum, tDen)
+  }
+
+  /** (doc_id, text) normalization: first column the id, second the text. */
+  private[graft] def normDocs(df: DataFrame): DataFrame = {
+    val Array(idCol, textCol) = df.columns.take(2)
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+  }
+
+  /** Exploded distinct char-gram stream (doc_id, tok), fanned out to the
+    * cluster's parallelism — see `build` for why never a fixed constant. */
+  private[graft] def charGramStream(d: DataFrame, gramLen: Int): DataFrame = {
+    graft.functions.TextExpressions.register(d.sparkSession)
+    d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.charGrams(col("text"), gramLen))
+          .as("tok"))
+  }
+
+  /** DF-capped rarity dictionary (tok, tok_id) with dense int ids in
+    * ascending-df order — rank via Scale.globalRowNumber, never a
+    * SinglePartition window (see `build`). */
+  private[graft] def rarityDictionary(grams: DataFrame, nDocs: Long,
+                                      capNum: Int, capDen: Int,
+                                      par: Int): DataFrame = {
+    val dfCapped = grams.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * capDen <= lit(nDocs) * capNum)
+    Scale.globalRowNumber(dfCapped, "tok_rank", par, col("df"), col("tok"))
+      .select(col("tok"), col("tok_rank").cast("int").as("tok_id"))
+  }
+
+  /** Per-doc sorted gram-id sets + AllPairs prefix against a dictionary:
+    * (doc_id, gs, n, prefix). broadcast(rare) is deliberate — see `build`. */
+  private[graft] def docSetsAgainst(grams: DataFrame, rare: DataFrame,
+                                    tNum: Int, tDen: Int): DataFrame =
+    grams.join(broadcast(rare), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tok_id"))).as("gs"))
+      .withColumn("n", size(col("gs")))
+      .withColumn("prefix",
+        expr(s"slice(gs, 1, n - ((n*$tNum + $tDen - 1) div $tDen) + 1)"))
+
+  /** Pairs with >= 1 member in `freshIds` over precomputed doc sets:
+    * full-side prefix × new-side prefix candidates (every qualifying pair
+    * with a new member shares a prefix token across this join), length
+    * prune + PPJoin positional bound before the candidate shuffle (the
+    * bound is symmetric in the two sides, so it is equally safe under the
+    * least/greatest id normalization), then exact verification. Shared by
+    * the in-session incremental build and the disk-backed
+    * [[graft.jobs.NearDupIndex]] append. */
+  private[graft] def incrementalPairsOver(docSets: DataFrame,
+                                          freshIds: DataFrame,
+                                          tNum: Int, tDen: Int): DataFrame = {
+    graft.functions.TextExpressions.register(docSets.sparkSession)
     val pp = docSets
       .select(col("doc_id"), col("n"), posexplode(col("prefix")))
       .select(col("doc_id"), col("n"), col("pos").as("p"), col("col").as("tok_id"))
-    val ppNew = pp.join(fresh.select(col("doc_id")), Seq("doc_id"))
-    // full-side prefix × new-side prefix: every qualifying pair with at
-    // least one new member shares a prefix token across this join. Same
-    // length prune + PPJoin positional bound as the full build (see
-    // `build`) — the bound is symmetric in the two sides, so it is equally
-    // safe under the least/greatest id normalization below.
+    val ppNew = pp.join(freshIds.select(col("doc_id")), Seq("doc_id"))
     val cands = pp.select(col("doc_id").as("a_id"), col("n").as("na"),
         col("p").as("pa"), col("tok_id"))
       .join(ppNew.select(col("doc_id").as("b_id"), col("n").as("nb"),
