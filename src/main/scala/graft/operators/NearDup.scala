@@ -103,41 +103,28 @@ object NearDup {
       capNum: Int, capDen: Int,
       tNum: Int, tDen: Int,
       slot: String, fullKey: String): DataFrame = {
-    val Array(idCol, textCol) = docs.columns.take(2)
-    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val d = normDocs(docs)
     // grams dedup row-locally inside one codegen'd native expression
-    // (graft.functions.TextExpressions.DistinctCharGrams): no distinct
-    // shuffle, no interpreted HOF chain, and docs shorter than gramLen
-    // yield an empty array by construction. The explode fans out to the
-    // cluster's parallelism (the corpus may arrive in few fat files);
-    // never a fixed constant, which would cap the corpus-wide explode at
-    // that many tasks on a large cluster.
-    graft.functions.TextExpressions.register(docs.sparkSession)
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val grams = d.repartition(par)
-      .select(col("doc_id"),
-        explode(graft.functions.TextExpressions.charGrams(col("text"), gramLen))
-          .as("tok"))
+    // (TextExpressions.DistinctCharGrams): no distinct shuffle, no
+    // interpreted HOF chain, docs shorter than gramLen yield an empty
+    // array by construction, and the explode fans out to the cluster's
+    // parallelism (charGramStream) — never a fixed constant, which would
+    // cap the corpus-wide explode at that many tasks on a large cluster.
+    val grams = charGramStream(d, gramLen)
     // corpus size as a driver-side scalar (one long — bounded by
     // construction): the 1-row-agg crossJoin alternative plans an Exchange
     // SinglePartition, and keeping the operator's physical plan free of
-    // single-reducer stages is exactly what PlanAuditSpec pins for t06/t29
-    val nDocs = d.count()
-    // rare-gram dictionary with dense int ids ordered by ascending document
-    // frequency: position in this order IS the rarity rank the prefix
-    // filter keys on. Ranking goes through Scale.globalRowNumber (range
-    // partition + local sort + zipWithIndex offsets) — a global
-    // `row_number() OVER (ORDER BY df, tok)` would funnel the ENTIRE
-    // dictionary (tens-to-hundreds of millions of distinct grams for a
-    // multilingual corpus at the design point) through one
-    // Exchange-SinglePartition reducer. (df, tok) is a total order: tok is
-    // unique post-groupBy, so the ranks — and the oracle-visible pair set —
-    // are deterministic.
-    val dfCapped = grams.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .filter(col("df") * capDen <= lit(nDocs) * capNum)
-    val rare = Scale.globalRowNumber(dfCapped, "tok_rank", par,
-        col("df"), col("tok"))
-      .select(col("tok"), col("tok_rank").cast("int").as("tok_id"))
+    // single-reducer stages is exactly what PlanAuditSpec pins for t06/t29.
+    // The dictionary ranks by ascending document frequency — position in
+    // that order IS the rarity rank the prefix filter keys on — through
+    // Scale.globalRowNumber (range partition + local sort + zipWithIndex):
+    // a global `row_number() OVER (ORDER BY df, tok)` would funnel the
+    // ENTIRE dictionary (tens-to-hundreds of millions of distinct grams
+    // for a multilingual corpus at the design point) through one
+    // Exchange-SinglePartition reducer. (df, tok) is a total order, so the
+    // ranks — and the oracle-visible pair set — are deterministic.
+    val rare = rarityDictionary(grams, d.count(), capNum, capDen,
+      docs.sparkSession.sparkContext.defaultParallelism)
     // per-doc sorted gram-id set + its prefix; ceil(t*n) in integer
     // arithmetic ((tNum*n + tDen - 1) div tDen) so the bound never loses
     // pairs to float rounding
@@ -150,12 +137,7 @@ object NearDup {
     // broadcast, raise gramLen blocking or pre-bucket the dictionary —
     // the corpus stream should never shuffle on gram keys.
     val docSets = pinDocSets(slot, fullKey,
-      grams.join(broadcast(rare), Seq("tok"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("tok_id"))).as("gs"))
-        .withColumn("n", size(col("gs")))
-        .withColumn("prefix",
-          expr(s"slice(gs, 1, n - ((n*$tNum + $tDen - 1) div $tDen) + 1)")))
+      docSetsAgainst(grams, rare, tNum, tDen))
     val pp = docSets
       .select(col("doc_id"), col("n"), posexplode(col("prefix")))
       .select(col("doc_id"), col("n"), col("pos").as("p"), col("col").as("tok_id"))
