@@ -22,11 +22,16 @@ import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
   * sign-offs is the warehouse (model/SignOff); this store only tracks
   * in-flight work, exactly like the reference's celery_taskmeta rows.
   */
-final class TaskRunner(threads: Int = 2, maxRecords: Int = 10000) {
-
+object TaskRunner {
+  /** One celery_taskmeta-shaped record. Lives on the companion (not inside
+    * the class) so pattern matches need no outer-instance check. */
   final case class Meta(id: String, name: String, status: String,
                         result: Option[String], error: Option[String],
                         seq: Long = 0L)
+}
+
+final class TaskRunner(threads: Int = 2, maxRecords: Int = 10000) {
+  import TaskRunner.Meta
 
   private val metas = new ConcurrentHashMap[String, Meta]()
   private val pool = Executors.newFixedThreadPool(threads)
