@@ -68,6 +68,51 @@ object MultimodalQueries {
           CAST(s.n // 65536 + 1 AS BIGINT) AS frames_sampled
         FROM src s
         JOIN sig g USING (doc_id)
-        LEFT JOIN agg a USING (doc_id)"""))
+        LEFT JOIN agg a USING (doc_id)""")),
+
+    // ---- video-style FRAME SAMPLING on the hash gate: payloads are
+    // segmented into fixed 32-byte frames and every 4th frame is sampled —
+    // the "decode only every Nth frame" access pattern of video curation —
+    // entirely COLUMNAR (binary substring + stepped sequence, no UDF), with
+    // a per-frame md5 fingerprint (the unit of frame-level dedup: repeated
+    // intros/credits collapse on it) over the frame's canonical hex form,
+    // which both engines can construct byte-identically. The tail frame's
+    // length is pinned (least(32, n - off)), so the hash proves slicing
+    // geometry, stride arithmetic, AND fingerprint bytes cross-engine.
+    // Scale shape: one projection + explode per media row — frames never
+    // shuffle (features do), payload bytes are read once, and the explode
+    // fan-out is bounded by n_bytes/(frameLen*stride) per row. Real pixel
+    // decode stays behind the Decoder seam (MultimodalSpec); this gates
+    // the sampling plumbing a real codec would sit inside. ----
+    Q("v02_frame_sample",
+      (s, dir) => {
+        val media = T(s, dir, "documents")
+          .select(col("doc_id").as("media_id"),
+            coalesce(col("text"), lit("")).cast("binary").as("payload"))
+          .withColumn("n", length(col("payload")).cast("long"))
+          .filter(col("n") > 0)
+        media
+          .select(col("media_id"), col("payload"), col("n"),
+            explode(expr("sequence(0, (n + 31) div 32 - 1, 4)")).as("frame_idx"))
+          .select(col("media_id"), col("frame_idx"),
+            (col("frame_idx") * 32).as("frame_off"),
+            least(lit(32L), col("n") - col("frame_idx") * 32).as("flen"),
+            md5(upper(hex(expr(
+              "substring(payload, CAST(frame_idx*32 + 1 AS INT), 32)"))))
+              .as("frame_fp"))
+      },
+      Some("""WITH src AS (
+          SELECT doc_id, upper(hex(encode(coalesce(text, '')))) AS hx,
+            octet_length(encode(coalesce(text, ''))) AS n
+          FROM documents),
+        f AS (SELECT doc_id, n, hx, CAST(i AS BIGINT) AS frame_idx
+          FROM (SELECT doc_id, n, hx, unnest(range(0, (n + 31) // 32, 4)) AS i
+                FROM src WHERE n > 0) u)
+        SELECT doc_id AS media_id, frame_idx,
+          frame_idx * 32 AS frame_off,
+          CAST(least(32, n - frame_idx * 32) AS BIGINT) AS flen,
+          md5(substr(hx, CAST(frame_idx * 64 + 1 AS INTEGER),
+            CAST(least(32, n - frame_idx * 32) * 2 AS INTEGER))) AS frame_fp
+        FROM f"""))
   )
 }

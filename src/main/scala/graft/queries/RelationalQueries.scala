@@ -659,6 +659,80 @@ object RelationalQueries {
         r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h)
         SELECT CAST(rn AS BIGINT) AS rn, hv FROM r WHERE rn <= 64""")),
 
+    // ---- KMV sketch SET ALGEBRA (Beyer et al. 2007): estimate the size of
+    // an INTERSECTION of two audiences from their bottom-k sketches alone —
+    // q45 proved the union-merge is lossless; this is the other half of the
+    // sketch algebra (overlap analytics: "how many part keys appear on both
+    // even and odd orders" without an exact distinct-join). The combined
+    // sketch L = bottom-k of (skA ∪ skB) gives θ = max(L); Jaccard is
+    // estimated by the fraction of L present in BOTH input sketches, the
+    // union size by the k-th-minimum estimator (k−1)·M/θ over the 52-bit
+    // hash space M = 2^52 (exact count when the merged sketch is under k —
+    // then it IS the union), and |A∩B| = Ĵ·|A∪B|. Every input is a
+    // deterministic md5-derived integer, so estimates are bit-identical
+    // cross-engine. Scale shape: each audience's sketch is one
+    // partial-aggregable distinct + TakeOrdered(k); everything after
+    // operates on two 64-row frames (the bounded-input exemption q45's
+    // window documents). ----
+    Q("q55_sketch_intersect",
+      (s, dir) => {
+        val k = 64
+        val M = 4503599627370496.0 // 2^52: 13 hex chars of md5
+        val li = T(s, dir, "lineitem")
+        def sketch(p: Int, flag: String): org.apache.spark.sql.DataFrame = li
+          .filter(pmod(col("l_orderkey"), lit(2)) === p)
+          .select(expr("CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 13), 16, 10) AS BIGINT)")
+            .as("hv"))
+          .distinct().orderBy(col("hv")).limit(k)
+          .withColumn(flag, lit(1L))
+        val merged = sketch(0, "in_a")
+          .join(sketch(1, "in_b"), Seq("hv"), "full_outer")
+          .select(col("hv"), coalesce(col("in_a"), lit(0L)).as("in_a"),
+            coalesce(col("in_b"), lit(0L)).as("in_b"))
+          .orderBy(col("hv")).limit(k)
+        merged
+          .agg(count(lit(1)).as("k_used"), max(col("hv")).as("theta"),
+            sum(col("in_a") * col("in_b")).as("n_common"))
+          .select(col("k_used"), col("theta"), col("n_common"),
+            (col("n_common").cast("double") / col("k_used").cast("double"))
+              .as("jaccard_est"),
+            when(col("k_used") < k, col("k_used").cast("double"))
+              .otherwise((col("k_used") - 1).cast("double") * M /
+                col("theta").cast("double")).as("union_est"))
+          .select(col("k_used"), col("theta"), col("n_common"),
+            col("jaccard_est"), col("union_est"),
+            (col("jaccard_est") * col("union_est")).as("inter_est"))
+      },
+      Some("""WITH ha AS (SELECT hv FROM (
+            SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM (
+              SELECT DISTINCT
+                CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS hv
+              FROM lineitem WHERE l_orderkey % 2 = 0) d) r WHERE rn <= 64),
+        hb AS (SELECT hv FROM (
+            SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM (
+              SELECT DISTINCT
+                CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS hv
+              FROM lineitem WHERE l_orderkey % 2 = 1) d) r WHERE rn <= 64),
+        u AS (SELECT hv FROM (
+            SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM (
+              SELECT hv FROM ha UNION SELECT hv FROM hb) d) r WHERE rn <= 64),
+        merged AS (SELECT hv,
+            CASE WHEN hv IN (SELECT hv FROM ha) THEN 1 ELSE 0 END AS in_a,
+            CASE WHEN hv IN (SELECT hv FROM hb) THEN 1 ELSE 0 END AS in_b
+          FROM u),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(hv) AS theta,
+            CAST(sum(in_a*in_b) AS BIGINT) AS n_common FROM merged),
+        est AS (SELECT k_used, theta, n_common,
+            CAST(n_common AS DOUBLE)/CAST(k_used AS DOUBLE) AS jaccard_est,
+            CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                 ELSE CAST(k_used - 1 AS DOUBLE) * 4503599627370496.0
+                      / CAST(theta AS DOUBLE) END AS union_est
+          FROM agg)
+        SELECT k_used, theta, n_common, jaccard_est, union_est,
+          jaccard_est * union_est AS inter_est FROM est""")),
+
     // ---- §2.8 math: clip/round/floor/pow/safe-divide (reference: jobs/renew_green_energy.py:45-46; macc_summary:219-220,284-285) ----
     Q("q31_math_funcs",
       (s, dir) => {

@@ -1157,6 +1157,64 @@ object TextQueries {
             CAST(${cnt(chain)} AS BIGINT) AS pii_after
           FROM src"""
       },
+      bench = true),
+
+    // ---- fuzzy decontamination (NearDup.crossMinHashPairs): the MinHash-
+    // LSH twin of t17's exact n-gram overlap. t17 counts exact shared
+    // 3-grams; this flags train docs whose word-3-gram SHINGLE SET is
+    // near-identical to an eval doc's (shingle Jaccard >= 1/2 after LSH
+    // banding) — the pass that catches paraphrased/renormalized benchmark
+    // leakage. Shingles, not unigram tokens: on this corpus bag-of-words
+    // Jaccard >= 0.5 matches 2/3 of ALL train×eval pairs (measured) while
+    // shingle Jaccard isolates the handful of true near-dups — the same
+    // discrimination argument that makes shingling the standard web-dedup
+    // representation. The eval split is doc_id % 10 = 7 (a held-out
+    // tenth); candidates come from 4 bands of 2 md5-seeded minhashes,
+    // verification is the exact shingle-set Jaccard, and LSH recall is
+    // deterministic so the oracle reproduces the flagged set bit-for-bit.
+    // Scale shape: the corpus is scanned twice (signatures, verify
+    // postings) and never self-joined; every eval-side operand is
+    // broadcast — see the operator's scaladoc. ----
+    Q("t32_fuzzy_decontam",
+      (s, dir) => {
+        val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        graft.operators.NearDup.crossMinHashPairs(
+          d.filter(pmod(col("doc_id"), lit(10)) =!= 7),
+          d.filter(pmod(col("doc_id"), lit(10)) === 7))
+      },
+      Some {
+        val mins = (1 to 8)
+          .map(i => s"min(substr(md5('$i:' || tok), 1, 16)) AS h$i")
+          .mkString(", ")
+        val bands = (1 to 4)
+          .map(i => s"h${2 * i - 1}||h${2 * i} AS b$i").mkString(", ")
+        val bandJoins = (1 to 4).map { i =>
+          s"""SELECT t.t_id, e.e_id FROM bT t JOIN bE e ON t.b$i = e.b$i"""
+        }.mkString(" UNION ALL ")
+        s"""WITH toks AS (SELECT DISTINCT doc_id,
+              array_to_string(words[j:j+2], ' ') AS tok
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents) w,
+              LATERAL (SELECT unnest(range(1, greatest(len(words)-2, 0)+1))
+                       AS j) r),
+          ev AS (SELECT doc_id AS e_id, tok FROM toks WHERE doc_id % 10 = 7),
+          tr AS (SELECT doc_id AS t_id, tok FROM toks WHERE doc_id % 10 <> 7),
+          sigT AS (SELECT t_id, $mins FROM tr GROUP BY 1),
+          sigE AS (SELECT e_id, $mins FROM ev GROUP BY 1),
+          bT AS (SELECT t_id, $bands FROM sigT),
+          bE AS (SELECT e_id, $bands FROM sigE),
+          cand AS (SELECT DISTINCT t_id, e_id FROM ($bandJoins) u),
+          tn AS (SELECT t_id, count(*) AS t_n FROM tr GROUP BY 1),
+          en AS (SELECT e_id, count(*) AS e_n FROM ev GROUP BY 1),
+          inter AS (SELECT c.t_id, c.e_id, count(*) AS i
+            FROM cand c JOIN tr ON tr.t_id = c.t_id
+            JOIN ev ON ev.e_id = c.e_id AND ev.tok = tr.tok
+            GROUP BY 1, 2)
+          SELECT inter.t_id AS train_id, inter.e_id AS eval_id,
+            CAST(i AS DOUBLE)/CAST(t_n + e_n - i AS DOUBLE) AS jaccard
+          FROM inter JOIN tn USING (t_id) JOIN en USING (e_id)
+          WHERE CAST(i AS DOUBLE)/CAST(t_n + e_n - i AS DOUBLE) >= 0.5"""
+      },
       bench = true)
   )
 }

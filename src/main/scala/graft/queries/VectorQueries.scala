@@ -488,6 +488,89 @@ object VectorQueries {
         SELECT b.vec_id, CAST(sum(lut.dist) AS BIGINT) AS adc_dist
         FROM (SELECT vec_id, s, code FROM best WHERE rn = 1) b
         JOIN lut USING (s, code)
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // ---- SemDeDup (Abbas et al. 2023): semantic dedup over embeddings —
+    // k-means clusters bound the pairwise work (the SemDeDup design
+    // point: the quadratic comparison never crosses a cluster boundary),
+    // then within-cluster cosine >= τ marks near-semantic duplicates and
+    // the LOWEST id of each shadowing neighbor set is the keeper. The
+    // removal rule is the same keep-first convention as t05's exact dedup:
+    // a vector is removed iff ANY lower-id clustermate clears τ (greedy,
+    // order-free, deterministic — no transitive closure, matching the
+    // paper's one-pass-within-cluster pruning). Clustering is the
+    // s07-proven KMeans.lloyd (k=8, 2 Lloyd iterations, exact integer
+    // distances), so the oracle re-derives the SAME assignment in SQL and
+    // the gate proves clustering AND pruning cross-engine. At 100 TB:
+    // k scales with the corpus (clusters stay ~constant-sized), assignment
+    // is map-only against broadcast centroids, and the pair join shuffles
+    // on cluster id — never a global all-pairs. ----
+    Q("s11_semdedup",
+      (s, dir) => {
+        VectorExpressions.register(s)
+        val e = T(s, dir, "embeddings")
+        val (assign, _) = graft.operators.KMeans.lloyd(
+          e, "vec_id", "embedding", k = 8, iters = 2)
+        val m = e.join(assign.select(col("id").as("vec_id"), col("cluster")),
+            "vec_id")
+          .select(col("vec_id"), col("cluster"), col("embedding"),
+            norm2Q(col("embedding")).as("n2"))
+        val a = m.select(col("cluster"), col("vec_id").as("a_id"),
+          col("embedding").as("a_emb"), col("n2").as("a_n2"))
+        val b = m.select(col("cluster"), col("vec_id").as("b_id"),
+          col("embedding").as("b_emb"), col("n2").as("b_n2"))
+        a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
+          .withColumn("cos_sim",
+            cosine(dotQ(col("a_emb"), col("b_emb")), col("a_n2"), col("b_n2")))
+          .filter(col("cos_sim") >= 0.3)
+          .groupBy(col("b_id").as("removed_id"), col("cluster"))
+          .agg(min(col("a_id")).as("kept_by"), count(lit(1)).as("n_shadows"))
+      },
+      Some(s"""WITH el AS (SELECT vec_id, i.i AS i,
+            CAST(floor(CAST(embedding[i.i] AS DOUBLE)*1000.0+0.5) AS BIGINT) AS qv
+          FROM embeddings
+          CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i),
+        seeds AS (SELECT vec_id,
+            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8) s),
+        c0 AS (SELECT cluster, i, qv AS cv FROM seeds JOIN el USING (vec_id)),
+        d1 AS (SELECT el.vec_id, c0.cluster,
+            CAST(sum((qv-cv)*(qv-cv)) AS BIGINT) AS dist
+          FROM el JOIN c0 USING (i) GROUP BY 1, 2),
+        a1 AS (SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+            FROM d1) x WHERE rn = 1),
+        c1 AS (SELECT cluster, i,
+            CAST(floor((2.0*CAST(sum(qv) AS BIGINT)+count(*))
+              /(2.0*count(*))) AS BIGINT) AS cv
+          FROM a1 JOIN el USING (vec_id) GROUP BY 1, 2),
+        d2 AS (SELECT el.vec_id, c1.cluster,
+            CAST(sum((qv-cv)*(qv-cv)) AS BIGINT) AS dist
+          FROM el JOIN c1 USING (i) GROUP BY 1, 2),
+        asn AS (SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+            FROM d2) x WHERE rn = 1),
+        n AS (SELECT vec_id, CAST(sum(qv*qv) AS BIGINT) AS n2
+          FROM el GROUP BY 1),
+        dots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, aa.cluster,
+            CAST(sum(a.qv*b.qv) AS BIGINT) AS dot
+          FROM el a
+          JOIN asn aa ON aa.vec_id = a.vec_id
+          JOIN asn ab ON ab.cluster = aa.cluster
+          JOIN el b ON b.vec_id = ab.vec_id AND a.i = b.i
+            AND a.vec_id < b.vec_id
+          GROUP BY 1, 2, 3),
+        scored AS (SELECT a_id, b_id, cluster,
+            CAST(dot AS DOUBLE)/(sqrt(CAST(na.n2 AS DOUBLE))*sqrt(CAST(nb.n2 AS DOUBLE)))
+              AS cos_sim
+          FROM dots
+          JOIN n na ON dots.a_id = na.vec_id
+          JOIN n nb ON dots.b_id = nb.vec_id)
+        SELECT b_id AS removed_id, cluster, min(a_id) AS kept_by,
+          count(*) AS n_shadows
+        FROM scored WHERE cos_sim >= 0.3 GROUP BY 1, 2"""),
+      bench = true)
   )
 }

@@ -101,4 +101,36 @@ class TextExpressionsSpec extends SparkSpec {
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)))
     assert(e.eval(null) == 2L)
   }
+
+  test("wordGrams equals the HOF formulation it replaces, incl. empty tokens") {
+    import spark.implicits._
+    TextExpressions.register(spark)
+    val texts = samples ++ Seq(
+      "a  b c",       // double space -> empty token, kept by split(limit=-1)
+      " leading", "trailing ", "one two one two one two")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = texts.toDF("text").select(
+        TextExpressions.wordGrams(col("text"), n).as("native"),
+        expr(s"""CASE WHEN size(split(text, ' ')) >= $n THEN
+            array_distinct(transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+              j -> concat_ws(' ', slice(split(text, ' '), j, $n))))
+          ELSE array() END""").as("hof"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n")
+      }
+    }
+  }
+
+  test("wordGrams agrees between codegen and interpreted eval") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = TextExpressions.DistinctWordGrams(Literal("a b c a b c"), 3)
+    val got = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString)
+    assert(got.toSeq == Seq("a b c", "b c a", "c a b"))
+    assert(TextExpressions.DistinctWordGrams(Literal("a b"), 3).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .numElements() == 0)
+  }
 }

@@ -233,4 +233,73 @@ class NearDupSpec extends SparkSpec {
     assert(cleaned(5L) == "tiny doc")
     assert(cleaned(11L) == s"$hdr m1 m2 m3 m4 m5") // B is untouched
   }
+
+  /** plain-Scala reference for [[NearDup.crossMinHashPairs]]: same word
+    * 3-gram shingle sets, same md5 minhash components (lexicographic min
+    * of the 16-hex prefix), same banding, same exact shingle-set Jaccard
+    * verification. */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def bruteForceCross(train: Seq[(Long, String)],
+                              evalSet: Seq[(Long, String)],
+                              numHashes: Int, bandSize: Int,
+                              tNum: Int, tDen: Int): Set[(Long, Long, Double)] = {
+    def tokSet(t: String): Set[String] = {
+      val ws = t.split(" ")
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def sig(toks: Set[String]): Seq[String] =
+      (1 to numHashes).map(seed => toks.map(tok => md5hex(s"$seed:$tok").substring(0, 16)).min)
+    def bands(s: Seq[String]): Seq[String] =
+      s.grouped(bandSize).map(_.mkString).toSeq
+    val tS = train.map { case (id, t) => (id, tokSet(t)) }.filter(_._2.nonEmpty)
+    val eS = evalSet.map { case (id, t) => (id, tokSet(t)) }.filter(_._2.nonEmpty)
+    val thr = tNum.toDouble / tDen.toDouble
+    (for {
+      (tId, tt) <- tS
+      (eId, et) <- eS
+      if bands(sig(tt)).zip(bands(sig(et))).exists { case (a, b) => a == b }
+      inter = tt.intersect(et).size
+      j = inter.toDouble / (tt.size + et.size - inter).toDouble
+      if j >= thr
+    } yield (tId, eId, j)).toSet
+  }
+
+  test("crossMinHashPairs equals the banded brute force; identical docs always flagged") {
+    import spark.implicits._
+    val rnd = new Random(5)
+    val vocab = (1 to 40).map(i => s"w$i")
+    def randDoc(len: Int): String =
+      (1 to len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    def paraphrase(t: String, swaps: Int): String = {
+      val arr = t.split(" ")
+      (1 to swaps).foreach(_ => arr(rnd.nextInt(arr.length)) = vocab(rnd.nextInt(vocab.length)))
+      arr.mkString(" ")
+    }
+    val evalDocs = (0 until 6).map(i => (100L + i, randDoc(25)))
+    val train =
+      evalDocs.take(2).map { case (id, t) => (id - 100, t) } ++            // verbatim leaks
+      evalDocs.slice(2, 4).map { case (id, t) => (id - 98, paraphrase(t, 2)) } ++ // light paraphrase
+      (10 until 25).map(i => (i.toLong, randDoc(20)))                      // clean
+    val got = NearDup.crossMinHashPairs(
+        train.toDF("doc_id", "text"), evalDocs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = bruteForceCross(train, evalDocs, numHashes = 8, bandSize = 2,
+      tNum = 1, tDen = 2)
+    assert(got == want)
+    // a verbatim leak has identical token sets -> identical signatures ->
+    // shares every band -> MUST be flagged with jaccard exactly 1.0
+    assert(Set((0L, 100L, 1.0), (1L, 101L, 1.0)).subsetOf(got))
+    assert(want.size > 2, "paraphrased leaks should also survive — weak fixture")
+  }
+
+  test("crossMinHashPairs: empty eval side yields no pairs") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val evalSet = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(NearDup.crossMinHashPairs(train, evalSet).count() === 0L)
+  }
 }
