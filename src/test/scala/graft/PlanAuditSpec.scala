@@ -237,4 +237,32 @@ class PlanAuditSpec extends SparkSpec {
       .findAllIn(plan).size
     assert(joins == 1, s"expected exactly 1 join, got $joins:\n$plan")
   }
+
+  test("t32/s11 round-8 additions have no single-partition stage or cartesian") {
+    // t32: signatures are one partial-aggregable groupBy per side,
+    // candidates one band equi-join, verification candidate-bounded;
+    // s11: the pair work shuffles on cluster id (k partitions — k scales
+    // with the corpus at the design point, so keys are plentiful; the
+    // k-means centroid collect is the documented bounded k*dim pull).
+    // Neither may funnel the corpus through one reducer or cross-join.
+    // (q55 is exempt BY DESIGN: everything after the two TakeOrdered
+    // sketches operates on <= 64-row frames — the same bounded-input
+    // exemption q45's window documents.)
+    for (name <- Seq("t32_fuzzy_decontam", "s11_semdedup")) {
+      val df = SparkEntry.queries(name)(spark, sfSmoke)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"),
+        s"$name has a single-reducer stage:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+        s"$name degenerated to a cross join:\n$plan")
+    }
+  }
+
+  test("v02 frame sampling is exchange-free: scan -> project -> explode") {
+    // frames never shuffle — the whole query is a columnar projection over
+    // the payload scan; any Exchange would mean payload bytes moved
+    val df = SparkEntry.queries("v02_frame_sample")(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"v02 shuffles payload bytes:\n$plan")
+  }
 }
