@@ -162,6 +162,74 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** ALL word n-gram windows in position order (non-distinct) — the
+    * positional twin of [[DistinctWordGrams]], feeding the span family
+    * (repeatedSpans / boilerplateSpans): `posexplode` of the result gives
+    * (pos, gram) with pos the 0-based window start, exactly the
+    * `transform(sequence(0, size-n), p -> ...)` contract it replaces. The
+    * md5 hashing stays a separate column function AFTER the explode — md5
+    * is already codegen'd; only the interpreted HOF window construction
+    * needed a kernel. Texts with fewer than n words yield an empty array
+    * (the row drops at the explode). */
+  case class WordGramWindows(child: Expression, n: Int) extends UnaryExpression {
+
+    require(n >= 1, s"gram length must be >= 1, got $n")
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"expected string, got ${other.simpleString}")
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+      val m = words.length - n + 1
+      val arr = new Array[Any](math.max(m, 0))
+      var j = 0
+      while (j < m) {
+        val sb = new java.lang.StringBuilder(words(j))
+        var k = 1
+        while (k < n) { sb.append(' ').append(words(j + k)); k += 1 }
+        arr(j) = UTF8String.fromString(sb.toString)
+        j += 1
+      }
+      new GenericArrayData(arr)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val words = ctx.freshName("words")
+        val m = ctx.freshName("m")
+        val arr = ctx.freshName("arr")
+        val j = ctx.freshName("j")
+        val k = ctx.freshName("k")
+        val sb = ctx.freshName("sb")
+        s"""
+          java.lang.String[] $words = $c.toString().split(" ", -1);
+          int $m = $words.length - $n + 1;
+          Object[] $arr = new Object[$m > 0 ? $m : 0];
+          for (int $j = 0; $j < $m; $j++) {
+            java.lang.StringBuilder $sb = new java.lang.StringBuilder($words[$j]);
+            for (int $k = 1; $k < $n; $k++) {
+              $sb.append(' ').append($words[$j + $k]);
+            }
+            $arr[$j] = org.apache.spark.unsafe.types.UTF8String.fromString(
+              $sb.toString());
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Rabin-Karp rolling-hash document fingerprint: the minimum polynomial
     * hash over all n-char windows (the winnowing representation —
     * robust to content shifts, unlike a whole-document hash). The hash of
@@ -307,6 +375,9 @@ object TextExpressions {
     reg.createOrReplaceTempFunction("graft_word_grams",
       exprs => DistinctWordGrams(exprs(0),
         exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_word_gram_windows",
+      exprs => WordGramWindows(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("graft_rolling_min_hash",
       exprs => RollingMinHash(exprs(0),
         exprs(1).eval(null).asInstanceOf[Number].intValue(),
@@ -330,5 +401,9 @@ object TextExpressions {
 
   def wordGrams(text: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_word_grams", text,
+      org.apache.spark.sql.functions.lit(n))
+
+  def wordGramWindows(text: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_word_gram_windows", text,
       org.apache.spark.sql.functions.lit(n))
 }

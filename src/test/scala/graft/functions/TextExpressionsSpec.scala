@@ -121,6 +121,32 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("wordGramWindows equals the positional HOF formulation it replaces") {
+    import spark.implicits._
+    TextExpressions.register(spark)
+    val texts = samples ++ Seq("a  b c", " leading", "trailing ",
+      "one two one two one two")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = texts.toDF("text").select(
+        TextExpressions.wordGramWindows(col("text"), n).as("native"),
+        expr(s"""CASE WHEN size(split(text, ' ')) >= $n THEN
+            transform(sequence(0, size(split(text, ' ')) - $n),
+              p -> array_join(slice(split(text, ' '), p + 1, $n), ' '))
+          ELSE array() END""").as("hof"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n")
+      }
+    }
+    // interpreted eval path agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = TextExpressions.WordGramWindows(Literal("a b a b"), 2)
+    val got = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString)
+    assert(got.toSeq == Seq("a b", "b a", "a b"))
+  }
+
   test("wordGrams agrees between codegen and interpreted eval") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.unsafe.types.UTF8String
