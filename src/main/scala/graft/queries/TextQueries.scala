@@ -1191,19 +1191,22 @@ object TextQueries {
         val bandJoins = (1 to 4).map { i =>
           s"""SELECT t.t_id, e.e_id FROM bT t JOIN bE e ON t.b$i = e.b$i"""
         }.mkString(" UNION ALL ")
-        s"""WITH toks AS (SELECT DISTINCT doc_id,
+        s"""WITH toks AS MATERIALIZED (SELECT DISTINCT doc_id,
               array_to_string(words[j:j+2], ' ') AS tok
             FROM (SELECT doc_id, string_split(text, ' ') AS words
                   FROM documents) w,
               LATERAL (SELECT unnest(range(1, greatest(len(words)-2, 0)+1))
                        AS j) r),
-          ev AS (SELECT doc_id AS e_id, tok FROM toks WHERE doc_id % 10 = 7),
-          tr AS (SELECT doc_id AS t_id, tok FROM toks WHERE doc_id % 10 <> 7),
+          ev AS MATERIALIZED (
+            SELECT doc_id AS e_id, tok FROM toks WHERE doc_id % 10 = 7),
+          tr AS MATERIALIZED (
+            SELECT doc_id AS t_id, tok FROM toks WHERE doc_id % 10 <> 7),
           sigT AS (SELECT t_id, $mins FROM tr GROUP BY 1),
           sigE AS (SELECT e_id, $mins FROM ev GROUP BY 1),
           bT AS (SELECT t_id, $bands FROM sigT),
           bE AS (SELECT e_id, $bands FROM sigE),
-          cand AS (SELECT DISTINCT t_id, e_id FROM ($bandJoins) u),
+          cand AS MATERIALIZED (
+            SELECT DISTINCT t_id, e_id FROM ($bandJoins) u),
           tn AS (SELECT t_id, count(*) AS t_n FROM tr GROUP BY 1),
           en AS (SELECT e_id, count(*) AS e_n FROM ev GROUP BY 1),
           inter AS (SELECT c.t_id, c.e_id, count(*) AS i
