@@ -230,6 +230,145 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** MD5 MinHash signature of a string ARRAY, per row: component `s` (1-based)
+    * is `min over elements x of md5("s:" + x)`, truncated to the first 8
+    * bytes and formatted as 16 lowercase hex chars — bit-identical to the
+    * aggregation form `min(substring(md5(concat('s:', tok)), 1, 16))` over
+    * the exploded elements (fixed-width hex: lexicographic min == numeric
+    * unsigned min, which is how the loop compares). Computing the signature
+    * per ROW removes the explode + k-min groupBy SHUFFLE from the LSH
+    * signature pass entirely: the corpus stays one row per doc through
+    * signature generation, which at the design point means one scan and
+    * zero exchanges until the (tiny) band join. Empty input → empty
+    * signature (callers drop gram-less docs, matching the agg form where
+    * such docs simply have no postings row). */
+  case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+
+    require(k >= 1, s"signature size must be >= 1, got $k")
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"expected array<string>, got ${other.simpleString}")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      TextExpressions.minHashSig(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.TextExpressions.minHashSig($c, $k);
+      """)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** One BPE merge application over a symbol array: replace every
+    * LEFTMOST-NONOVERLAPPING adjacent (a, b) with a+b — the sequential
+    * inner loop of byte-pair encoding, correctly per-row because a word
+    * is the natural locality unit of BPE (merges never cross word
+    * boundaries; the distributed part of training is the global pair
+    * count, not this scan). The a,a,a chain merges (0,1) and leaves the
+    * tail, and a symbol formed by a merge does not re-merge within the
+    * same application — the reference greedy semantics. */
+  case class BpeMergeApply(child: Expression, a: String, b: String)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"expected array<string>, got ${other.simpleString}")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      TextExpressions.bpeMergeApply(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], a, b)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val aRef = ctx.addReferenceObj("bpeA", a, "java.lang.String")
+      val bRef = ctx.addReferenceObj("bpeB", b, "java.lang.String")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.TextExpressions.bpeMergeApply($c, $aRef, $bRef);
+      """)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Shared eval/codegen body of [[BpeMergeApply]]. */
+  def bpeMergeApply(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                    a: String, b: String): GenericArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && arr.getUTF8String(i).toString == a &&
+          arr.getUTF8String(i + 1).toString == b) {
+        out.add(UTF8String.fromString(a + b)); i += 2
+      } else { out.add(arr.getUTF8String(i)); i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Shared eval/codegen body of [[MinHashSignature]] (the object compiles
+    * with static forwarders, so generated code calls it directly). */
+  def minHashSig(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                 k: Int): GenericArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](0))
+    val md = md5Local.get()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, -1L) // unsigned max
+    val prefixes = new Array[Array[Byte]](k)
+    var s = 0
+    while (s < k) { prefixes(s) = s"${s + 1}:".getBytes("UTF-8"); s += 1 }
+    var i = 0
+    while (i < n) {
+      val bytes = arr.getUTF8String(i).getBytes
+      var j = 0
+      while (j < k) {
+        md.reset()
+        md.update(prefixes(j))
+        md.update(bytes)
+        val d = md.digest()
+        val v = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        if (java.lang.Long.compareUnsigned(v, mins(j)) < 0) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    var m = 0
+    while (m < k) {
+      out(m) = UTF8String.fromString(f"${mins(m)}%016x")
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Rabin-Karp rolling-hash document fingerprint: the minimum polynomial
     * hash over all n-char windows (the winnowing representation —
     * robust to content shifts, unlike a whole-document hash). The hash of
@@ -378,6 +517,13 @@ object TextExpressions {
     reg.createOrReplaceTempFunction("graft_word_gram_windows",
       exprs => WordGramWindows(exprs(0),
         exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => MinHashSignature(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bpe_merge",
+      exprs => BpeMergeApply(exprs(0),
+        exprs(1).eval(null).asInstanceOf[UTF8String].toString,
+        exprs(2).eval(null).asInstanceOf[UTF8String].toString), "scala_udf")
     reg.createOrReplaceTempFunction("graft_rolling_min_hash",
       exprs => RollingMinHash(exprs(0),
         exprs(1).eval(null).asInstanceOf[Number].intValue(),
@@ -406,4 +552,12 @@ object TextExpressions {
   def wordGramWindows(text: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_word_gram_windows", text,
       org.apache.spark.sql.functions.lit(n))
+
+  def minHashSignature(grams: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_minhash_sig", grams,
+      org.apache.spark.sql.functions.lit(k))
+
+  def bpeMerge(syms: Column, a: String, b: String): Column =
+    org.apache.spark.sql.functions.call_function("graft_bpe_merge", syms,
+      org.apache.spark.sql.functions.lit(a), org.apache.spark.sql.functions.lit(b))
 }

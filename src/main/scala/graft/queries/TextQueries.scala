@@ -1218,6 +1218,84 @@ object TextQueries {
           FROM inter JOIN tn USING (t_id) JOIN en USING (e_id)
           WHERE CAST(i AS DOUBLE)/CAST(t_n + e_n - i AS DOUBLE) >= 0.5"""
       },
+      bench = true),
+
+    // ---- distributed BPE merge training (operators/Bpe): the tokenizer-
+    // vocabulary step, three merge rounds oracle-proven cross-engine. Each
+    // round's choice depends on the FULL corpus as rewritten by all prior
+    // rounds, so a hash-matched merge table proves pair counting, the
+    // deterministic argmax, AND the leftmost-nonoverlapping relational
+    // merge (gaps-and-islands over sparse positions) end-to-end. The
+    // oracle unrolls the identical three rounds in SQL. BpeSpec pins the
+    // relational merge against a sequential greedy reference on overlap
+    // chains (aaa), ties, and multichar-symbol rounds. ----
+    Q("t33_bpe_train",
+      (s, dir) => graft.operators.Bpe.train(
+        T(s, dir, "documents").select(col("doc_id"), col("text")), rounds = 3),
+      Some(sqlBpeTrain(3)),
       bench = true)
   )
+
+  /** DuckDB twin of [[graft.operators.Bpe.train]], `rounds` rounds
+    * unrolled: per round, adjacency via lead over (doc, word) windows,
+    * global pair argmax with lexicographic tie-break, overlap islands via
+    * lag(nxt_pos), even offsets merge, anti-join removes consumed rows.
+    * Multiply-consumed per-round CTEs are MATERIALIZED (see
+    * sqlNearDupPairsFrom for why). */
+  private def sqlBpeTrain(rounds: Int): String = {
+    val head = """WITH r0 AS MATERIALIZED (
+        SELECT doc_id, CAST(j - 1 AS BIGINT) AS word_idx,
+          CAST(i - 1 AS BIGINT) AS pos,
+          substr(word, CAST(i AS INTEGER), 1) AS sym
+        FROM (SELECT doc_id, j, words[j] AS word
+              FROM (SELECT doc_id, string_split(text, ' ') AS words
+                    FROM documents) w,
+                LATERAL (SELECT unnest(range(1, len(words) + 1)) AS j) jj) u,
+          LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i) ii
+        WHERE length(word) >= 1)"""
+    val roundCtes = (1 to rounds).map { r =>
+      s""",
+        p$r AS (SELECT doc_id, word_idx, pos, sym,
+            lead(sym) OVER (PARTITION BY doc_id, word_idx ORDER BY pos) AS nxt,
+            lead(pos) OVER (PARTITION BY doc_id, word_idx ORDER BY pos) AS nxt_pos
+          FROM r${r - 1}),
+        b$r AS MATERIALIZED (
+          SELECT sym AS a, nxt AS b, CAST(count(*) AS BIGINT) AS c
+          FROM p$r WHERE nxt IS NOT NULL GROUP BY 1, 2
+          ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+        cand$r AS (SELECT p.doc_id, p.word_idx, p.pos, p.nxt_pos
+          FROM p$r p JOIN b$r ON p.sym = b$r.a AND p.nxt = b$r.b),
+        isl$r AS (SELECT doc_id, word_idx, pos, nxt_pos,
+            sum(CASE WHEN prev_np IS NULL OR prev_np <> pos THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id, word_idx ORDER BY pos
+                ROWS UNBOUNDED PRECEDING) AS isl
+          FROM (SELECT doc_id, word_idx, pos, nxt_pos,
+              lag(nxt_pos) OVER (PARTITION BY doc_id, word_idx ORDER BY pos)
+                AS prev_np
+            FROM cand$r) x),
+        m$r AS MATERIALIZED (
+          SELECT doc_id, word_idx, pos, nxt_pos FROM (
+            SELECT doc_id, word_idx, pos, nxt_pos,
+              row_number() OVER (PARTITION BY doc_id, word_idx, isl
+                ORDER BY pos) - 1 AS off
+            FROM isl$r) x WHERE off % 2 = 0),
+        r$r AS MATERIALIZED (
+          SELECT r.doc_id, r.word_idx, r.pos,
+            CASE WHEN m.pos IS NOT NULL THEN (SELECT a || b FROM b$r)
+                 ELSE r.sym END AS sym
+          FROM r${r - 1} r
+          LEFT JOIN m$r m ON r.doc_id = m.doc_id AND r.word_idx = m.word_idx
+            AND r.pos = m.pos
+          WHERE NOT EXISTS (SELECT 1 FROM m$r d
+            WHERE d.doc_id = r.doc_id AND d.word_idx = r.word_idx
+              AND d.nxt_pos = r.pos))"""
+    }.mkString
+    val out = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs,
+          a || b AS merged, c AS pair_count,
+          (SELECT CAST(count(*) AS BIGINT) FROM r$r) AS n_rows_after
+        FROM b$r"""
+    }.mkString(" UNION ALL ")
+    s"$head$roundCtes $out"
+  }
 }
