@@ -271,32 +271,37 @@ object TextExpressions {
       copy(child = newChild)
   }
 
-  /** One BPE merge application over a symbol array: replace every
-    * LEFTMOST-NONOVERLAPPING adjacent (a, b) with a+b — the sequential
-    * inner loop of byte-pair encoding, correctly per-row because a word
-    * is the natural locality unit of BPE (merges never cross word
-    * boundaries; the distributed part of training is the global pair
-    * count, not this scan). The a,a,a chain merges (0,1) and leaves the
-    * tail, and a symbol formed by a merge does not re-merge within the
-    * same application — the reference greedy semantics. */
+  /** One BPE merge application over a ' '-separated symbol STRING:
+    * replace every LEFTMOST-NONOVERLAPPING adjacent (a, b) with a+b — the
+    * sequential inner loop of byte-pair encoding, correctly per-row
+    * because a word is the natural locality unit of BPE (merges never
+    * cross word boundaries; the distributed part of training is the
+    * global pair count, not this scan). The a,a,a chain merges (0,1) and
+    * leaves the tail, and a symbol formed by a merge does not re-merge
+    * within the same application — the reference greedy semantics.
+    *
+    * The state is a separator-joined STRING, not array<string>: merged
+    * symbols are plain concatenations (never contain the separator, so
+    * the encoding is unambiguous), and the string form is ~10× smaller
+    * than an array of one-char UTF8Strings — which is what the per-round
+    * corpus cache and every scan pays for. */
   case class BpeMergeApply(child: Expression, a: String, b: String)
       extends UnaryExpression {
 
-    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def dataType: DataType = StringType
 
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {
-        case ArrayType(StringType, _) =>
+        case StringType =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
         case other =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-            s"expected array<string>, got ${other.simpleString}")
+            s"expected string, got ${other.simpleString}")
       }
 
     override def nullSafeEval(input: Any): Any =
-      TextExpressions.bpeMergeApply(
-        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], a, b)
+      TextExpressions.bpeMergeApply(input.asInstanceOf[UTF8String], a, b)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val aRef = ctx.addReferenceObj("bpeA", a, "java.lang.String")
@@ -311,18 +316,62 @@ object TextExpressions {
   }
 
   /** Shared eval/codegen body of [[BpeMergeApply]]. */
-  def bpeMergeApply(arr: org.apache.spark.sql.catalyst.util.ArrayData,
-                    a: String, b: String): GenericArrayData = {
-    val n = arr.numElements()
-    val out = new java.util.ArrayList[Any](n)
+  def bpeMergeApply(s: UTF8String, a: String, b: String): UTF8String = {
+    val toks = s.toString.split(" ", -1)
+    val sb = new java.lang.StringBuilder(s.numBytes())
     var i = 0
-    while (i < n) {
-      if (i + 1 < n && arr.getUTF8String(i).toString == a &&
-          arr.getUTF8String(i + 1).toString == b) {
-        out.add(UTF8String.fromString(a + b)); i += 2
-      } else { out.add(arr.getUTF8String(i)); i += 1 }
+    var first = true
+    while (i < toks.length) {
+      val merged = i + 1 < toks.length && toks(i) == a && toks(i + 1) == b
+      if (!first) sb.append(' ')
+      if (merged) { sb.append(a).append(b); i += 2 }
+      else { sb.append(toks(i)); i += 1 }
+      first = false
     }
-    new GenericArrayData(out.toArray)
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Adjacent symbol pairs of a ' '-separated symbol string, each
+    * pair itself encoded `a + ' ' + b` (unambiguous — symbols never
+    * contain the separator). One generated loop replacing the interpreted
+    * transform-to-structs HOF in the BPE pair-count pass. */
+  case class BpeSymPairs(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"expected string, got ${other.simpleString}")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      TextExpressions.bpeSymPairs(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.TextExpressions.bpeSymPairs($c);
+      """)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Shared eval/codegen body of [[BpeSymPairs]]. */
+  def bpeSymPairs(s: UTF8String): GenericArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val m = toks.length - 1
+    val out = new Array[Any](math.max(m, 0))
+    var i = 0
+    while (i < m) {
+      out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
@@ -524,6 +573,8 @@ object TextExpressions {
       exprs => BpeMergeApply(exprs(0),
         exprs(1).eval(null).asInstanceOf[UTF8String].toString,
         exprs(2).eval(null).asInstanceOf[UTF8String].toString), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bpe_pairs",
+      exprs => BpeSymPairs(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_rolling_min_hash",
       exprs => RollingMinHash(exprs(0),
         exprs(1).eval(null).asInstanceOf[Number].intValue(),
@@ -560,4 +611,7 @@ object TextExpressions {
   def bpeMerge(syms: Column, a: String, b: String): Column =
     org.apache.spark.sql.functions.call_function("graft_bpe_merge", syms,
       org.apache.spark.sql.functions.lit(a), org.apache.spark.sql.functions.lit(b))
+
+  def bpeSymPairs(syms: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_bpe_pairs", syms)
 }
