@@ -100,4 +100,27 @@ object Bpe {
     import spark.implicits._
     merges.toDF("round", "lhs", "rhs", "merged", "pair_count", "n_rows_after")
   }
+
+  /** Encode the corpus with `rounds` freshly trained merges and emit
+    * per-doc token statistics — the apply half of the tokenizer story
+    * (train picks the vocabulary; this is what the pipeline runs on every
+    * document thereafter). Deliberately cache-free: each round's argmax
+    * re-derives the corpus through map-only kernel passes (Σ rounds cheap
+    * maps — for a gate-sized `rounds` that beats pinning the intermediate
+    * corpus for the session, and the operator leaves no persisted state
+    * behind). Output: (doc_id, n_tokens, n_unique_tokens) after all
+    * merges. Oracle-gated as t34 against the relational formulation's
+    * final corpus state. */
+  def encodeStats(docs: DataFrame, rounds: Int,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    var rows = wordSyms(docs, idCol, textCol)
+    (1 to rounds).foreach { _ =>
+      val (next, _) = mergeRound(rows)
+      rows = next
+    }
+    rows.select(col("doc_id"), explode(split(col("syms"), " ")).as("sym"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("sym")).as("n_unique_tokens"))
+  }
 }

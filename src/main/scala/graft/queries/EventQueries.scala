@@ -345,6 +345,70 @@ object EventQueries {
           AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
           AND CAST(c.ts AS TIMESTAMP)
               >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
-        WHERE p.event_type = 'purchase'"""))
+        WHERE p.event_type = 'purchase'""")),
+
+    // ---- ordered funnel analysis: view → (first click AFTER the first
+    // view) → (first purchase AFTER that click), per user — the standard
+    // event-analytics conversion funnel, with STRICT ordering (an earlier
+    // purchase does not count, unlike e09's unordered attribution join).
+    // Output: per-stage user counts + the exact summed inter-stage delay
+    // in integer microseconds (order-free, hash-stable; averages derive).
+    // Scale shape: one partial-aggregable groupBy per stage plus an
+    // equi-join on user_id between stages — user_id is high-cardinality
+    // and well-distributed, so each stage is one clean shuffle; the
+    // funnel never self-joins raw events against raw events. At 100 TB
+    // the per-stage frames would be cached between stages; at gate scale
+    // the recompute is the measured floor. ----
+    Q("e11_funnel",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("ts") > col("t_view"))
+          .groupBy(col("user_id"), col("t_view"))
+          .agg(min(col("ts")).as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c.select(col("user_id"), col("t_click")), Seq("user_id"))
+          .filter(col("ts") > col("t_click"))
+          .groupBy(col("user_id"), col("t_click"))
+          .agg(min(col("ts")).as("t_buy"))
+        val s1 = v.agg(count(lit(1)).as("n_users"))
+          .select(lit(1L).as("stage"), col("n_users"),
+            lit(0L).as("sum_delay_us"))
+        val s2 = c.agg(count(lit(1)).as("n_users"),
+            sum(unix_micros(col("t_click")) - unix_micros(col("t_view")))
+              .as("sum_delay_us"))
+          .select(lit(2L).as("stage"), col("n_users"), col("sum_delay_us"))
+        val s3 = p.agg(count(lit(1)).as("n_users"),
+            sum(unix_micros(col("t_buy")) - unix_micros(col("t_click")))
+              .as("sum_delay_us"))
+          .select(lit(3L).as("stage"), col("n_users"), col("sum_delay_us"))
+        s1.unionByName(s2).unionByName(s3)
+      },
+      Some("""WITH v AS (
+          SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+          FROM events WHERE event_type = 'view' GROUP BY 1),
+        c AS (
+          SELECT e.user_id, v.t_view, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+          GROUP BY 1, 2),
+        p AS (
+          SELECT e.user_id, c.t_click, min(CAST(e.ts AS TIMESTAMP)) AS t_buy
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND CAST(e.ts AS TIMESTAMP) > c.t_click
+          GROUP BY 1, 2)
+        SELECT CAST(1 AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS n_users,
+          CAST(0 AS BIGINT) AS sum_delay_us FROM v
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+          CAST(sum(epoch_us(t_click) - epoch_us(t_view)) AS BIGINT) FROM c
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+          CAST(sum(epoch_us(t_buy) - epoch_us(t_click)) AS BIGINT) FROM p"""),
+      bench = true)
   )
 }

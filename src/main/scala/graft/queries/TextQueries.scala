@@ -1233,7 +1233,23 @@ object TextQueries {
       (s, dir) => graft.operators.Bpe.train(
         T(s, dir, "documents").select(col("doc_id"), col("text")), rounds = 3),
       Some(sqlBpeTrain(3)),
-      bench = true)
+      bench = true),
+
+    // ---- BPE encoding (the apply half of t33): the corpus re-tokenized
+    // under the 3-merge vocabulary, per-doc token counts + distinct-token
+    // counts on the hash gate. The oracle reads the relational
+    // formulation's FINAL corpus state (r3), so the gate proves the
+    // kernel-applied rewrite of every word equals the gaps-and-islands
+    // rewrite — over the whole corpus, not just the 3 merge-table rows
+    // t33 compares. Gate-only (PERF.md rationale: its cost is t33's
+    // training re-run plus one floor-dominated stats pass). ----
+    Q("t34_bpe_encode",
+      (s, dir) => graft.operators.Bpe.encodeStats(
+        T(s, dir, "documents").select(col("doc_id"), col("text")), rounds = 3),
+      Some(sqlBpeCtes(3) +
+        """ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(count(DISTINCT sym) AS BIGINT) AS n_unique_tokens
+          FROM r3 GROUP BY doc_id"""))
   )
 
   /** DuckDB twin of [[graft.operators.Bpe.train]], `rounds` rounds
@@ -1243,6 +1259,18 @@ object TextQueries {
     * Multiply-consumed per-round CTEs are MATERIALIZED (see
     * sqlNearDupPairsFrom for why). */
   private def sqlBpeTrain(rounds: Int): String = {
+    val out = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs,
+          a || b AS merged, c AS pair_count,
+          (SELECT CAST(count(*) AS BIGINT) FROM r$r) AS n_rows_after
+        FROM b$r"""
+    }.mkString(" UNION ALL ")
+    s"${sqlBpeCtes(rounds)} $out"
+  }
+
+  /** The WITH-clause of the BPE oracle — shared by t33 (merge table) and
+    * t34 (final corpus state r`rounds`). */
+  private def sqlBpeCtes(rounds: Int): String = {
     val head = """WITH r0 AS MATERIALIZED (
         SELECT doc_id, CAST(j - 1 AS BIGINT) AS word_idx,
           CAST(i - 1 AS BIGINT) AS pos,
@@ -1290,12 +1318,6 @@ object TextQueries {
             WHERE d.doc_id = r.doc_id AND d.word_idx = r.word_idx
               AND d.nxt_pos = r.pos))"""
     }.mkString
-    val out = (1 to rounds).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs,
-          a || b AS merged, c AS pair_count,
-          (SELECT CAST(count(*) AS BIGINT) FROM r$r) AS n_rows_after
-        FROM b$r"""
-    }.mkString(" UNION ALL ")
-    s"$head$roundCtes $out"
+    s"$head$roundCtes"
   }
 }
