@@ -1325,6 +1325,53 @@ object RelationalQueries {
           CAST(sum(CASE WHEN list_contains(str_split(text, ' '), 'the')
             THEN 1 ELSE 0 END) AS BIGINT) AS n_has_the
         FROM documents GROUP BY lang"""),
+      bench = true),
+
+    // ---- triangle counting on the co-purchase graph (parts co-occurring
+    // in an order are adjacent) — graph analytics beyond the CC/PageRank
+    // family: the clustering/community signal of a similarity graph. The
+    // engine enumerates via Graph.triangleNodeCounts' DEGREE-ORIENTED
+    // compact-forward scheme (out-degrees O(√E) on any graph → wedge
+    // volume O(E^1.5), hub-safe); the oracle deliberately enumerates the
+    // SAME triangle set with the naive id-ordered triple join — the hash
+    // match proves two independent constructions agree, and the plans
+    // embody exactly the hub-bounded-vs-quadratic tradeoff PERF.md
+    // documents. Top-10 parts by triangle participation, ties to the
+    // lower part id (deterministic cut). The 1-in-3 order sample keeps
+    // the gate's graph at bench-able density (the FULL sf0.1 graph —
+    // 1.2M edges over 20k parts, mean degree 120 — was measured at
+    // engine 18 s vs DuckDB 15–22 s: parity, but it would double the
+    // bench total on both sides; PERF.md records that head-to-head). ----
+    Q("q56_triangle_count",
+      (s, dir) => {
+        val items = T(s, dir, "lineitem")
+          .filter(pmod(col("l_orderkey"), lit(3)) === 0)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = items.as("x")
+          .join(items.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        graft.operators.Graph.triangleNodeCounts(edges)
+          .orderBy(col("n_tri").desc, col("node").asc).limit(10)
+          .select(col("node").as("part"), col("n_tri"))
+      },
+      Some("""WITH items AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+          WHERE l_orderkey % 3 = 0),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT x.p AS a, y.p AS b
+          FROM items x JOIN items y ON x.o = y.o AND x.p < y.p),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM edges e1
+          JOIN edges e2 ON e2.a = e1.a AND e1.b < e2.b
+          JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b),
+        corners AS (SELECT x AS part FROM tri
+          UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+        cnt AS (SELECT part, CAST(count(*) AS BIGINT) AS n_tri
+          FROM corners GROUP BY 1)
+        SELECT part, n_tri FROM cnt
+        ORDER BY n_tri DESC, part ASC LIMIT 10"""),
       bench = true)
   )
 }

@@ -258,6 +258,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t33 merge application is map-only; e11 funnel never cross-joins") {
+    // BPE's merge pass must stay a pure projection over the scan (the
+    // kernel rewrite) — any Exchange would mean the corpus shuffled to
+    // apply a merge; the round's ONLY shuffle belongs to the pair count.
+    val ws = graft.operators.Bpe.wordSyms(
+      spark.read.parquet(s"$sfSmoke/documents.parquet"))
+    val (next, _) = graft.operators.Bpe.mergeRound(ws)
+    val mergePlan = next.queryExecution.executedPlan.toString
+    assert(!mergePlan.contains("Exchange"),
+      s"BPE merge application shuffles:\n$mergePlan")
+    // e11: strictly-ordered funnel joins are user_id equi-joins between
+    // per-stage aggregates — never raw events x events, never a cartesian
+    val df = SparkEntry.queries("e11_funnel")(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"funnel degenerated:\n$plan")
+  }
+
   test("v02 frame sampling is exchange-free: scan -> project -> explode") {
     // frames never shuffle — the whole query is a columnar projection over
     // the payload scan; any Exchange would mean payload bytes moved

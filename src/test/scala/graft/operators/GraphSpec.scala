@@ -230,4 +230,41 @@ class GraphSpec extends SparkSpec {
     assert(acc.value == 4L,
       s"expected one scan (4 partition computes), saw ${acc.value}")
   }
+
+  /** brute-force per-node triangle counts over canonical a<b edges */
+  private def bruteTriangles(edges: Set[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, s) => n -> s.map(_._2) }
+    val nodes = adj.keys.toSeq.sorted
+    val tris = for {
+      x <- nodes; y <- nodes if y > x && adj(x).contains(y)
+      z <- nodes if z > y && adj(x).contains(z) && adj(y).contains(z)
+    } yield (x, y, z)
+    tris.flatMap { case (x, y, z) => Seq(x, y, z) }
+      .groupBy(identity).map { case (n, s) => n -> s.size.toLong }
+  }
+
+  test("triangleNodeCounts equals brute force: K4, hubs, random graphs") {
+    import spark.implicits._
+    // K4 (every node in 3 triangles), a star (zero triangles — the hub
+    // degree-orientation case), and seeded random graphs
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)).toSet
+    val star = (1L to 6L).map(i => (0L, i)).toSet
+    val randoms = Seq(42, 7).map { seed =>
+      val r = new scala.util.Random(seed)
+      (for { a <- 0L to 19L; b <- 0L to 19L if a < b && r.nextDouble() < 0.3 }
+        yield (a, b)).toSet
+    }
+    for (edges <- Seq(k4, star) ++ randoms) {
+      val got = Graph.triangleNodeCounts(edges.toSeq.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = bruteTriangles(edges)
+      assert(got == want, s"edges=${edges.size}: got $got want $want")
+    }
+    // fixture sanity: the references themselves behave as expected
+    assert(bruteTriangles(k4) == (0L to 3L).map(_ -> 3L).toMap)
+    assert(bruteTriangles(star).isEmpty)
+    assert(randoms.exists(e => bruteTriangles(e).nonEmpty),
+      "random fixtures produced no triangles — weak test")
+  }
 }
