@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** FunnelStream must equal the batch e11 semantics on the real event
+  * corpus — exactly, when arrival respects timestamp order (one batch, or
+  * a ts-ordered two-batch split) — and its fold must enforce the strict
+  * ordering rules (no click before a view, strict > at stage borders). */
+class FunnelStreamSpec extends SparkSpec {
+
+  /** batch reference: per-user (stage, ts_us, delay_us) via the same
+    * relational construction as the e11 gate */
+  private def batchStages(dir: String): Set[(Long, Int, Long, Long)] = {
+    val ev = graft.core.Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("tv"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(unix_micros(col("ts")) > col("tv"))
+      .groupBy(col("user_id"), col("tv"))
+      .agg(min(unix_micros(col("ts"))).as("tc"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c.select(col("user_id"), col("tv"), col("tc")), Seq("user_id"))
+      .filter(unix_micros(col("ts")) > col("tc"))
+      .groupBy(col("user_id"), col("tc"))
+      .agg(min(unix_micros(col("ts"))).as("tb"))
+    val s1 = v.collect().map(r => (r.getLong(0), 1, r.getLong(1), 0L))
+    val s2 = c.collect().map(r => (r.getLong(0), 2, r.getLong(2),
+      r.getLong(2) - r.getLong(1)))
+    val s3 = p.collect().map(r => (r.getLong(0), 3, r.getLong(2),
+      r.getLong(2) - r.getLong(1)))
+    (s1 ++ s2 ++ s3).toSet
+  }
+
+  private def hits(table: String): Set[(Long, Int, Long, Long)] =
+    spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("single-batch streaming funnel equals the batch construction") {
+    val dir = Files.createTempDirectory("funnel_stream")
+    Files.copy(Paths.get(s"$sfSmoke/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val got = FunnelStream.runOnce(spark, dir.toString, "funnel_one")
+    val streamed = hits("funnel_one")
+    val want = batchStages(dir.toString)
+    assert(streamed == want)
+    assert(want.exists(_._2 == 3), "no stage-3 conversions — weak fixture")
+    assert(got.count() == want.size)
+  }
+
+  test("ts-ordered two-batch split emits the same stage hits incrementally") {
+    val dir = Files.createTempDirectory("funnel_split")
+    val ev = graft.core.Tables.events(spark, sfSmoke)
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0).toLong
+    def stage(name: String, pred: org.apache.spark.sql.Column): Unit = {
+      val tmp = Files.createTempDirectory(s"funnel_stage_$name")
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.copy(Paths.get(part), dir.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    stage("b1", unix_micros(col("ts")) <= cut)
+    val q = FunnelStream.stageHits(spark, dir.toString).toDF().writeStream
+      .outputMode("append").format("memory").queryName("funnel_two").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = hits("funnel_two")
+      stage("b2", unix_micros(col("ts")) > cut)
+      q.processAllAvailable()
+      val all = hits("funnel_two")
+      assert(afterB1.subsetOf(all), "append-mode emissions must accumulate")
+      assert(all == batchStages(sfSmoke),
+        "ts-ordered split must equal the batch semantics")
+    } finally q.stop()
+  }
+
+  test("advance enforces strict funnel ordering") {
+    import FunnelStream.{FunnelState, advance}
+    val empty = FunnelState(None, None, None)
+    // click before any view: ignored
+    assert(advance(empty, "click", 100L)._2.isEmpty)
+    // purchase before any click: ignored
+    assert(advance(empty, "purchase", 100L)._2.isEmpty)
+    val (afterView, h1) = advance(empty, "view", 100L)
+    assert(h1.exists(_.stage == 1))
+    // click at EXACTLY the view timestamp: strict > rejects it
+    assert(advance(afterView, "click", 100L)._2.isEmpty)
+    val (afterClick, h2) = advance(afterView, "click", 150L)
+    assert(h2.exists(h => h.stage == 2 && h.delay_us == 50L))
+    // second click: first one wins, no re-emission
+    assert(advance(afterClick, "click", 160L)._2.isEmpty)
+    // purchase at exactly the click ts: rejected; later: stage 3
+    assert(advance(afterClick, "purchase", 150L)._2.isEmpty)
+    val (_, h3) = advance(afterClick, "purchase", 250L)
+    assert(h3.exists(h => h.stage == 3 && h.delay_us == 100L))
+    // an earlier view arriving later cannot displace the first view
+    assert(advance(afterClick, "view", 50L)._2.isEmpty)
+  }
+}
