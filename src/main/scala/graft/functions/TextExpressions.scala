@@ -110,56 +110,39 @@ object TextExpressions {
             s"expected string, got ${other.simpleString}")
       }
 
-    override def nullSafeEval(input: Any): Any = {
-      val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-      val set = new java.util.LinkedHashSet[String]()
-      var j = 0
-      while (j + n <= words.length) {
-        val sb = new java.lang.StringBuilder(words(j))
-        var k = 1
-        while (k < n) { sb.append(' ').append(words(j + k)); k += 1 }
-        set.add(sb.toString)
-        j += 1
-      }
-      val arr = new Array[Any](set.size)
-      val it = set.iterator()
-      var k = 0
-      while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
-      new GenericArrayData(arr)
-    }
+    override def nullSafeEval(input: Any): Any =
+      TextExpressions.distinctWordGramsEval(input.asInstanceOf[UTF8String], n)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, c => {
-        val words = ctx.freshName("words")
-        val set = ctx.freshName("set")
-        val j = ctx.freshName("j")
-        val k = ctx.freshName("k")
-        val sb = ctx.freshName("sb")
-        val arr = ctx.freshName("arr")
-        val m = ctx.freshName("m")
-        val it = ctx.freshName("it")
-        s"""
-          java.lang.String[] $words = $c.toString().split(" ", -1);
-          java.util.LinkedHashSet $set = new java.util.LinkedHashSet();
-          for (int $j = 0; $j + $n <= $words.length; $j++) {
-            java.lang.StringBuilder $sb = new java.lang.StringBuilder($words[$j]);
-            for (int $k = 1; $k < $n; $k++) {
-              $sb.append(' ').append($words[$j + $k]);
-            }
-            $set.add($sb.toString());
-          }
-          Object[] $arr = new Object[$set.size()];
-          int $m = 0;
-          for (java.util.Iterator $it = $set.iterator(); $it.hasNext(); ) {
-            $arr[$m++] = org.apache.spark.unsafe.types.UTF8String.fromString(
-              (java.lang.String) $it.next());
-          }
-          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
-        """
-      })
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.TextExpressions.distinctWordGramsEval($c, $n);
+      """)
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** Shared eval/codegen body of [[DistinctWordGrams]] — one copy of the
+    * window loop for both execution paths (the static-forwarder pattern
+    * every kernel in this file uses; per-row method-call overhead is noise
+    * next to the loop body, and a single body cannot drift between the
+    * interpreted and generated paths). */
+  def distinctWordGramsEval(s: UTF8String, n: Int): GenericArrayData = {
+    val words = s.toString.split(" ", -1)
+    val set = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j + n <= words.length) {
+      val sb = new java.lang.StringBuilder(words(j))
+      var k = 1
+      while (k < n) { sb.append(' ').append(words(j + k)); k += 1 }
+      set.add(sb.toString)
+      j += 1
+    }
+    val arr = new Array[Any](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
   }
 
   /** ALL word n-gram windows in position order (non-distinct) — the
@@ -187,47 +170,33 @@ object TextExpressions {
             s"expected string, got ${other.simpleString}")
       }
 
-    override def nullSafeEval(input: Any): Any = {
-      val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-      val m = words.length - n + 1
-      val arr = new Array[Any](math.max(m, 0))
-      var j = 0
-      while (j < m) {
-        val sb = new java.lang.StringBuilder(words(j))
-        var k = 1
-        while (k < n) { sb.append(' ').append(words(j + k)); k += 1 }
-        arr(j) = UTF8String.fromString(sb.toString)
-        j += 1
-      }
-      new GenericArrayData(arr)
-    }
+    override def nullSafeEval(input: Any): Any =
+      TextExpressions.wordGramWindowsEval(input.asInstanceOf[UTF8String], n)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, c => {
-        val words = ctx.freshName("words")
-        val m = ctx.freshName("m")
-        val arr = ctx.freshName("arr")
-        val j = ctx.freshName("j")
-        val k = ctx.freshName("k")
-        val sb = ctx.freshName("sb")
-        s"""
-          java.lang.String[] $words = $c.toString().split(" ", -1);
-          int $m = $words.length - $n + 1;
-          Object[] $arr = new Object[$m > 0 ? $m : 0];
-          for (int $j = 0; $j < $m; $j++) {
-            java.lang.StringBuilder $sb = new java.lang.StringBuilder($words[$j]);
-            for (int $k = 1; $k < $n; $k++) {
-              $sb.append(' ').append($words[$j + $k]);
-            }
-            $arr[$j] = org.apache.spark.unsafe.types.UTF8String.fromString(
-              $sb.toString());
-          }
-          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
-        """
-      })
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.TextExpressions.wordGramWindowsEval($c, $n);
+      """)
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** Shared eval/codegen body of [[WordGramWindows]] — see
+    * [[distinctWordGramsEval]] for the single-body rationale. */
+  def wordGramWindowsEval(s: UTF8String, n: Int): GenericArrayData = {
+    val words = s.toString.split(" ", -1)
+    val m = words.length - n + 1
+    val arr = new Array[Any](math.max(m, 0))
+    var j = 0
+    while (j < m) {
+      val sb = new java.lang.StringBuilder(words(j))
+      var k = 1
+      while (k < n) { sb.append(' ').append(words(j + k)); k += 1 }
+      arr(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(arr)
   }
 
   /** MD5 MinHash signature of a string ARRAY, per row: component `s` (1-based)
@@ -379,6 +348,16 @@ object TextExpressions {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** seed-prefix byte arrays ("1:".."k:") per k — computed once per k, not
+    * per ROW: this is the hot signature loop, and k fresh strings + byte
+    * arrays per corpus row is exactly the per-row garbage the kernel
+    * exists to remove. */
+  private val seedPrefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def seedPrefixes(k: Int): Array[Array[Byte]] =
+    seedPrefixCache.computeIfAbsent(k,
+      k => Array.tabulate(k)(s => s"${s + 1}:".getBytes("UTF-8")))
+
   /** Shared eval/codegen body of [[MinHashSignature]] (the object compiles
     * with static forwarders, so generated code calls it directly). */
   def minHashSig(arr: org.apache.spark.sql.catalyst.util.ArrayData,
@@ -388,9 +367,7 @@ object TextExpressions {
     val md = md5Local.get()
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, -1L) // unsigned max
-    val prefixes = new Array[Array[Byte]](k)
-    var s = 0
-    while (s < k) { prefixes(s) = s"${s + 1}:".getBytes("UTF-8"); s += 1 }
+    val prefixes = seedPrefixes(k)
     var i = 0
     while (i < n) {
       val bytes = arr.getUTF8String(i).getBytes

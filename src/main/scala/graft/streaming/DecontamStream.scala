@@ -30,15 +30,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object DecontamStream {
 
-  /** Per-batch flagged-doc summary: worst leak evidence per train doc. */
+  /** Per-batch flagged-doc summary: worst leak evidence per train doc —
+    * max_jaccard and its ARGMAX eval doc as one struct-max (ties to the
+    * higher eval_id), so the evidence row always attributes the score to
+    * the benchmark document that produced it. */
   private[streaming] def flagSummary(batch: DataFrame,
                                      evalDocs: DataFrame): DataFrame =
     graft.operators.NearDup.crossMinHashPairs(
         batch.select(col("doc_id"), col("text")), evalDocs)
       .groupBy(col("train_id").as("doc_id"))
-      .agg(max(col("jaccard")).as("max_jaccard"),
-        min(col("eval_id")).as("first_eval_id"),
+      .agg(max(struct(col("jaccard"), col("eval_id"))).as("best"),
         count(lit(1)).as("n_eval_hits"))
+      .select(col("doc_id"), col("best.jaccard").as("max_jaccard"),
+        col("best.eval_id").as("best_eval_id"), col("n_eval_hits"))
 
   /** Continuous ingest with decontamination: admitted docs append to
     * `corpusPath`, flagged docs (with evidence columns) to
@@ -75,22 +79,4 @@ object DecontamStream {
       }
       .start()
 
-  /** Test/local harness: drive the ingest over whatever files exist, then
-    * return (admitted, quarantined) batch frames. */
-  def runOnce(spark: SparkSession, dir: String, evalDocs: DataFrame,
-              corpusPath: String, quarantinePath: String,
-              checkpoint: String): (DataFrame, DataFrame) = {
-    val q = ingestDecontaminated(spark, dir, evalDocs, corpusPath,
-      quarantinePath, checkpoint)
-    q.processAllAvailable()
-    q.stop()
-    def readOrEmpty(p: String): DataFrame =
-      try spark.read.parquet(p)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") =>
-          spark.emptyDataFrame
-      }
-    (readOrEmpty(corpusPath), readOrEmpty(quarantinePath))
-  }
 }

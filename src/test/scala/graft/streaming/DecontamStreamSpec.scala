@@ -60,14 +60,16 @@ class DecontamStreamSpec extends SparkSpec {
     val admitted = spark.read.parquet(corpus)
       .select("doc_id").as[Long].collect().toSet
     val quarantined = spark.read.parquet(quar)
-      .select(col("doc_id"), col("max_jaccard"), col("first_eval_id"))
+      .select(col("doc_id"), col("max_jaccard"), col("best_eval_id"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
 
-    // batch reference: the SAME operator over the full train corpus at once
+    // batch reference: the SAME operator over the full train corpus at
+    // once, evidence = the argmax (jaccard, eval_id) pair
     val batchFlags = NearDup.crossMinHashPairs(
         (b1 ++ b2).toDF("doc_id", "text"), evalDocs)
       .groupBy(col("train_id"))
-      .agg(max(col("jaccard")).as("mj"), min(col("eval_id")).as("fe"))
+      .agg(max(struct(col("jaccard"), col("eval_id"))).as("best"))
+      .select(col("train_id"), col("best.jaccard"), col("best.eval_id"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
 
     assert(quarantined == batchFlags,
