@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Measures the streaming-ingest guardrails' throughput instead of
+  * asserting it — the NearDupIndex treatment (round 7) applied to the
+  * round-8 modules: DecontamStream (per-microbatch fuzzy decontamination
+  * against a static eval suite; the claim under test is batch-PROPORTIONAL
+  * work — a second same-size batch should cost about the same as the
+  * first even though the corpus on disk has grown) and FunnelStream
+  * (O(1)-state conversion tracking; the claim is event-linear fold cost).
+  *
+  * Usage: StreamBench  (env SPARK_GRAFT_SF_DIR, default sf0.1)
+  * Prints one JSON line per measurement.
+  */
+object StreamBench {
+
+  private def stageParquet(df: DataFrame, dir: java.nio.file.Path,
+                           name: String): Unit = {
+    val tmp = Files.createTempDirectory(s"sb_stage_$name")
+    df.coalesce(4).write.mode("overwrite").parquet(tmp.toString)
+    Files.list(tmp).toArray.map(_.toString).filter(_.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (p, i) =>
+        Files.copy(Paths.get(p), dir.resolve(s"$name-$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- decontamination at ingest ----
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id"), col("text"))
+    val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val n1 = train.count()
+    val dir = Files.createTempDirectory("sb_docs")
+    val corpus = Files.createTempDirectory("sb_corpus").toString + "/c"
+    val quar = Files.createTempDirectory("sb_quar").toString + "/q"
+    val ckpt = Files.createTempDirectory("sb_ckpt").toString
+    stageParquet(train, dir, "b1")
+    val q = graft.streaming.DecontamStream.ingestDecontaminated(
+      spark, dir.toString, evalSet, corpus, quar, ckpt)
+    val t0 = System.nanoTime()
+    q.processAllAvailable()
+    val sec1 = (System.nanoTime() - t0) / 1e9
+    // batch 2: the same documents under fresh ids with a paraphrasing
+    // suffix — same size, arriving after the corpus has grown
+    stageParquet(train.select((col("doc_id") + 10000000L).as("doc_id"),
+      concat(col("text"), lit(" b2")).as("text"), col("lang"), col("source"),
+      col("n_chars")), dir, "b2")
+    val t1 = System.nanoTime()
+    q.processAllAvailable()
+    val sec2 = (System.nanoTime() - t1) / 1e9
+    q.stop()
+    val flagged = spark.read.parquet(quar).count()
+    println(s"""{"metric":"decontam_ingest","docs_per_batch":$n1,""" +
+      s""""sec_b1":$sec1,"sec_b2":$sec2,"flagged_total":$flagged}""")
+
+    // ---- funnel at ingest ----
+    val evDir = Files.createTempDirectory("sb_events")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      evDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val nEv = spark.read.parquet(s"$sf/events.parquet").count()
+    val t2 = System.nanoTime()
+    val hits = graft.streaming.FunnelStream
+      .runOnce(spark, evDir.toString, "sb_funnel").count()
+    val sec3 = (System.nanoTime() - t2) / 1e9
+    println(s"""{"metric":"funnel_ingest","events":$nEv,"sec":$sec3,""" +
+      s""""stage_hits":$hits}""")
+    spark.stop()
+  }
+}
