@@ -17,6 +17,63 @@ import org.apache.spark.sql.functions._
   */
 object LangModel {
 
+  /** Multinomial Naive Bayes language classifier, trained on the corpus's
+    * own lang labels and evaluated on it — a TRAINED model beyond the t02
+    * character heuristics, with the evaluation surface (the confusion
+    * matrix) as the output, so the gate proves training, smoothing,
+    * scoring, argmax, and evaluation end-to-end.
+    *
+    * All probabilities are Laplace-smoothed, `ln`-scored, and QUANTIZED to
+    * integer 1e-4 nats (the t24 trick): per-token scores sum as exact
+    * integers, so the per-doc class score is order-free and
+    * partition-count-invariant, and the argmax (ties to the
+    * lexicographically first language) is deterministic cross-engine.
+    *
+    * Scale shape: training is one partial-aggregable (lang, token)
+    * groupBy; the dictionary is vocabulary×L-bounded and BROADCAST (a
+    * natural-language vocabulary, not corpus-sized — at the scale where it
+    * outgrows broadcast, drop the hint and let AQE shuffle it); scoring
+    * explodes each token occurrence × L classes (L is a constant) with a
+    * per-doc bounded argmax window; the confusion rollup is L²-bounded.
+    *
+    * @return (true_lang, predicted, n_docs) */
+  def nbLangConfusion(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val cnt = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    // two bounded driver scalars, like NearDup's corpus count: the vocab
+    // size (smoothing denominator) and the doc count (prior denominator)
+    val vocab = toks.select(col("tok")).distinct().count()
+    val nDocs = docs.count()
+    def q(x: org.apache.spark.sql.Column) =
+      floor(lit(10000.0) * log(x)).cast("long")
+    val priors = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      .join(tot, "lang")
+      .select(col("lang").as("model_lang"),
+        q(col("nd").cast("double") / lit(nDocs).cast("double")).as("prior_q"),
+        q(lit(1.0) / (col("t") + lit(vocab)).cast("double")).as("unseen_q"))
+    val dict = cnt.join(tot, "lang")
+      .select(col("lang").as("model_lang"), col("tok"),
+        q((col("c") + lit(1L)).cast("double") /
+          (col("t") + lit(vocab)).cast("double")).as("lp_q"))
+    val scored = toks.select(col("doc_id"), col("lang").as("true_lang"),
+        col("tok"))
+      .crossJoin(broadcast(priors))
+      .join(broadcast(dict), Seq("model_lang", "tok"), "left")
+      .withColumn("qv", coalesce(col("lp_q"), col("unseen_q")))
+      .groupBy(col("doc_id"), col("true_lang"), col("model_lang"),
+        col("prior_q"))
+      .agg(sum(col("qv")).as("sum_q"))
+      .withColumn("score_q", col("prior_q") + col("sum_q"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_q").desc, col("model_lang").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("true_lang"), col("model_lang").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Per-document bigram log-probability under the corpus's own MLE bigram
     * model: (doc_id, n_bigrams, sum_q, avg_logp) where sum_q is the exact
     * integer sum of floor(1e4·ln P(w2|w1)) — order-free and

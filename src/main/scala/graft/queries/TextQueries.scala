@@ -1249,7 +1249,52 @@ object TextQueries {
       Some(sqlBpeCtes(3) +
         """ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
             CAST(count(DISTINCT sym) AS BIGINT) AS n_unique_tokens
-          FROM r3 GROUP BY doc_id"""))
+          FROM r3 GROUP BY doc_id""")),
+
+    // ---- trained Naive Bayes language classifier + its confusion matrix
+    // (LangModel.nbLangConfusion): the TRAINED counterpart of t02's
+    // character heuristics. Laplace smoothing, quantized integer ln
+    // scores (t24's trick — order-free exact sums), deterministic argmax
+    // (ties to the first language). A green row proves training,
+    // smoothing, scoring, argmax, AND evaluation agree cross-engine —
+    // every cell of the matrix, not just accuracy. ----
+    Q("t35_nb_langid",
+      (s, dir) => graft.operators.LangModel.nbLangConfusion(
+        T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))),
+      Some("""WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        cnt AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+        v AS (SELECT count(DISTINCT tok) AS v FROM toks),
+        nd AS (SELECT count(*) AS n FROM documents),
+        priors AS (SELECT d.lang AS model_lang,
+            CAST(floor(10000.0 * ln(CAST(d.c AS DOUBLE) / CAST(nd.n AS DOUBLE)))
+              AS BIGINT) AS prior_q,
+            CAST(floor(10000.0 * ln(1.0 / CAST(tot.t + v.v AS DOUBLE)))
+              AS BIGINT) AS unseen_q
+          FROM (SELECT lang, count(*) AS c FROM documents GROUP BY 1) d
+          JOIN tot ON tot.lang = d.lang, v, nd),
+        dict AS (SELECT cnt.lang AS model_lang, tok,
+            CAST(floor(10000.0 * ln(CAST(cnt.c + 1 AS DOUBLE)
+              / CAST(tot.t + v.v AS DOUBLE))) AS BIGINT) AS lp_q
+          FROM cnt JOIN tot ON tot.lang = cnt.lang, v),
+        rows_q AS (SELECT tk.doc_id, tk.lang AS true_lang, p.model_lang,
+            p.prior_q, coalesce(dict.lp_q, p.unseen_q) AS q
+          FROM toks tk CROSS JOIN priors p
+          LEFT JOIN dict ON dict.model_lang = p.model_lang
+            AND dict.tok = tk.tok),
+        score AS (SELECT doc_id, true_lang, model_lang,
+            prior_q + CAST(sum(q) AS BIGINT) AS score_q
+          FROM rows_q GROUP BY 1, 2, 3, prior_q),
+        best AS (SELECT doc_id, true_lang, model_lang AS predicted FROM (
+            SELECT doc_id, true_lang, model_lang,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY score_q DESC, model_lang ASC) AS rn
+            FROM score) x WHERE rn = 1)
+        SELECT true_lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+        FROM best GROUP BY 1, 2"""),
+      bench = true)
   )
 
   /** DuckDB twin of [[graft.operators.Bpe.train]], `rounds` rounds
