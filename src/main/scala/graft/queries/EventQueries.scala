@@ -347,6 +347,41 @@ object EventQueries {
               >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
         WHERE p.event_type = 'purchase'""")),
 
+    // ---- cohort retention triangle: users grouped by FIRST-activity week
+    // (their cohort), counted in every subsequent week they return — the
+    // standard retention analysis, and e11's companion (funnel = within-
+    // journey conversion, retention = across-weeks comeback). Weeks are
+    // date_trunc boundaries, week distance an exact day-diff / 7 (both
+    // engines integer-exact); one distinct + two partial-aggregable
+    // groupBys + a user_id equi-join — user_id is high-cardinality, no
+    // skew, and the output is a cohorts×weeks-bounded triangle. ----
+    Q("e12_retention",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val weekly = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).as("week")).distinct()
+        val cohort = weekly.groupBy(col("user_id"))
+          .agg(min(col("week")).as("cohort_week"))
+        weekly.join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (datediff(col("week"), col("cohort_week")) / 7)
+              .cast("long").as("weeks_since"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH weekly AS (
+          SELECT DISTINCT user_id,
+            date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+          FROM events),
+        cohort AS (SELECT user_id, min(week) AS cohort_week
+          FROM weekly GROUP BY 1)
+        SELECT c.cohort_week,
+          CAST(date_diff('day', CAST(c.cohort_week AS DATE),
+            CAST(w.week AS DATE)) // 7 AS BIGINT) AS weeks_since,
+          CAST(count(*) AS BIGINT) AS n_users
+        FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+        GROUP BY 1, 2"""),
+      bench = true),
+
     // ---- ordered funnel analysis: view → (first click AFTER the first
     // view) → (first purchase AFTER that click), per user — the standard
     // event-analytics conversion funnel, with STRICT ordering (an earlier
