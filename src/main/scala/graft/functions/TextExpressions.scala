@@ -210,7 +210,10 @@ object TextExpressions {
     * signature generation, which at the design point means one scan and
     * zero exchanges until the (tiny) band join. Empty input → empty
     * signature (callers drop gram-less docs, matching the agg form where
-    * such docs simply have no postings row). */
+    * such docs simply have no postings row). Null elements are SKIPPED —
+    * the agg form's `min` ignores null tokens the same way — so a
+    * nullable-element array is safe and an all-null array behaves like an
+    * empty set (ADVICE r8: previously NPE'd). */
   case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 
     require(k >= 1, s"signature size must be >= 1, got $k")
@@ -369,7 +372,11 @@ object TextExpressions {
     java.util.Arrays.fill(mins, -1L) // unsigned max
     val prefixes = seedPrefixes(k)
     var i = 0
+    var seen = 0
     while (i < n) {
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
+      seen += 1
       val bytes = arr.getUTF8String(i).getBytes
       var j = 0
       while (j < k) {
@@ -385,7 +392,10 @@ object TextExpressions {
         j += 1
       }
       i += 1
+      }
     }
+    // all-null array == empty set: same empty signature as n == 0
+    if (seen == 0) return new GenericArrayData(new Array[Any](0))
     val out = new Array[Any](k)
     var m = 0
     while (m < k) {

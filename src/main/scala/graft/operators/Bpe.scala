@@ -51,9 +51,12 @@ object Bpe {
         expr("array_join(transform(sequence(1, length(word)), " +
           "i -> substr(word, i, 1)), ' ')").as("syms"))
 
-  /** One merge round over (doc_id, word_idx, syms) rows.
-    * @return (rewritten rows, (lhs, rhs, pairCount)) */
-  def mergeRound(rows: DataFrame): (DataFrame, (String, String, Long)) = {
+  /** One merge round over (doc_id, word_idx, syms) rows. `None` when no
+    * adjacent pair remains anywhere in the corpus (every word fully merged
+    * to a single symbol) — the caller stops early with the merges found so
+    * far rather than failing partway.
+    * @return Some(rewritten rows, (lhs, rhs, pairCount)), or None */
+  def mergeRound(rows: DataFrame): Option[(DataFrame, (String, String, Long))] = {
     graft.functions.TextExpressions.register(rows.sparkSession)
     val pairs = rows.select(explode(
       graft.functions.TextExpressions.bpeSymPairs(col("syms"))).as("p"))
@@ -64,12 +67,12 @@ object Bpe {
         element_at(split(col("p"), " "), 2).as("b"))
       .orderBy(col("c").desc, col("a").asc, col("b").asc)
       .limit(1).collect()
-    require(bestRow.nonEmpty, "corpus has no adjacent pairs left")
-    val (a, b, c) =
-      (bestRow(0).getString(1), bestRow(0).getString(2), bestRow(0).getLong(0))
-    val rewritten = rows.select(col("doc_id"), col("word_idx"),
-      graft.functions.TextExpressions.bpeMerge(col("syms"), a, b).as("syms"))
-    (rewritten, (a, b, c))
+    bestRow.headOption.map { best =>
+      val (a, b, c) = (best.getString(1), best.getString(2), best.getLong(0))
+      val rewritten = rows.select(col("doc_id"), col("word_idx"),
+        graft.functions.TextExpressions.bpeMerge(col("syms"), a, b).as("syms"))
+      (rewritten, (a, b, c))
+    }
   }
 
   /** Train `rounds` merges; returns the merge table
@@ -85,17 +88,22 @@ object Bpe {
     val spark = docs.sparkSession
     var rows = wordSyms(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val merges = (1 to rounds).map { r =>
-      val (next, (a, b, c)) = mergeRound(rows)
-      val pinned = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = pinned
-        .agg(sum(length(col("syms")) -
-          length(translate(col("syms"), " ", "")) + 1L))
-        .head().getLong(0)
-      rows.unpersist(false)
-      rows = pinned
-      (r.toLong, a, b, a + b, c, n)
-    }
+    // stops early (merge table shorter than `rounds`) once no adjacent
+    // pair remains — small corpora exhaust their mergeable depth
+    val merges = Iterator.range(1, rounds + 1)
+      .map(r => (r, mergeRound(rows)))
+      .takeWhile(_._2.isDefined)
+      .map { case (r, m) =>
+        val (next, (a, b, c)) = m.get
+        val pinned = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = pinned
+          .agg(sum(length(col("syms")) -
+            length(translate(col("syms"), " ", "")) + 1L))
+          .head().getLong(0)
+        rows.unpersist(false)
+        rows = pinned
+        (r.toLong, a, b, a + b, c, n)
+      }.toVector
     rows.unpersist(false)
     import spark.implicits._
     merges.toDF("round", "lhs", "rhs", "merged", "pair_count", "n_rows_after")
@@ -114,10 +122,10 @@ object Bpe {
   def encodeStats(docs: DataFrame, rounds: Int,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     var rows = wordSyms(docs, idCol, textCol)
-    (1 to rounds).foreach { _ =>
-      val (next, _) = mergeRound(rows)
-      rows = next
-    }
+    Iterator.range(0, rounds)
+      .map(_ => mergeRound(rows))
+      .takeWhile(_.isDefined)
+      .foreach { m => rows = m.get._1 }
     rows.select(col("doc_id"), explode(split(col("syms"), " ")).as("sym"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),

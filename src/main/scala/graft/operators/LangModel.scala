@@ -28,6 +28,15 @@ object LangModel {
     * integers, so the per-doc class score is order-free and
     * partition-count-invariant, and the argmax (ties to the
     * lexicographically first language) is deterministic cross-engine.
+    * Known boundary exposure (ADVICE r8, accepted): unlike the integer
+    * SUMS, the per-entry quantization floor(1e4·ln(x)) is not
+    * bit-identical BY CONSTRUCTION between JVM Math.log and DuckDB's libm
+    * ln — a ratio landing within 1 ulp of a floor boundary could flip one
+    * dictionary entry and break the t35 gate (same methodology as t24,
+    * multiplied across vocab×L entries; never observed across r8–r9 runs
+    * at three scales). If a flake ever appears, requantize from an
+    * integer-derived representation (shared fixed-point ln table keyed on
+    * the integer counts) rather than loosening the gate.
     *
     * Scale shape: training is one partial-aggregable (lang, token)
     * groupBy; the dictionary is vocabulary×L-bounded and BROADCAST (a

@@ -264,7 +264,7 @@ class PlanAuditSpec extends SparkSpec {
     // apply a merge; the round's ONLY shuffle belongs to the pair count.
     val ws = graft.operators.Bpe.wordSyms(
       spark.read.parquet(s"$sfSmoke/documents.parquet"))
-    val (next, _) = graft.operators.Bpe.mergeRound(ws)
+    val (next, _) = graft.operators.Bpe.mergeRound(ws).get
     val mergePlan = next.queryExecution.executedPlan.toString
     assert(!mergePlan.contains("Exchange"),
       s"BPE merge application shuffles:\n$mergePlan")

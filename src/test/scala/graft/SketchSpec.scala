@@ -31,7 +31,10 @@ class SketchSpec extends SparkSpec {
       val inter = (a intersect b).size.toDouble
       if (kUsed < 64) {
         // sketch holds the whole union: estimates are definitionally exact
-        assert(unionEst == union && interEst == inter)
+        // up to IEEE round-trip — inter_est = (n_common/k_used)*k_used
+        // need not reproduce the integer bit-for-bit (e.g. (1/49)*49 != 1)
+        assert(math.abs(unionEst - union) < 1e-9 &&
+          math.abs(interEst - inter) < 1e-9 * math.max(inter, 1.0))
       } else {
         val sigma = 1.0 / math.sqrt(64.0)
         assert(math.abs(unionEst - union) <= 3 * sigma * union,
@@ -45,5 +48,26 @@ class SketchSpec extends SparkSpec {
       }
       assert(inter > 0, "audiences do not overlap — weak fixture")
     }
+  }
+
+  test("q55 exact branch: k_used < 64 on a tiny fixture") {
+    import spark.implicits._
+    // both testdata scales have >= 64 distinct part keys per audience, so
+    // the exact-under-k branch was dead there (ADVICE r8): build a corpus
+    // with 10 even-audience and 10 odd-audience keys (union 18, overlap 2)
+    val dir = java.nio.file.Files.createTempDirectory("kmv_tiny").toString
+    (1L to 60L)
+      .map(i => (i, i % 20 + (i % 2) * 15))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q55_sketch_intersect")(spark, dir).head()
+    val kUsed = r.getAs[Long]("k_used")
+    val (a, b) = exactSets(dir)
+    assert(kUsed < 64 && kUsed == (a ++ b).size.toLong,
+      s"fixture failed to exercise the exact branch: k_used=$kUsed")
+    val inter = (a intersect b).size.toDouble
+    assert(inter > 0, "fixture audiences must overlap")
+    assert(math.abs(r.getAs[Double]("union_est") - (a ++ b).size) < 1e-9)
+    assert(math.abs(r.getAs[Double]("inter_est") - inter) < 1e-9 * inter)
   }
 }

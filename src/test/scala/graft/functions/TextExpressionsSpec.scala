@@ -147,6 +147,29 @@ class TextExpressionsSpec extends SparkSpec {
     assert(got.toSeq == Seq("a b", "b a", "a b"))
   }
 
+  test("minHashSignature skips null elements instead of NPE-ing") {
+    import spark.implicits._
+    TextExpressions.register(spark)
+    // a nullable-element array (SQL arrays are nullable by default): the
+    // signature must equal the one over the non-null elements, and an
+    // all-null array must behave like an empty set (ADVICE r8)
+    val got = Seq(
+        (1L, Seq[String]("alpha", null, "beta")),
+        (2L, Seq[String]("alpha", "beta")),
+        (3L, Seq[String](null, null)),
+        (4L, Seq.empty[String]))
+      .toDF("id", "toks")
+      .select($"id", TextExpressions.minHashSignature($"toks", 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == got(2L), "null element changed the signature")
+    assert(got(3L).isEmpty && got(4L).isEmpty)
+    // the SQL surface path too (registered temp function)
+    val sqlGot = spark.sql(
+      "SELECT graft_minhash_sig(array('alpha', CAST(NULL AS STRING), 'beta'), 4)")
+      .head().getSeq[String](0)
+    assert(sqlGot == got(2L))
+  }
+
   test("wordGrams agrees between codegen and interpreted eval") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.unsafe.types.UTF8String

@@ -76,4 +76,20 @@ class BpeSpec extends SparkSpec {
     // chain in abababab -> abab|abab
     check(Seq("abababab ab abab", "ababab"), rounds = 3)
   }
+
+  test("train stops early when the corpus runs out of mergeable pairs") {
+    import spark.implicits._
+    // "ab ab" has exactly 1 mergeable depth; asking for 5 rounds must
+    // return the 1 merge found, not throw partway (ADVICE r8)
+    val df = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    val merges = Bpe.train(df, rounds = 5).orderBy("round").collect()
+    assert(merges.length == 1)
+    assert(merges(0).getString(1) == "a" && merges(0).getString(2) == "b")
+    // encodeStats on the same exhausted corpus must also degrade gracefully
+    val stats = Bpe.encodeStats(df, rounds = 5).collect()
+    assert(stats.length == 1 && stats(0).getLong(1) == 2L)
+    // a corpus of single-char words has NO pairs at all -> empty merge table
+    val none = Bpe.train(Seq((0L, "a b c")).toDF("doc_id", "text"), rounds = 2)
+    assert(none.collect().isEmpty)
+  }
 }
