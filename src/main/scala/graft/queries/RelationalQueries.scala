@@ -1372,6 +1372,45 @@ object RelationalQueries {
           FROM corners GROUP BY 1)
         SELECT part, n_tri FROM cnt
         ORDER BY n_tri DESC, part ASC LIMIT 10"""),
+      bench = true),
+
+    // ---- skew-safe salted join END-TO-END (operators/Scale.saltedJoin):
+    // q51 diagnoses the skew and ScaleSpec proves the operator under 90%
+    // key concentration, but this row puts the SALTED PLAN itself on the
+    // hash gate against the plain-join oracle — the defense for the
+    // canonical 100×-killer ("full shuffle on a hot key" funnels 90% of a
+    // fact table through ONE reducer; salting spreads it over saltFactor).
+    // The fixture manufactures the pathology q51 would flag: hot_key 0
+    // carries ~90% of lineitem (l_orderkey%10<9) and 50 cold keys share
+    // the rest; the dim side is the distinct key set with a derived
+    // attribute. The salt is dropped pre-output, so the salted inner join
+    // must be ROW-IDENTICAL to the unsalted one whatever salt the hash
+    // assigns — which is exactly what the oracle (plain USING join)
+    // checks. PlanAuditSpec pins the physical shape: fact exchange
+    // partitioned on (key, salt), dim replicated via a broadcast salt
+    // range, no SinglePartition. ----
+    Q("q57_salted_join",
+      (s, dir) => {
+        val fact = T(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(pmod(col("l_orderkey"), lit(10)) < 9, lit(0L))
+            .otherwise(pmod(col("l_partkey"), lit(50)) + 1L).as("hot_key"),
+          col("l_quantity"))
+        val dim = fact.select(col("hot_key")).distinct()
+          .select(col("hot_key"),
+            (col("hot_key") * 1000L + 7L).as("dim_val"))
+        graft.operators.Scale.saltedJoin(fact, dim, "hot_key", saltFactor = 8)
+          .select(col("l_orderkey"), col("l_linenumber"), col("hot_key"),
+            col("l_quantity"), col("dim_val"))
+      },
+      Some("""WITH fact AS (SELECT l_orderkey, l_linenumber,
+          CASE WHEN l_orderkey % 10 < 9 THEN 0
+               ELSE l_partkey % 50 + 1 END AS hot_key,
+          l_quantity FROM lineitem),
+        dim AS (SELECT DISTINCT hot_key, hot_key * 1000 + 7 AS dim_val
+                FROM fact)
+        SELECT l_orderkey, l_linenumber, hot_key, l_quantity, dim_val
+        FROM fact JOIN dim USING (hot_key)"""),
       bench = true)
   )
 }

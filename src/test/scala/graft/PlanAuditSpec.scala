@@ -57,6 +57,40 @@ class PlanAuditSpec extends SparkSpec {
       s"no weight bias: sample $sampleMean vs corpus $corpusMean")
   }
 
+  test("q57 salted join spreads the hot key over (key, salt) reducers") {
+    // force the shuffle-join regime (salting exists for dims too big to
+    // broadcast; at gate scale the 51-row dim would auto-broadcast and
+    // make the audit vacuous), then pin the physical shape: the fact
+    // exchange hashes on (hot_key, __salt) — a 90%-hot key spreads over
+    // saltFactor reducers instead of one — the dim side replicates via a
+    // broadcast salt range, and nothing funnels through SinglePartition.
+    withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = SparkEntry.queries("q57_salted_join")(spark, sfSmoke)
+      val plan = df.queryExecution.executedPlan.toString
+      val saltedExchange =
+        "Exchange hashpartitioning\\(hot_key#\\d+L?, __salt#\\d+".r
+      assert(saltedExchange.findFirstIn(plan).isDefined,
+        s"fact side not partitioned on (key, salt):\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastExchange"),
+        s"salt range not broadcast to the dim side:\n$plan")
+      assert(!plan.contains("SinglePartition"),
+        s"salted join still has a single-reducer stage:\n$plan")
+      // row parity with the plain unsalted join on the same inputs
+      val li = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+      import org.apache.spark.sql.functions._
+      val fact = li.select(col("l_orderkey"), col("l_linenumber"),
+        when(pmod(col("l_orderkey"), lit(10)) < 9, lit(0L))
+          .otherwise(pmod(col("l_partkey"), lit(50)) + 1L).as("hot_key"))
+      val plain = fact.join(
+        fact.select(col("hot_key")).distinct()
+          .select(col("hot_key"), (col("hot_key") * 1000L + 7L).as("dim_val")),
+        Seq("hot_key"))
+      assert(df.count() == plain.count())
+    }
+  }
+
   test("q03 pushes filter predicates into the parquet scan") {
     val df = SparkEntry.queries("q03_filter_predicates")(spark, sfSmoke)
     val pushed = scans(df).flatMap(_.metadata.get("PushedFilters")).mkString

@@ -20,4 +20,17 @@ trait SparkSpec extends AnyFunSuite {
 
   def approx(a: Double, b: Double, tol: Double = 1e-9): Boolean =
     math.abs(a - b) <= tol * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  /** Run `body` with SQL confs set, restoring prior values after (the
+    * session is shared across suites — leaked confs would cross-talk). */
+  def withSqlConf[A](confs: (String, String)*)(body: => A): A = {
+    val conf = spark.conf
+    val saved = confs.map { case (k, _) => k -> conf.getOption(k) }
+    confs.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
