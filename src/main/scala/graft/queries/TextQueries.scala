@@ -350,7 +350,13 @@ object TextQueries {
             WHEN 'fr' THEN 10 ELSE 5 END"""),
       bench = true),
 
-    // ---- MinHash + LSH banding: 8 hashes, 4 bands × 2 rows ----
+    // ---- MinHash + LSH banding: 8 hashes, 4 bands × 2 rows.
+    // LEGACY-CONTRACT GATE ONLY (never benched): unigram-token signatures
+    // on a shared-vocabulary corpus collide across unrelated docs, so the
+    // candidate volume scales with corpus² (9.3 M pairs at sf0.1 —
+    // deterministic and oracle-matched, but not a plan to run at 100×).
+    // t36 is the production default: the SAME banding contract over
+    // word-3-gram shingles, whose buckets collide only near identity. ----
     Q("t07_minhash_lsh",
       (s, dir) => {
         val sig = postings(s, dir).groupBy(col("doc_id"))
@@ -378,6 +384,39 @@ object TextQueries {
                      FROM sig)
           SELECT DISTINCT a_id, b_id FROM ($bandJoins) u"""
       }),
+
+    // ---- the production near-dup candidate generator: t07's banding
+    // contract over word-3-gram SHINGLES (NearDup.selfMinHashPairs — the
+    // per-row signature kernel, no shuffle until the band join). Same
+    // 8-hash/4-band scheme, same (a_id, b_id) output; what changes is the
+    // collision structure: shingle buckets fire only near identity, so
+    // candidates are ∝ true near-dups (sf0.1 measured: t07 9.3 M pairs →
+    // t36 1.6 k) and the plan survives 100× where t07's would not. ----
+    Q("t36_shingle_lsh",
+      (s, dir) => graft.operators.NearDup.selfMinHashPairs(
+        T(s, dir, "documents").select(col("doc_id"), col("text"))),
+      Some {
+        val mins = (1 to 8)
+          .map(i => s"min(substr(md5('$i:' || tok), 1, 16)) AS h$i")
+          .mkString(", ")
+        val bands = (1 to 4)
+          .map(i => s"h${2 * i - 1}||h${2 * i} AS b$i").mkString(", ")
+        val bandJoins = (1 to 4).map { i =>
+          s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM banded a JOIN banded b
+              ON a.b$i = b.b$i AND a.doc_id < b.doc_id"""
+        }.mkString(" UNION ALL ")
+        s"""WITH toks AS MATERIALIZED (SELECT DISTINCT doc_id,
+              array_to_string(words[j:j+2], ' ') AS tok
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents) w,
+              LATERAL (SELECT unnest(range(1, greatest(len(words)-2, 0)+1))
+                       AS j) r),
+          sig AS (SELECT doc_id, $mins FROM toks GROUP BY doc_id),
+          banded AS (SELECT doc_id, $bands FROM sig)
+          SELECT DISTINCT a_id, b_id FROM ($bandJoins) u"""
+      },
+      bench = true),
 
     // ---- character 5-gram shingle MinHash: true shingling (not token sets),
     // the standard near-dup representation for web-scale corpora. Shingles

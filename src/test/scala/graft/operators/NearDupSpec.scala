@@ -302,4 +302,48 @@ class NearDupSpec extends SparkSpec {
     val evalSet = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(NearDup.crossMinHashPairs(train, evalSet).count() === 0L)
   }
+
+  test("selfMinHashPairs equals the banded brute force within one corpus") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val vocab = (1 to 40).map(i => s"w$i")
+    def randDoc(len: Int): String =
+      (1 to len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    def paraphrase(t: String, swaps: Int): String = {
+      val arr = t.split(" ")
+      (1 to swaps).foreach(_ =>
+        arr(rnd.nextInt(arr.length)) = vocab(rnd.nextInt(vocab.length)))
+      arr.mkString(" ")
+    }
+    val bases = (0 until 5).map(i => (i.toLong, randDoc(25)))
+    val corpus = bases ++
+      bases.take(2).map { case (id, t) => (id + 100, t) } ++           // verbatim dups
+      bases.slice(2, 4).map { case (id, t) => (id + 100, paraphrase(t, 2)) } ++
+      (10 until 30).map(i => (i.toLong, randDoc(20))) :+
+      (50L, "ab")                                                      // gram-less
+    // brute-force reference: pair is a candidate iff ANY band matches
+    def tokSet(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def sig(toks: Set[String]): Seq[String] =
+      (1 to 8).map(seed =>
+        toks.map(tok => md5hex(s"$seed:$tok").substring(0, 16)).min)
+    val withSets = corpus.map { case (id, t) => (id, tokSet(t)) }
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (a, as) <- withSets; (b, bs) <- withSets
+      if a < b
+      if sig(as).grouped(2).map(_.mkString).toSeq
+        .zip(sig(bs).grouped(2).map(_.mkString).toSeq)
+        .exists { case (x, y) => x == y }
+    } yield (a, b)).toSet
+    val got = NearDup.selfMinHashPairs(corpus.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // verbatim duplicates share every band -> always candidates
+    assert(Set((0L, 100L), (1L, 101L)).subsetOf(got))
+    assert(want.size >= 3, "paraphrased dups should also pair — weak fixture")
+  }
 }
