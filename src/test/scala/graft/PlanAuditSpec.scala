@@ -57,6 +57,19 @@ class PlanAuditSpec extends SparkSpec {
       s"no weight bias: sample $sampleMean vs corpus $corpusMean")
   }
 
+  test("t12 keeps the broadcast df dictionary and the pushed group-limit") {
+    // the two plan properties t12's cost depends on (round-9 profile of
+    // the r06->r08 0.75->1.10 s drift: both intact, warm passes span
+    // 0.72-1.05 s in ONE session, so the drift was co-tenant noise —
+    // pinned here so a real regression fails the suite, not a bench diff)
+    val df = SparkEntry.queries("t12_tfidf_topk")(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"df dictionary no longer broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k no longer pushed to WindowGroupLimit:\n$plan")
+  }
+
   test("q57 salted join spreads the hot key over (key, salt) reducers") {
     // force the shuffle-join regime (salting exists for dims too big to
     // broadcast; at gate scale the 51-row dim would auto-broadcast and
