@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{DecarbDate, FixedClock}
 import graft.functions.Money.cents
-import graft.jobs.{ElectTargetEtl, RawToStaging, RenewGreenEnergy, StagingToApp}
+import graft.jobs.{ElectTargetEtl, MaccSummary, RawToStaging, RenewGreenEnergy, StagingToApp}
 import Q._
 
 /** End-to-end job transforms on the oracle surface: the three structurally
@@ -46,6 +46,73 @@ object JobQueries {
     """sum(amount) OVER (PARTITION BY year(period_start), plant, category
        ORDER BY period_start, amount
        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+  // ---- j07 fixture dims, shared by the engine frames and the oracle
+  // VALUES so the two sides cannot drift. Amounts are exact binary
+  // fractions (k/2^n) purely for tidiness — every dim value crosses the
+  // chain row-wise, so determinism only needs identical literals. ----
+
+  /** demand sites by o_custkey % 12 — covers every MaccSummary special
+    * case: the WKS:XTRKS split, the WIH coefficient fan-out targets
+    * (N2/WKH/WTN/竹北AI), the renamed spellings' targets (WIHK-1, WMY),
+    * a PPA-zero site (WCD), and a plain site (WHC). */
+  private val maccSites = Seq("WKS", "XTRKS", "WZS", "WIH", "N2", "竹北AI",
+    "WKH", "WTN", "WIHK-1", "WMY", "WCD", "WHC")
+
+  /** solar plants by l_suppkey % 6 — includes the shared WKS/XTRKS plant
+    * and deliberately NO plain WKS/XTRKS plant (the reference corpus
+    * shape: the split and the 2025+ rollup rename never collide). */
+  private val maccPlants = Seq("WKS/XTRKS", "WZS", "WIH", "N2", "WCD", "WHC")
+
+  /** staging.decarb_carbon_coef — the PRE-decode spellings (WIHK1/WMYP1),
+    * so the gate exercises the rename onto the demand sites. */
+  private val maccCoef: Seq[(String, Int, Double)] = for {
+    (site, i) <- Seq("WIH", "WZS", "WKS", "XTRKS", "WIHK1", "WMYP1", "WCD",
+      "WHC").zipWithIndex
+    year <- 2024 to 2026
+  } yield (site, year, 0.25 + i * 0.125 + (year - 2024) * 0.0625)
+
+  /** green certificate cost — WHC deliberately absent (null cost path) */
+  private val maccCerCost: Seq[(String, Int, Double)] = for {
+    (site, i) <- Seq("WIH", "WZS", "WKS", "XTRKS", "WIHK-1", "WMY", "WCD",
+      "WKH", "WTN").zipWithIndex
+    year <- 2024 to 2026
+  } yield (site, year, 1.5 + i * 0.25 + (year - 2024) * 0.125)
+
+  /** green electricity price diff — only WIH/WZS/WKS/XTRKS/WIHK-1/WMY/WCD;
+    * N2 and 竹北AI receive WIH's rows via the job's copy step */
+  private val maccElecCost: Seq[(String, Int, Double)] = for {
+    (site, i) <- Seq("WIH", "WZS", "WKS", "XTRKS", "WIHK-1", "WMY", "WCD")
+      .zipWithIndex
+    year <- 2024 to 2026
+  } yield (site, year, 0.75 + i * 0.125 + (year - 2024) * 0.0625)
+
+  /** PPA share by year (null propagation is exercised via the WHC cost
+    * gap instead of a missing year — a missing PPA year nulls EVERY
+    * measure of that year, which would just shrink the gate); the REC row
+    * checks the category filter */
+  private val maccPpa: Seq[(Int, String, Double)] =
+    Seq((2024, "PPA", 22.0), (2025, "PPA", 24.0), (2026, "PPA", 26.0),
+      (2024, "REC", 50.0))
+
+  private val maccFx: Seq[(Int, Double)] =
+    Seq(2024 -> 0.140625, 2025 -> 0.1376953125, 2026 -> 0.134765625)
+
+  private val maccWacc = 5.637
+
+  /** discount factors (1 + wacc/100)^n as literals on the oracle side:
+    * Spark's Pow evaluates via java.lang.StrictMath.pow, so computing the
+    * same call here and printing the round-trip decimal gives DuckDB the
+    * bit-identical double the engine divides by (the m02 trick, extended
+    * to a runtime pow) */
+  private val maccFactors: Seq[(Int, Double)] = (1 to 3).map(n =>
+    (2023 + n, StrictMath.pow(maccWacc * 0.01 + 1.0, n.toDouble)))
+
+  private def sqlValues3(rows: Seq[(String, Int, Double)],
+                         cols: (String, String, String)): String =
+    s"""(VALUES ${rows.map { case (s, y, a) =>
+      s"('$s', $y, CAST($a AS DOUBLE))" }.mkString(", ")})
+      t(${cols._1}, ${cols._2}, ${cols._3})"""
 
   val all: Seq[Q] = Seq(
 
@@ -539,6 +606,184 @@ object JobQueries {
           SELECT year, quarter, area, site, customer, total_elect,
             grey_elect, target_renew, solar, green_elect, green_energy,
             green_energy_request, unit_price, predict_price, actual_amount,
-            ratio FROM sites) u"""))
+            ratio FROM sites) u""")),
+
+    // ---- the FULL MACC chain end-to-end (reference: macc_summary/
+    // macc_input_to_summary.py:12-283): assembleDemand (version argmax,
+    // WKS:XTRKS demand-ratio split, 2025+ rollup quirk, PPA/REC share
+    // algebra with the REC clip, carbon-coefficient fan-out + respellings)
+    // → joinGreenCosts (WIH price copies, dedup) → summarize (FX convert,
+    // yearly cost, WACC discount, marginal cost with the zero-abatement
+    // null, 6-measure unpivot). Only m02 (the discount step alone) was
+    // gated before; this row hash-proves every formula of the reference's
+    // densest job against an independent SQL reconstruction. Determinism:
+    // the only re-aggregated doubles (solar) are exact integers (cents as
+    // doubles), everything downstream is row-wise; the runtime pow() is
+    // matched by oracle-side literals from the same StrictMath.pow. ----
+    Q("j07_macc_chain",
+      (s, dir) => {
+        import s.implicits._
+        def idxCase(idx: Column, names: Seq[String]): Column =
+          names.zipWithIndex.tail.foldLeft(
+            when(idx === 0, names.head)) { case (acc, (n, i)) =>
+            acc.when(idx === i, n) }
+        val demandRaw = T(s, dir, "orders")
+          .filter(year(col("o_orderdate")).between(1994, 1996))
+          .groupBy(
+            idxCase((col("o_custkey") % 12).cast("int"), maccSites).as("site"),
+            (year(col("o_orderdate")) + 30).as("year"),
+            when(col("o_orderkey") % 3 === 0, "V10").otherwise("V2").as("version"))
+          .agg(sum(cents(col("o_totalprice"))).cast("double").as("amount"))
+          .select(col("site"), col("year"), col("amount"), col("version"))
+        val rawSolar = T(s, dir, "lineitem")
+          .filter(year(col("l_shipdate")).between(1994, 1996))
+          .groupBy(
+            idxCase((col("l_suppkey") % 6).cast("int"), maccPlants).as("plant"),
+            when(col("l_linenumber") % 2 === 0, "target").otherwise("actual")
+              .as("category"),
+            make_date(year(col("l_shipdate")) + 30, month(col("l_shipdate")),
+              lit(1)).as("period_start"))
+          .agg(sum(cents(col("l_extendedprice"))).cast("double").as("amount"))
+        val demand = MaccSummary.assembleDemand(demandRaw, rawSolar,
+          maccPpa.toDF("year", "category", "amount"),
+          maccCoef.toDF("site", "year", "amount"))
+        val withCosts = MaccSummary.joinGreenCosts(demand,
+          maccCerCost.toDF("site", "year", "amount"),
+          maccElecCost.toDF("site", "year", "amount"))
+        MaccSummary.summarize(withCosts, maccFx.toDF("year", "rate"), maccWacc)
+      },
+      Some {
+        def idxCase(e: String, names: Seq[String]): String =
+          s"CASE $e " + names.zipWithIndex
+            .map { case (n, i) => s"WHEN $i THEN '$n'" }.mkString(" ") + " END"
+        val fxVals = maccFx.map { case (y, r) =>
+          s"($y, CAST($r AS DOUBLE))" }.mkString(", ")
+        val facVals = maccFactors.map { case (y, f) =>
+          s"($y, CAST($f AS DOUBLE))" }.mkString(", ")
+        val ppaVals = maccPpa.map { case (y, c, a) =>
+          s"($y, '$c', CAST($a AS DOUBLE))" }.mkString(", ")
+        s"""WITH demand_raw AS (
+            SELECT ${idxCase("CAST(o_custkey % 12 AS INTEGER)", maccSites)} AS site,
+              CAST(year(o_orderdate) + 30 AS INTEGER) AS year,
+              CAST(${sqlSumC("o_totalprice")} AS DOUBLE) AS amount,
+              CASE WHEN o_orderkey % 3 = 0 THEN 'V10' ELSE 'V2' END AS version
+            FROM orders WHERE year(o_orderdate) BETWEEN 1994 AND 1996
+            GROUP BY 1, 2, 4),
+          maxv AS (SELECT max(TRY_CAST(substr(version, 2) AS INTEGER)) AS mv
+            FROM demand_raw),
+          demand AS (SELECT site, year, amount FROM demand_raw, maxv
+            WHERE TRY_CAST(substr(version, 2) AS INTEGER) = mv),
+          ratio AS (SELECT w.amount / (w.amount + x.amount) AS r
+            FROM (SELECT amount FROM demand WHERE site = 'WKS' AND year = 2024) w,
+                 (SELECT amount FROM demand WHERE site = 'XTRKS' AND year = 2024) x),
+          solar_raw AS (
+            SELECT ${idxCase("CAST(l_suppkey % 6 AS INTEGER)", maccPlants)} AS plant,
+              CASE WHEN l_linenumber % 2 = 0 THEN 'target' ELSE 'actual' END
+                AS category,
+              make_date(CAST(year(l_shipdate) + 30 AS INTEGER),
+                CAST(month(l_shipdate) AS INTEGER), 1) AS period_start,
+              CAST(${sqlSumC("l_extendedprice")} AS DOUBLE) AS amount
+            FROM lineitem WHERE year(l_shipdate) BETWEEN 1994 AND 1996
+            GROUP BY 1, 2, 3),
+          solar2024 AS (SELECT plant, CAST(2024 AS INTEGER) AS year,
+              sum(amount) AS amount
+            FROM solar_raw WHERE category = 'target' AND year(period_start) = 2024
+            GROUP BY 1),
+          shared AS (SELECT amount FROM solar2024 WHERE plant = 'WKS/XTRKS'),
+          solar_later AS (SELECT
+              CASE WHEN plant = 'WKS/XTRKS' THEN 'XTRKS' ELSE plant END AS plant,
+              year, amount
+            FROM (SELECT plant, CAST(year(period_start) AS INTEGER) AS year,
+                sum(amount) AS amount
+              FROM solar_raw WHERE year(period_start) >= 2025 GROUP BY 1, 2) g),
+          solar_all AS (
+            SELECT plant AS site, year, amount AS solar_demand FROM solar2024
+            UNION ALL SELECT 'WKS', CAST(2024 AS INTEGER), s.amount * r.r
+              FROM shared s, ratio r
+            UNION ALL SELECT 'XTRKS', CAST(2024 AS INTEGER), s.amount * (1 - r.r)
+              FROM shared s, ratio r
+            UNION ALL SELECT plant, year, amount FROM solar_later),
+          with_solar AS (SELECT d.site, d.year, d.amount,
+              COALESCE(sa.solar_demand, CAST(0.0 AS DOUBLE)) AS solar_demand
+            FROM demand d LEFT JOIN solar_all sa
+              ON sa.site = d.site AND sa.year = d.year),
+          ws2 AS (SELECT *, solar_demand / amount * 100 AS solar_rate
+            FROM with_solar),
+          ppa AS (SELECT year, amount AS ppa_in
+            FROM (VALUES $ppaVals) s(year, category, amount)
+            WHERE category = 'PPA'),
+          r1 AS (SELECT w.*, CASE WHEN w.site IN ('WCD','WCQ','WCZ','WMX','WVN')
+                THEN CAST(0.0 AS DOUBLE) ELSE p.ppa_in END AS ppa0
+            FROM ws2 w LEFT JOIN ppa p ON p.year = w.year),
+          r2 AS (SELECT *, CASE WHEN (100 - solar_rate - ppa0) < 0
+                THEN CAST(0.0 AS DOUBLE) ELSE (100 - solar_rate - ppa0) END
+                AS rec_rate
+            FROM r1),
+          r3 AS (SELECT *, 100 - solar_rate - rec_rate AS ppa_rate FROM r2),
+          r4 AS (SELECT *, amount * ppa_rate / 100 AS ppa_demand,
+              amount * rec_rate / 100 AS rec_demand FROM r3),
+          coef_src AS (SELECT * FROM
+            ${sqlValues3(maccCoef, ("site", "year", "amount"))}),
+          coef AS (SELECT CASE site WHEN 'WIHK1' THEN 'WIHK-1'
+                WHEN 'WIHK2' THEN 'WIHK-2' WHEN 'WMYP1' THEN 'WMY'
+                ELSE site END AS site,
+              year, amount AS ccoef
+            FROM (SELECT site, year, amount FROM coef_src
+              UNION ALL SELECT 'N2', year, amount FROM coef_src WHERE site = 'WIH'
+              UNION ALL SELECT 'WKH', year, amount FROM coef_src WHERE site = 'WIH'
+              UNION ALL SELECT 'WTN', year, amount FROM coef_src WHERE site = 'WIH'
+              UNION ALL SELECT '竹北AI', year, amount FROM coef_src
+                WHERE site = 'WIH') u),
+          d2 AS (SELECT r.*, c.ccoef,
+              r.ppa_demand * c.ccoef / 1000 AS ppa_abatement,
+              r.rec_demand * c.ccoef / 1000 AS rec_abatement
+            FROM r4 r LEFT JOIN coef c ON c.site = r.site AND c.year = r.year),
+          certs AS (SELECT site, year, amount AS cer_cost FROM
+            ${sqlValues3(maccCerCost, ("site", "year", "amount"))}),
+          elec_src AS (SELECT * FROM
+            ${sqlValues3(maccElecCost, ("site", "year", "amount"))}),
+          elec AS (SELECT DISTINCT site, year, amount AS elec_diff
+            FROM (SELECT site, year, amount FROM elec_src
+              UNION ALL SELECT 'N2', year, amount FROM elec_src WHERE site = 'WIH'
+              UNION ALL SELECT '竹北AI', year, amount FROM elec_src
+                WHERE site = 'WIH') u),
+          d3 AS (SELECT d.*, ct.cer_cost, el.elec_diff
+            FROM d2 d
+            LEFT JOIN certs ct ON ct.site = d.site AND ct.year = d.year
+            LEFT JOIN elec el ON el.site = d.site AND el.year = d.year),
+          fx AS (SELECT * FROM (VALUES $fxVals) f(year, rate)),
+          fac AS (SELECT * FROM (VALUES $facVals) f(year, factor)),
+          enr AS (SELECT d.site, d.year, d.ppa_abatement, d.rec_abatement,
+              d.rec_demand * (d.cer_cost * f.rate / 1000.0) AS rec_year_cost,
+              d.ppa_demand * (d.elec_diff * f.rate / 1000.0) AS ppa_year_cost,
+              fc.factor
+            FROM d3 d LEFT JOIN fx f ON f.year = d.year
+            LEFT JOIN fac fc ON fc.year = d.year),
+          enr2 AS (SELECT site, year, ppa_abatement, rec_abatement,
+              rec_year_cost / factor AS wacc_cer_cost,
+              ppa_year_cost / factor AS wacc_cost
+            FROM enr),
+          enr3 AS (SELECT *,
+              CASE WHEN rec_abatement <> 0 THEN wacc_cer_cost / rec_abatement
+                END AS wacc_cer_margin,
+              CASE WHEN ppa_abatement <> 0 THEN wacc_cost / ppa_abatement
+                END AS wacc_margin
+            FROM enr2),
+          m AS (
+            SELECT site, year, wacc_cost AS amount,
+              '2.2 PPA' AS lever, '減碳成本' AS item FROM enr3
+            UNION ALL SELECT site, year, wacc_cer_cost,
+              '2.3 Unbundled EAC', '減碳成本' FROM enr3
+            UNION ALL SELECT site, year, ppa_abatement,
+              '2.2 PPA', '碳排減排量' FROM enr3
+            UNION ALL SELECT site, year, rec_abatement,
+              '2.3 Unbundled EAC', '碳排減排量' FROM enr3
+            UNION ALL SELECT site, year, wacc_margin,
+              '2.2 PPA', '邊際減排成本' FROM enr3
+            UNION ALL SELECT site, year, wacc_cer_margin,
+              '2.3 Unbundled EAC', '邊際減排成本' FROM enr3)
+          SELECT site, year, amount, 'Scope 2' AS category, lever, item
+          FROM m WHERE year > 2023 AND amount IS NOT NULL"""
+      })
   )
 }
