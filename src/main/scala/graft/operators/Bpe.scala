@@ -7,20 +7,25 @@ import org.apache.spark.sql.functions._
   * vocabulary step of an LLM data pipeline (Sennrich et al. 2016).
   *
   * Design: a WORD is BPE's natural locality unit — merges never cross word
-  * boundaries — so the corpus is held as one row per word, its symbol
-  * sequence a ' '-separated STRING (symbols are merged character runs and
-  * never contain the separator; the string form is ~10× smaller than an
-  * array of one-char UTF8Strings, which is what the per-round cache and
-  * every scan pays for). Each round is:
+  * boundaries — so training state is the DISTINCT-WORD HISTOGRAM (round 9:
+  * one (syms, cnt) row per distinct word; previously one row per word
+  * occurrence), the symbol sequence a ' '-separated STRING (symbols are
+  * merged character runs and never contain the separator; the string form
+  * is ~10× smaller than an array of one-char UTF8Strings, which is what
+  * the per-round cache and every scan pays for). Each round is:
   *   1. global pair count: one codegen kernel explode
-  *      ([[graft.functions.TextExpressions.BpeSymPairs]]) + one
-  *      partial-aggregable groupBy (uniform pair keys — the only shuffle);
+  *      ([[graft.functions.TextExpressions.BpeSymPairs]]) over the
+  *      distinct words, weighted by cnt, + one partial-aggregable groupBy
+  *      (uniform pair keys — the only shuffle, vocabulary-sized);
   *   2. argmax pair (count desc, then lexicographic — deterministic),
   *      a TakeOrdered(1) driver scalar like KMeans' centroid pull;
   *   3. merge application: MAP-ONLY — the codegen kernel
   *      [[graft.functions.TextExpressions.BpeMergeApply]] rewrites each
   *      word's string in place (leftmost-nonoverlapping greedy, a,a,a →
   *      (aa),a, no re-merge of freshly formed symbols within a round).
+  * Corpus size enters training ONLY through the initial word-count
+  * shuffle; the histogram is additive under slicing, which powers the
+  * incremental refresh ([[graft.jobs.BpeVocabIndex]]).
   * Rounds are inherently sequential (round k+1 counts the corpus AS
   * REWRITTEN by round k) — that is BPE, not a plan artifact; production
   * trainers amortize by batching merges, and each batch's re-count has
@@ -51,6 +56,32 @@ object Bpe {
         expr("array_join(transform(sequence(1, length(word)), " +
           "i -> substr(word, i, 1)), ' ')").as("syms"))
 
+  /** The distinct-word histogram (word, cnt) — BPE's SUFFICIENT STATISTIC:
+    * merges never cross word boundaries, so every global pair count is
+    * Σ over DISTINCT words of cnt(word) × (pairs inside the word). Two
+    * consequences the engine builds on:
+    *  - training cost ∝ vocabulary, not corpus: after this one
+    *    partial-aggregable shuffle, every merge round explodes pairs of
+    *    the distinct-word table only (a natural-language corpus has
+    *    corpus/vocab ratios in the 10²–10⁴ range at 100 TB);
+    *  - the histogram is ADDITIVE under any corpus slicing — counts from
+    *    arrival batches merge by summation — which is what makes the
+    *    incremental vocab refresh ([[graft.jobs.BpeVocabIndex]]) exact
+    *    rather than approximate. */
+  def wordCounts(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** (syms, cnt) state rows from a (word, cnt) histogram. */
+  private def countSyms(wordCounts: DataFrame): DataFrame =
+    wordCounts.select(
+      expr("array_join(transform(sequence(1, length(word)), " +
+        "i -> substr(word, i, 1)), ' ')").as("syms"),
+      col("cnt"))
+
   /** One merge round over (doc_id, word_idx, syms) rows. `None` when no
     * adjacent pair remains anywhere in the corpus (every word fully merged
     * to a single symbol) — the caller stops early with the merges found so
@@ -75,30 +106,64 @@ object Bpe {
     }
   }
 
+  /** [[mergeRound]]'s weighted twin over (syms, cnt) distinct-word rows:
+    * each word's adjacent pairs count `cnt` times — the identical global
+    * pair counts at vocabulary-sized, not corpus-sized, explode volume.
+    * Same deterministic argmax, same `None`-when-exhausted contract. */
+  def mergeRoundCounts(rows: DataFrame): Option[(DataFrame, (String, String, Long))] = {
+    graft.functions.TextExpressions.register(rows.sparkSession)
+    val pairs = rows.select(explode(
+      graft.functions.TextExpressions.bpeSymPairs(col("syms"))).as("p"),
+      col("cnt"))
+    val bestRow = pairs.groupBy(col("p")).agg(sum(col("cnt")).as("c"))
+      .select(col("c"), element_at(split(col("p"), " "), 1).as("a"),
+        element_at(split(col("p"), " "), 2).as("b"))
+      .orderBy(col("c").desc, col("a").asc, col("b").asc)
+      .limit(1).collect()
+    bestRow.headOption.map { best =>
+      val (a, b, c) = (best.getString(1), best.getString(2), best.getLong(0))
+      val rewritten = rows.select(
+        graft.functions.TextExpressions.bpeMerge(col("syms"), a, b).as("syms"),
+        col("cnt"))
+      (rewritten, (a, b, c))
+    }
+  }
+
   /** Train `rounds` merges; returns the merge table
     * (round, lhs, rhs, merged, pair_count, n_rows_after) — lhs/rhs, not
     * left/right: SQL keywords on the oracle surface; n_rows_after is the
     * corpus-wide symbol count after applying the round's merge
-    * (separators + 1 per word — a length difference, no re-split). The
-    * corpus is re-persisted per round and the previous round's cache
-    * released — each round's lineage would otherwise recompute every
-    * prior round (measured 23% slower even at rounds = 3). */
+    * (separators + 1 per word — a length difference, no re-split).
+    *
+    * Routes through [[trainFromCounts]] over [[wordCounts]] (round 9):
+    * identical output to the per-occurrence formulation — the t33/t34
+    * hash gates prove it against the per-occurrence SQL oracle, BpeSpec
+    * against the sequential reference — but every per-round pass touches
+    * the distinct-word histogram instead of the exploded corpus. */
   def train(docs: DataFrame, rounds: Int,
-            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    var rows = wordSyms(docs, idCol, textCol)
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    trainFromCounts(wordCounts(docs, idCol, textCol), rounds)
+
+  /** [[train]] from a (word, cnt) histogram — the entry the incremental
+    * vocab refresh uses: histograms are additive under corpus slicing, so
+    * a refresh merges counts and retrains without touching raw text. The
+    * state is re-persisted per round and the previous round's cache
+    * released — each round's lineage would otherwise recompute every
+    * prior round (measured 23% slower even at rounds = 3). Stops early
+    * (merge table shorter than `rounds`) once no adjacent pair remains. */
+  def trainFromCounts(wordCounts: DataFrame, rounds: Int): DataFrame = {
+    val spark = wordCounts.sparkSession
+    var rows = countSyms(wordCounts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // stops early (merge table shorter than `rounds`) once no adjacent
-    // pair remains — small corpora exhaust their mergeable depth
     val merges = Iterator.range(1, rounds + 1)
-      .map(r => (r, mergeRound(rows)))
+      .map(r => (r, mergeRoundCounts(rows)))
       .takeWhile(_._2.isDefined)
       .map { case (r, m) =>
         val (next, (a, b, c)) = m.get
         val pinned = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = pinned
-          .agg(sum(length(col("syms")) -
-            length(translate(col("syms"), " ", "")) + 1L))
+          .agg(sum((length(col("syms")) -
+            length(translate(col("syms"), " ", "")) + 1L) * col("cnt")))
           .head().getLong(0)
         rows.unpersist(false)
         rows = pinned
@@ -112,20 +177,25 @@ object Bpe {
   /** Encode the corpus with `rounds` freshly trained merges and emit
     * per-doc token statistics — the apply half of the tokenizer story
     * (train picks the vocabulary; this is what the pipeline runs on every
-    * document thereafter). Deliberately cache-free: each round's argmax
-    * re-derives the corpus through map-only kernel passes (Σ rounds cheap
-    * maps — for a gate-sized `rounds` that beats pinning the intermediate
-    * corpus for the session, and the operator leaves no persisted state
-    * behind). Output: (doc_id, n_tokens, n_unique_tokens) after all
+    * document thereafter). Training runs on the word histogram
+    * ([[train]]); the trained merge table (a rounds-sized driver scalar,
+    * like KMeans' centroid pull) is then applied to the per-doc word rows
+    * as `rounds` chained MAP-ONLY kernel passes — the corpus itself is
+    * never pair-exploded or shuffled until the final per-doc stats
+    * groupBy. Output: (doc_id, n_tokens, n_unique_tokens) after all
     * merges. Oracle-gated as t34 against the relational formulation's
     * final corpus state. */
   def encodeStats(docs: DataFrame, rounds: Int,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val merges = train(docs, rounds, idCol, textCol)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    graft.functions.TextExpressions.register(docs.sparkSession)
     var rows = wordSyms(docs, idCol, textCol)
-    Iterator.range(0, rounds)
-      .map(_ => mergeRound(rows))
-      .takeWhile(_.isDefined)
-      .foreach { m => rows = m.get._1 }
+    merges.foreach { case (a, b) =>
+      rows = rows.select(col("doc_id"), col("word_idx"),
+        graft.functions.TextExpressions.bpeMerge(col("syms"), a, b).as("syms"))
+    }
     rows.select(col("doc_id"), explode(split(col("syms"), " ")).as("sym"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
