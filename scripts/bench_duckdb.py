@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""DuckDB comparator for the bench set — the honest methodology from
+MEMORY/PERF.md: ONE warm shared connection, all table views created once,
+min-of-2 per query, same-day pairing with the engine run.
+
+Usage: bench_duckdb.py SF_DIR ORACLE_JSON [name ...]
+  SF_DIR      parquet dir (file tables like sf0.1, or dir tables from ScaleUp)
+  ORACLE_JSON oracle_sql.json from a graft.Verify dump
+  name...     query names to time (default: every name in the json)
+Prints one JSON line: {"total_sec":..., "queries":{name:sec,...}, "errors":{}}
+"""
+import json, os, sys, time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf, oracle_path = sys.argv[1], sys.argv[2]
+    oracle = json.load(open(oracle_path))
+    names = sys.argv[3:] or sorted(oracle.keys())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.isdir(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # warmup pass primes the buffer pool the same way the engine warms codegen
+    times, errors = {}, {}
+    for name in names:
+        sql = oracle.get(name)
+        if not sql:
+            continue
+        try:
+            con.execute(f"SELECT count(*) FROM ({sql}) q").fetchall()
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                con.execute(f"SELECT count(*) FROM ({sql}) q").fetchall()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 4)
+        except Exception as e:
+            errors[name] = str(e).split("\n")[0][:200]
+    print(json.dumps({"total_sec": round(sum(times.values()), 3),
+                      "n": len(times), "queries": times, "errors": errors}))
+
+
+if __name__ == "__main__":
+    main()

@@ -96,6 +96,49 @@ object StreamBench {
     val sec3 = (System.nanoTime() - t2) / 1e9
     println(s"""{"metric":"funnel_ingest","events":$nEv,"sec":$sec3,""" +
       s""""stage_hits":$hits}""")
+
+    // ---- out-of-order-exact funnel (round 9): same corpus through the
+    // watermark-delayed fold — the price of exactness is the buffered
+    // delay-window state, and this measures it instead of asserting it ----
+    val evDir2 = Files.createTempDirectory("sb_events_exact")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      evDir2.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val t3 = System.nanoTime()
+    val qx = graft.streaming.FunnelStream
+      .stageHitsExact(spark, evDir2.toString, "30 minutes").toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sb_funnel_exact").start()
+    qx.processAllAvailable()
+    qx.stop()
+    val sec4 = (System.nanoTime() - t3) / 1e9
+    val hitsX = spark.table("sb_funnel_exact").count()
+    println(s"""{"metric":"funnel_exact_ingest","events":$nEv,"sec":$sec4,""" +
+      s""""stage_hits_emitted":$hitsX}""")
+
+    // ---- incremental BPE vocab refresh (round 9): the claim is that a
+    // refresh costs one batch word-count + a VOCABULARY-sized retrain —
+    // independent of how much corpus the index has already absorbed, which
+    // is what makes a standing tokenizer vocabulary maintainable at
+    // ingest. b2 re-ingests the same-size batch after the corpus doubled;
+    // near-equal timings are the evidence. ----
+    val bpeDir = Files.createTempDirectory("sb_bpe").toString
+    val half1 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), col("text"))
+    val half2 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("text"))
+    val tb = System.nanoTime()
+    graft.jobs.BpeVocabIndex.build(half1, bpeDir, rounds = 3)
+    val secB = (System.nanoTime() - tb) / 1e9
+    val tr1 = System.nanoTime()
+    graft.jobs.BpeVocabIndex.refresh(spark, bpeDir, half2).count()
+    val secR1 = (System.nanoTime() - tr1) / 1e9
+    val tr2 = System.nanoTime()
+    graft.jobs.BpeVocabIndex.refresh(spark, bpeDir,
+      half2.select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+      .count()
+    val secR2 = (System.nanoTime() - tr2) / 1e9
+    println(s"""{"metric":"bpe_vocab_refresh","docs_per_batch":${n1 / 2},""" +
+      s""""sec_build":$secB,"sec_refresh1":$secR1,"sec_refresh2":$secR2}""")
     spark.stop()
   }
 }
