@@ -34,14 +34,15 @@ def main():
     for name in names:
         sql = oracle.get(name)
         if not sql:
+            errors[name] = "no such query in oracle json"
             continue
         try:
             con.execute(f"SELECT count(*) FROM ({sql}) q").fetchall()
             best = None
             for _ in range(2):
-                t0 = time.time()
+                t0 = time.perf_counter()
                 con.execute(f"SELECT count(*) FROM ({sql}) q").fetchall()
-                dt = time.time() - t0
+                dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             times[name] = round(best, 4)
         except Exception as e:

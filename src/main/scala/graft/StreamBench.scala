@@ -126,6 +126,7 @@ object StreamBench {
       .select(col("doc_id"), col("text"))
     val half2 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
       .select(col("doc_id"), col("text"))
+    val nHalf = half1.count()
     val tb = System.nanoTime()
     graft.jobs.BpeVocabIndex.build(half1, bpeDir, rounds = 3)
     val secB = (System.nanoTime() - tb) / 1e9
@@ -137,7 +138,7 @@ object StreamBench {
       half2.select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
       .count()
     val secR2 = (System.nanoTime() - tr2) / 1e9
-    println(s"""{"metric":"bpe_vocab_refresh","docs_per_batch":${n1 / 2},""" +
+    println(s"""{"metric":"bpe_vocab_refresh","docs_per_batch":$nHalf,""" +
       s""""sec_build":$secB,"sec_refresh1":$secR1,"sec_refresh2":$secR2}""")
     spark.stop()
   }

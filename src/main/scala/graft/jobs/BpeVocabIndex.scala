@@ -56,11 +56,19 @@ object BpeVocabIndex {
       .unionByName(Bpe.wordCounts(newDocs))
       .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
     merged.write.mode("overwrite").parquet(s"$path/word_counts_stage")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // the filesystem OWNING the index path, not the session default (an
+    // HDFS-default session with a file:/ index would otherwise delete and
+    // rename on the wrong FS, returning false without throwing), and both
+    // booleans checked: a failed rename after the delete would strand the
+    // only copy of the histogram in the stage dir
     val live = new org.apache.hadoop.fs.Path(s"$path/word_counts")
-    fs.delete(live, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/word_counts_stage"), live)
+    val stage = new org.apache.hadoop.fs.Path(s"$path/word_counts_stage")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.delete(live, true) && fs.exists(live))
+      throw new java.io.IOException(s"could not delete $live for swap")
+    if (!fs.rename(stage, live))
+      throw new java.io.IOException(
+        s"rename $stage -> $live failed; histogram preserved in stage dir")
     val table = Bpe.trainFromCounts(spark.read.parquet(s"$path/word_counts"),
       rounds)
     table.write.mode("overwrite").parquet(s"$path/merges")

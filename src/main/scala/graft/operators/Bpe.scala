@@ -68,8 +68,7 @@ object Bpe {
     *    arrival batches merge by summation — which is what makes the
     *    incremental vocab refresh ([[graft.jobs.BpeVocabIndex]]) exact
     *    rather than approximate. */
-  def wordCounts(docs: DataFrame, idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame =
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) >= 1)
@@ -142,7 +141,7 @@ object Bpe {
     * the distinct-word histogram instead of the exploded corpus. */
   def train(docs: DataFrame, rounds: Int,
             idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    trainFromCounts(wordCounts(docs, idCol, textCol), rounds)
+    trainFromCounts(wordCounts(docs, textCol), rounds)
 
   /** [[train]] from a (word, cnt) histogram — the entry the incremental
     * vocab refresh uses: histograms are additive under corpus slicing, so

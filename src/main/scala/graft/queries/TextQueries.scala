@@ -391,7 +391,7 @@ object TextQueries {
     // 8-hash/4-band scheme, same (a_id, b_id) output; what changes is the
     // collision structure: shingle buckets fire only near identity, so
     // candidates are ∝ true near-dups (sf0.1 measured: t07 9.3 M pairs →
-    // t36 1.6 k) and the plan survives 100× where t07's would not. ----
+    // t36 725) and the plan survives 100× where t07's would not. ----
     Q("t36_shingle_lsh",
       (s, dir) => graft.operators.NearDup.selfMinHashPairs(
         T(s, dir, "documents").select(col("doc_id"), col("text"))),

@@ -54,21 +54,13 @@ class FunnelStreamSpec extends SparkSpec {
     val dir = Files.createTempDirectory("funnel_split")
     val ev = graft.core.Tables.events(spark, sfSmoke)
     val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0).toLong
-    def stage(name: String, pred: org.apache.spark.sql.Column): Unit = {
-      val tmp = Files.createTempDirectory(s"funnel_stage_$name")
-      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
-      Files.copy(Paths.get(part), dir.resolve(s"$name.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-    }
-    stage("b1", unix_micros(col("ts")) <= cut)
+    writeBatch(dir, "b1", ev.filter(unix_micros(col("ts")) <= cut))
     val q = FunnelStream.stageHits(spark, dir.toString).toDF().writeStream
       .outputMode("append").format("memory").queryName("funnel_two").start()
     try {
       q.processAllAvailable()
       val afterB1 = hits("funnel_two")
-      stage("b2", unix_micros(col("ts")) > cut)
+      writeBatch(dir, "b2", ev.filter(unix_micros(col("ts")) > cut))
       q.processAllAvailable()
       val all = hits("funnel_two")
       assert(afterB1.subsetOf(all), "append-mode emissions must accumulate")
