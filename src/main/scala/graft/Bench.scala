@@ -42,8 +42,12 @@ object Bench {
 
     val names = SparkEntry.benchNames
     // warm up on the target scale factor: the measured pass then reflects
-    // steady-state codegen'd throughput, not JIT/classload cost
+    // steady-state codegen'd throughput, not JIT/classload cost. The
+    // stderr marker names the query in flight, so a hang/OOM at a new
+    // scale is attributable from the log alone (the sf10 bring-up cost a
+    // debugging round without this).
     names.foreach { n =>
+      System.err.println(s"[bench] warmup $n")
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
@@ -56,6 +60,7 @@ object Bench {
     // reported in the errors map instead.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timeOnce(name: String): Double = {
+      System.err.println(s"[bench] measure $name")
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case e: Throwable =>
