@@ -31,6 +31,32 @@ object VectorQueries {
     VectorExpressions.quantizedDot(a, b)
   private def norm2Q(a: Column): Column = VectorExpressions.quantizedNorm2(a)
 
+  /** SemDeDup body shared by the k=8 oracle gate (s11) and the k∝n scale
+    * form (s12): cluster with KMeans.lloyd, then within-cluster pairwise
+    * quantized cosine, removed = any lower-id clustermate ≥ τ. Pairwise
+    * work per cluster is (n/k)²/2 — k is THE scale lever: holding k fixed
+    * while n grows makes the bench quadratic (measured: s11 2.9 s at sf1 →
+    * 281 s at sf10), holding n/k constant keeps it linear (s12). */
+  private[queries] def semDedup(s: SparkSession, e: DataFrame, k: Int): DataFrame = {
+    VectorExpressions.register(s)
+    val (assign, _) = graft.operators.KMeans.lloyd(
+      e, "vec_id", "embedding", k = k, iters = 2)
+    val m = e.join(assign.select(col("id").as("vec_id"), col("cluster")),
+        "vec_id")
+      .select(col("vec_id"), col("cluster"), col("embedding"),
+        norm2Q(col("embedding")).as("n2"))
+    val a = m.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("n2").as("a_n2"))
+    val b = m.select(col("cluster"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("n2").as("b_n2"))
+    a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim",
+        cosine(dotQ(col("a_emb"), col("b_emb")), col("a_n2"), col("b_n2")))
+      .filter(col("cos_sim") >= 0.3)
+      .groupBy(col("b_id").as("removed_id"), col("cluster"))
+      .agg(min(col("a_id")).as("kept_by"), count(lit(1)).as("n_shadows"))
+  }
+
   private def cosine(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
@@ -506,26 +532,7 @@ object VectorQueries {
     // is map-only against broadcast centroids, and the pair join shuffles
     // on cluster id — never a global all-pairs. ----
     Q("s11_semdedup",
-      (s, dir) => {
-        VectorExpressions.register(s)
-        val e = T(s, dir, "embeddings")
-        val (assign, _) = graft.operators.KMeans.lloyd(
-          e, "vec_id", "embedding", k = 8, iters = 2)
-        val m = e.join(assign.select(col("id").as("vec_id"), col("cluster")),
-            "vec_id")
-          .select(col("vec_id"), col("cluster"), col("embedding"),
-            norm2Q(col("embedding")).as("n2"))
-        val a = m.select(col("cluster"), col("vec_id").as("a_id"),
-          col("embedding").as("a_emb"), col("n2").as("a_n2"))
-        val b = m.select(col("cluster"), col("vec_id").as("b_id"),
-          col("embedding").as("b_emb"), col("n2").as("b_n2"))
-        a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
-          .withColumn("cos_sim",
-            cosine(dotQ(col("a_emb"), col("b_emb")), col("a_n2"), col("b_n2")))
-          .filter(col("cos_sim") >= 0.3)
-          .groupBy(col("b_id").as("removed_id"), col("cluster"))
-          .agg(min(col("a_id")).as("kept_by"), count(lit(1)).as("n_shadows"))
-      },
+      (s, dir) => semDedup(s, T(s, dir, "embeddings"), k = 8),
       Some(s"""WITH el AS (SELECT vec_id, i.i AS i,
             CAST(floor(CAST(embedding[i.i] AS DOUBLE)*1000.0+0.5) AS BIGINT) AS qv
           FROM embeddings
@@ -571,6 +578,23 @@ object VectorQueries {
         SELECT b_id AS removed_id, cluster, min(a_id) AS kept_by,
           count(*) AS n_shadows
         FROM scored WHERE cos_sim >= 0.3 GROUP BY 1, 2"""),
-      bench = true)
+      bench = true),
+
+    // ---- s11's k∝n SCALE form: clusters sized to ~2500 vectors whatever
+    // the corpus size, so the within-cluster pairwise work grows LINEARLY
+    // with n instead of quadratically (the SemDeDup paper's actual
+    // deployment shape; s11's fixed k=8 exists for oracle tractability).
+    // Dynamic k has no reasonable SQL oracle (the seed set changes with
+    // n), so this row is rows-only checked; the semantics are s11's, the
+    // same shared body, pinned by the s11 hash gate at k=8. Measured
+    // lever: sf10 s11 (k=8) 281 s → s12 (k=80) linear-scaled — see
+    // PERF.md round 9. ----
+    Q("s12_semdedup_scaled",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val k = math.max(8L, e.count() / 2500L).toInt
+        semDedup(s, e, k)
+      },
+      None)
   )
 }
