@@ -46,9 +46,14 @@ object Bench {
     // near-dup pairs and the ScaleUp corpus gives every doc `factor`
     // near-identical twins (PERF.md round 9 records the rationale and
     // the measured pair volumes; the LSH path t36 stays IN the surface).
-    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+    val requested = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // report only what was ACTUALLY skipped: a typo'd name must not let a
+    // query run while the report claims it was excluded
+    val skip = requested.intersect(SparkEntry.benchNames.toSet)
+    (requested -- skip).foreach(n =>
+      System.err.println(s"[bench] WARNING: skip name '$n' matches no bench query"))
     val names = SparkEntry.benchNames.filterNot(skip)
     // warm up on the target scale factor: the measured pass then reflects
     // steady-state codegen'd throughput, not JIT/classload cost. The

@@ -45,17 +45,35 @@ object ScaleUp {
     // layout bit-for-bit) — replica id ranges then never overlap however
     // many times ScaleUp chains. A power of ten also preserves
     // id % 10 == base % 10, which gate fixtures use as a base-level split.
-    // Columns joined across tables (o_orderkey/l_orderkey) must share ONE
-    // offset, computed from the key's owning table.
+    // Columns joined across tables (o_orderkey/l_orderkey, and
+    // vec_id ⊆ doc_id) must share ONE offset, computed from the DOMAIN's
+    // owning table. The same composition rule applies to every replica
+    // perturbation, not just ids: the text suffix and embedding jitter are
+    // scaled by `mult = offset/10⁹` (1 on a first application — legacy
+    // layout bit-for-bit), so a pass-1 replica tag can never equal a
+    // pass-2 tag and chained corpora stay exact-dup-free (the first sf10
+    // had both id collisions AND (r₁=1,r₂=0)/(r₁=0,r₂=1) text twins —
+    // the same bug class, found in review).
     val OFF = 1000000000L
     def reps(df: DataFrame): DataFrame =
       df.crossJoin(spark.range(factor).select(col("id").as("__r")))
-    /** smallest power of 10 > max(df[c]), floored at the legacy 10⁹ */
-    def offsetFor(df: DataFrame, c: String): Long = {
-      val mx = df.agg(org.apache.spark.sql.functions.max(col(c)))
-        .head().getLong(0)
-      math.max(OFF, math.pow(10.0, mx.toString.length.toDouble).toLong)
+    /** smallest power of 10 > mx, floored at the legacy 10⁹; loud on the
+      * edges instead of silently colliding */
+    def offsetAbove(mx: Long): Long = {
+      require(mx >= 0, s"id column has negative max $mx")
+      require(mx.toString.length < 19, s"max id $mx leaves no headroom: " +
+        "pow(10, 19) overflows Long and the offset would collide")
+      val offv = math.max(OFF, math.pow(10.0, mx.toString.length.toDouble).toLong)
+      require(offv > mx && offv <= Long.MaxValue / factor,
+        s"offset $offv cannot cover factor $factor above max id $mx")
+      offv
     }
+    def maxOf(df: DataFrame, c: String): Long = {
+      val r = df.agg(org.apache.spark.sql.functions.max(col(c))).head()
+      require(!r.isNullAt(0), s"cannot scale an empty/all-null id column $c")
+      r.getLong(0)
+    }
+    def offsetFor(df: DataFrame, c: String): Long = offsetAbove(maxOf(df, c))
     def off(c: String, offset: Long): org.apache.spark.sql.Column =
       col(c) + col("__r") * offset
 
@@ -80,8 +98,11 @@ object ScaleUp {
     // events: new event ids AND new users per replica (user cardinality
     // scales with volume; per-user history length stays constant)
     val events = graft.core.Tables(spark, in, "events")
-    val evOff = offsetFor(events, "event_id")
-    val userOff = offsetFor(events, "user_id")
+    val evMaxes = events.agg(
+      org.apache.spark.sql.functions.max(col("event_id")),
+      org.apache.spark.sql.functions.max(col("user_id"))).head()
+    val evOff = offsetAbove(evMaxes.getLong(0))
+    val userOff = offsetAbove(evMaxes.getLong(1))
     write("events", reps(events)
       .withColumn("event_id", off("event_id", evOff))
       .withColumn("user_id", off("user_id", userOff)).drop("__r"))
@@ -91,20 +112,29 @@ object ScaleUp {
     // the text-side and vector-side near-dup structure consistent per doc
     val docs = graft.core.Tables(spark, in, "documents")
     val docOff = offsetFor(docs, "doc_id")
+    // suffix tag = __r·(docOff/10⁹): pass 1 keeps the legacy " r<r>"
+    // tokens; a later pass's tags sit in a strictly higher decade than any
+    // earlier pass's (offset > max id ≥ (factor-1)·prevOffset), so
+    // chained replicas never produce equal texts
+    val docMult = docOff / OFF
     write("documents", reps(docs)
       .withColumn("doc_id", off("doc_id", docOff))
       .withColumn("text", when(col("__r") === 0, col("text"))
-        .otherwise(concat(col("text"), lit(" r"), col("__r").cast("string"))))
+        .otherwise(concat(col("text"), lit(" r"),
+          (col("__r") * docMult).cast("string"))))
       .withColumn("n_chars", length(col("text")).cast("long")).drop("__r"))
     // embeddings: deterministic per-replica jitter in the 4th decimal —
     // inside near-dup range, outside exact-dup range
+    // vec_id ⊆ doc_id domain: SHARE the documents offset so a doc and its
+    // embedding stay aligned per replica; jitter scaled by the same
+    // per-pass multiplier so equal-sum replica pairs (r₁+r₂) no longer
+    // produce bitwise-identical vectors under chaining
     val embs = graft.core.Tables(spark, in, "embeddings")
-    val vecOff = offsetFor(embs, "vec_id")
     write("embeddings", reps(embs)
       .withColumn("embedding", expr(
-        "transform(embedding, (v, i) -> v + cast(__r as float) * 1e-4f * " +
-          "cast(1 + pmod(i, 3) as float))"))
-      .withColumn("vec_id", off("vec_id", vecOff)).drop("__r"))
+        s"transform(embedding, (v, i) -> v + cast(__r as float) * " +
+          s"cast($docMult as float) * 1e-4f * cast(1 + pmod(i, 3) as float))"))
+      .withColumn("vec_id", off("vec_id", docOff)).drop("__r"))
     spark.stop()
   }
 }

@@ -42,7 +42,10 @@ object SparkEntry {
     "q46_scd2_merge", "q47_incremental_quantile", "q49_global_rownum",
     "q50_ols_trend", "q51_key_skew", "q52_dist_drift", "q53_pagerank",
     "s08_pq_encode", "s09_pq_adc", "s10_hard_negatives",
-    "e06_asof_native", "e07_asof_pushdown", "e09_attribution_outer")
+    "e06_asof_native", "e07_asof_pushdown", "e09_attribution_outer",
+    // round 9: the SemDeDup k∝n scale form rides every standing surface
+    // so the "linear at sf10" claim is re-measured each round, not once
+    "s12_semdedup_scaled")
 
   /** Headline subset for the sf0.1 bench. */
   def benchNames: Seq[String] =
