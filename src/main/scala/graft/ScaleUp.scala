@@ -60,7 +60,6 @@ object ScaleUp {
     /** smallest power of 10 > mx, floored at the legacy 10⁹; loud on the
       * edges instead of silently colliding */
     def offsetAbove(mx: Long): Long = {
-      require(mx >= 0, s"id column has negative max $mx")
       require(mx.toString.length < 19, s"max id $mx leaves no headroom: " +
         "pow(10, 19) overflows Long and the offset would collide")
       val offv = math.max(OFF, math.pow(10.0, mx.toString.length.toDouble).toLong)
@@ -68,12 +67,24 @@ object ScaleUp {
         s"offset $offv cannot cover factor $factor above max id $mx")
       offv
     }
-    def maxOf(df: DataFrame, c: String): Long = {
-      val r = df.agg(org.apache.spark.sql.functions.max(col(c))).head()
-      require(!r.isNullAt(0), s"cannot scale an empty/all-null id column $c")
-      r.getLong(0)
+    /** (min, max) of one id column, loud on empty/all-null/negative —
+      * a negative id would sit BELOW replica 0's range and collide with
+      * offset arithmetic that only separates ranges upward */
+    def idRange(df: DataFrame, c: String): (Long, Long) = {
+      val r = df.agg(org.apache.spark.sql.functions.min(col(c)),
+        org.apache.spark.sql.functions.max(col(c))).head()
+      require(!r.isNullAt(1), s"cannot scale an empty/all-null id column $c")
+      require(r.getLong(0) >= 0,
+        s"id column $c has negative min ${r.getLong(0)}: replica ranges " +
+          "would overlap the base below 0")
+      (r.getLong(0), r.getLong(1))
     }
-    def offsetFor(df: DataFrame, c: String): Long = offsetAbove(maxOf(df, c))
+    /** one offset for a whole KEY DOMAIN: the max is taken over EVERY
+      * column in the domain (an orphan l_orderkey above max(o_orderkey),
+      * or a vec_id above max(doc_id), must widen the offset too — the
+      * owning table alone does not bound the domain) */
+    def offsetForDomain(cols: (DataFrame, String)*): Long =
+      offsetAbove(cols.map { case (df, c) => idRange(df, c)._2 }.max)
     def off(c: String, offset: Long): org.apache.spark.sql.Column =
       col(c) + col("__r") * offset
 
@@ -90,19 +101,18 @@ object ScaleUp {
     // suppliers are shared across replicas (fact-to-dim fan-in grows, the
     // realistic direction)
     val orders = graft.core.Tables(spark, in, "orders")
-    val orderOff = offsetFor(orders, "o_orderkey")
+    val lineitem = graft.core.Tables(spark, in, "lineitem")
+    val orderOff = offsetForDomain(orders -> "o_orderkey",
+      lineitem -> "l_orderkey")
     write("orders", reps(orders)
       .withColumn("o_orderkey", off("o_orderkey", orderOff)).drop("__r"))
-    write("lineitem", reps(graft.core.Tables(spark, in, "lineitem"))
+    write("lineitem", reps(lineitem)
       .withColumn("l_orderkey", off("l_orderkey", orderOff)).drop("__r"))
     // events: new event ids AND new users per replica (user cardinality
     // scales with volume; per-user history length stays constant)
     val events = graft.core.Tables(spark, in, "events")
-    val evMaxes = events.agg(
-      org.apache.spark.sql.functions.max(col("event_id")),
-      org.apache.spark.sql.functions.max(col("user_id"))).head()
-    val evOff = offsetAbove(evMaxes.getLong(0))
-    val userOff = offsetAbove(evMaxes.getLong(1))
+    val evOff = offsetForDomain(events -> "event_id")
+    val userOff = offsetForDomain(events -> "user_id")
     write("events", reps(events)
       .withColumn("event_id", off("event_id", evOff))
       .withColumn("user_id", off("user_id", userOff)).drop("__r"))
@@ -111,25 +121,34 @@ object ScaleUp {
     // is already zero at __r = 0, and keeping both sides unperturbed keeps
     // the text-side and vector-side near-dup structure consistent per doc
     val docs = graft.core.Tables(spark, in, "documents")
-    val docOff = offsetFor(docs, "doc_id")
+    val embs = graft.core.Tables(spark, in, "embeddings")
+    val docOff = offsetForDomain(docs -> "doc_id", embs -> "vec_id")
     // suffix tag = __r·(docOff/10⁹): pass 1 keeps the legacy " r<r>"
     // tokens; a later pass's tags sit in a strictly higher decade than any
     // earlier pass's (offset > max id ≥ (factor-1)·prevOffset), so
     // chained replicas never produce equal texts
     val docMult = docOff / OFF
+    // the embedding jitter below grows with docMult; past two chained
+    // passes it would leave near-dup range (cos drops below the s11/s12
+    // τ=0.3 pruning threshold) and silently falsify the "×factor denser
+    // dup structure" premise — refuse loudly, regenerate from base instead
+    require((factor - 1).toDouble * docMult.toDouble * 3e-4 <= 0.03,
+      s"chained jitter amplitude ${(factor - 1) * docMult * 3e-4} would " +
+        "push replicas out of near-dup range; rebuild from the base corpus " +
+        "at a single higher factor instead of chaining again")
     write("documents", reps(docs)
       .withColumn("doc_id", off("doc_id", docOff))
       .withColumn("text", when(col("__r") === 0, col("text"))
         .otherwise(concat(col("text"), lit(" r"),
           (col("__r") * docMult).cast("string"))))
       .withColumn("n_chars", length(col("text")).cast("long")).drop("__r"))
-    // embeddings: deterministic per-replica jitter in the 4th decimal —
-    // inside near-dup range, outside exact-dup range
+    // embeddings: deterministic per-replica jitter — 4th decimal on a
+    // first application, ×10 per chained pass (≤0.027/component at the
+    // guarded depth: inside near-dup range, outside exact-dup range).
     // vec_id ⊆ doc_id domain: SHARE the documents offset so a doc and its
     // embedding stay aligned per replica; jitter scaled by the same
     // per-pass multiplier so equal-sum replica pairs (r₁+r₂) no longer
     // produce bitwise-identical vectors under chaining
-    val embs = graft.core.Tables(spark, in, "embeddings")
     write("embeddings", reps(embs)
       .withColumn("embedding", expr(
         s"transform(embedding, (v, i) -> v + cast(__r as float) * " +

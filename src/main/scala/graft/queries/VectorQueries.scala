@@ -588,7 +588,9 @@ object VectorQueries {
     // n), so this row is rows-only checked; the semantics are s11's, the
     // same shared body, pinned by the s11 hash gate at k=8. Measured
     // lever: sf10 s11 (k=8) 281 s → s12 (k=80) linear-scaled — see
-    // PERF.md round 9. ----
+    // PERF.md round 9. Below n=20000 the formula floors at k=8, so the
+    // sf0.1 surface times an s11 twin (~1 s) — accepted cost of
+    // re-measuring the lever on EVERY standing surface each round. ----
     Q("s12_semdedup_scaled",
       (s, dir) => {
         val e = T(s, dir, "embeddings")
