@@ -140,6 +140,35 @@ object StreamBench {
     val secR2 = (System.nanoTime() - tr2) / 1e9
     println(s"""{"metric":"bpe_vocab_refresh","docs_per_batch":$nHalf,""" +
       s""""sec_build":$secB,"sec_refresh1":$secR1,"sec_refresh2":$secR2}""")
+
+    // ---- incremental semantic dedup (round 9): under the FROZEN
+    // clustering, append work is batch × cluster-size — pairs among the
+    // already-stored members are NEVER recomputed and the corpus
+    // embeddings are never rescanned. Two same-size appends measure the
+    // shape: the second costs a bit more (its clusters hold the first
+    // batch too) but nowhere near a from-scratch rebuild, and holding
+    // cluster size constant via build-time k (the s12 lever) bounds it. ----
+    val sdDir = Files.createTempDirectory("sb_semdedup").toString
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val evenV = embs.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val b1v = embs.filter(pmod(col("vec_id"), lit(4)) === 1)
+    val b2v = embs.filter(pmod(col("vec_id"), lit(4)) === 3)
+    val nEven = evenV.count()
+    val nBatch = b1v.count()
+    val ts0 = System.nanoTime()
+    graft.jobs.SemDeDupIndex.build(evenV, sdDir, k = 8)
+    val secSb = (System.nanoTime() - ts0) / 1e9
+    val ts1 = System.nanoTime()
+    graft.jobs.SemDeDupIndex.append(spark, sdDir, b1v).count()
+    val secSa1 = (System.nanoTime() - ts1) / 1e9
+    val ts2 = System.nanoTime()
+    val nRemoved =
+      graft.jobs.SemDeDupIndex.append(spark, sdDir, b2v).count()
+    val secSa2 = (System.nanoTime() - ts2) / 1e9
+    println(s"""{"metric":"semdedup_append","vecs_built":$nEven,""" +
+      s""""vecs_per_batch":$nBatch,"sec_build":$secSb,""" +
+      s""""sec_append1":$secSa1,"sec_append2":$secSa2,""" +
+      s""""removed_total":$nRemoved}""")
     spark.stop()
   }
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions
+
+/** SemDeDup primitives (Abbas et al. 2023) shared by the batch gates
+  * (s11/s12/s13 in queries/VectorQueries) and the incremental index
+  * ([[graft.jobs.SemDeDupIndex]]).
+  *
+  * Semantics (the s11 hash-gated contract): cluster membership bounds the
+  * quadratic comparison — pairs never cross a cluster boundary — and a
+  * vector is REMOVED iff ANY lower-id clustermate has quantized cosine
+  * ≥ [[TAU]]. The removals row is
+  * `(removed_id, cluster, kept_by = min shadower, n_shadows = count)`.
+  *
+  * Why the incremental form is EXACT, not approximate: with the cluster
+  * assignment FROZEN, the shadow-pair set over `old ∪ new` partitions
+  * cleanly into (pairs within old) ∪ (pairs touching new), and both
+  * removals aggregates are commutative monoids — `kept_by` is a min,
+  * `n_shadows` is a count-sum. So the removals table is ADDITIVE under any
+  * slicing of the corpus into arrival batches (the same sufficient-
+  * statistic argument as [[Bpe.wordCounts]] for the BPE refresh): merge
+  * per-batch aggregates with (min, sum) and the result equals the
+  * from-scratch batch run. Per batch, work is (batch × cluster-size) —
+  * old×old pairs are never recomputed, and at 100 TB the corpus
+  * embeddings are never rescanned.
+  *
+  * All cosine arithmetic is the engine-wide exact-integer quantization
+  * (`floor(x*1000+0.5)` milli-units — see VectorQueries' scaladoc), so
+  * every form is hash-identical across engines and partitionings.
+  */
+object SemDedup {
+
+  /** Cosine shadow threshold — one constant so the batch gates and the
+    * disk index can never disagree. */
+  val TAU = 0.3
+
+  private def cosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** Members frame `(vec_id, cluster, embedding, n2)` from vectors and an
+    * assignment `(id, cluster)` (KMeans.lloyd / KMeans.assignTo output).
+    * The squared norm is precomputed once here so pair scoring only does
+    * the dot product. */
+  def members(e: DataFrame, assign: DataFrame): DataFrame =
+    e.join(assign.select(col("id").as("vec_id"), col("cluster")), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("embedding"),
+        VectorExpressions.quantizedNorm2(col("embedding")).as("n2"))
+
+  private def aSide(m: DataFrame): DataFrame =
+    m.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("n2").as("a_n2"))
+  private def bSide(m: DataFrame): DataFrame =
+    m.select(col("cluster"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("n2").as("b_n2"))
+
+  /** Within-cluster ordered pairs `a_id < b_id` with cos ≥ [[TAU]]:
+    * `(cluster, a_id, b_id, cos_sim)`. The join key is the cluster id, so
+    * the shuffle is cluster-partitioned and the pairwise work per cluster
+    * is (size²)/2 — cluster count is THE scale lever (see s12). */
+  private def scoredPairs(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim",
+        cosine(VectorExpressions.quantizedDot(col("a_emb"), col("b_emb")),
+          col("a_n2"), col("b_n2")))
+      .filter(col("cos_sim") >= TAU)
+      .select(col("cluster"), col("a_id"), col("b_id"), col("cos_sim"))
+
+  /** All shadow pairs of one members frame (the batch form). */
+  def shadowPairs(m: DataFrame): DataFrame = scoredPairs(aSide(m), bSide(m))
+
+  /** Shadow pairs with AT LEAST ONE side in `fresh`, each exactly once:
+    * (anything × fresh) ∪ (fresh × stored) under `a_id < b_id`. The two
+    * joins are disjoint (the second has a stored b-side) and both carry
+    * the fresh batch on one side, so cost is batch-proportional. Note the
+    * direction matters BOTH ways: a new low-id vector can shadow an OLD
+    * member, flipping the old member's removed status — which the (min,
+    * sum) merge in [[mergeRemovals]] absorbs exactly. */
+  def incrementalShadowPairs(stored: DataFrame, fresh: DataFrame): DataFrame =
+    scoredPairs(aSide(stored.unionByName(fresh)), bSide(fresh))
+      .unionByName(scoredPairs(aSide(fresh), bSide(stored)))
+
+  /** Aggregate shadow pairs to the removals table
+    * `(removed_id, cluster, kept_by, n_shadows)`. */
+  def removals(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("b_id").as("removed_id"), col("cluster"))
+      .agg(min(col("a_id")).as("kept_by"), count(lit(1)).as("n_shadows"))
+
+  /** Monoid merge of two removals tables: per (removed_id, cluster),
+    * kept_by = min, n_shadows = sum. Associative and commutative, so
+    * per-batch aggregates fold in any order to the batch-run result. */
+  def mergeRemovals(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("removed_id"), col("cluster"))
+      .agg(min(col("kept_by")).as("kept_by"),
+        sum(col("n_shadows")).as("n_shadows"))
+}

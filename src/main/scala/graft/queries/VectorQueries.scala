@@ -36,25 +36,16 @@ object VectorQueries {
     * quantized cosine, removed = any lower-id clustermate ≥ τ. Pairwise
     * work per cluster is (n/k)²/2 — k is THE scale lever: holding k fixed
     * while n grows makes the bench quadratic (measured: s11 2.9 s at sf1 →
-    * 281 s at sf10), holding n/k constant keeps it linear (s12). */
+    * 281 s at sf10), holding n/k constant keeps it linear (s12). The
+    * pairing/aggregation primitives live in [[graft.operators.SemDedup]],
+    * shared with the frozen-centroid form (s13) and the incremental disk
+    * index ([[graft.jobs.SemDeDupIndex]]). */
   private[queries] def semDedup(s: SparkSession, e: DataFrame, k: Int): DataFrame = {
     VectorExpressions.register(s)
     val (assign, _) = graft.operators.KMeans.lloyd(
       e, "vec_id", "embedding", k = k, iters = 2)
-    val m = e.join(assign.select(col("id").as("vec_id"), col("cluster")),
-        "vec_id")
-      .select(col("vec_id"), col("cluster"), col("embedding"),
-        norm2Q(col("embedding")).as("n2"))
-    val a = m.select(col("cluster"), col("vec_id").as("a_id"),
-      col("embedding").as("a_emb"), col("n2").as("a_n2"))
-    val b = m.select(col("cluster"), col("vec_id").as("b_id"),
-      col("embedding").as("b_emb"), col("n2").as("b_n2"))
-    a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
-      .withColumn("cos_sim",
-        cosine(dotQ(col("a_emb"), col("b_emb")), col("a_n2"), col("b_n2")))
-      .filter(col("cos_sim") >= 0.3)
-      .groupBy(col("b_id").as("removed_id"), col("cluster"))
-      .agg(min(col("a_id")).as("kept_by"), count(lit(1)).as("n_shadows"))
+    val sd = graft.operators.SemDedup
+    sd.removals(sd.shadowPairs(sd.members(e, assign)))
   }
 
   private def cosine(dot: Column, n2a: Column, n2b: Column): Column =
@@ -597,6 +588,76 @@ object VectorQueries {
         val k = math.max(8L, e.count() / 2500L).toInt
         semDedup(s, e, k)
       },
-      None)
+      None),
+
+    // ---- SemDeDup under FROZEN centroids — the incremental-ingest shape:
+    // centroids are trained on yesterday's corpus (here: the even-id half,
+    // a scale-invariant split) and FROZEN; the whole corpus — old and new —
+    // is assigned map-only against them and shadow-pruned under the s11
+    // rule. This is exactly what jobs/SemDeDupIndex does per arrival
+    // batch, so this gate hash-proves the frozen-assignment semantics
+    // cross-engine (train-subset k-means + assignTo + pairing), while
+    // SemDeDupIndexSpec proves the batch-additivity of the removals
+    // aggregate on top of it. Oracle = s11's unrolled SQL with seeding and
+    // recentering restricted to even vec_ids and the final assignment left
+    // corpus-wide. ----
+    Q("s13_semdedup_frozen",
+      (s, dir) => {
+        VectorExpressions.register(s)
+        val e = T(s, dir, "embeddings")
+        val (_, cents) = graft.operators.KMeans.lloyd(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          k = 8, iters = 2)
+        val assign = graft.operators.KMeans.assignTo(
+          e, "vec_id", "embedding", cents)
+        val sd = graft.operators.SemDedup
+        sd.removals(sd.shadowPairs(sd.members(e, assign)))
+      },
+      Some(s"""WITH el AS (SELECT vec_id, i.i AS i,
+            CAST(floor(CAST(embedding[i.i] AS DOUBLE)*1000.0+0.5) AS BIGINT) AS qv
+          FROM embeddings
+          CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i),
+        seeds AS (SELECT vec_id,
+            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+          FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+                ORDER BY vec_id LIMIT 8) s),
+        c0 AS (SELECT cluster, i, qv AS cv FROM seeds JOIN el USING (vec_id)),
+        d1 AS (SELECT el.vec_id, c0.cluster,
+            CAST(sum((qv-cv)*(qv-cv)) AS BIGINT) AS dist
+          FROM el JOIN c0 USING (i) WHERE el.vec_id % 2 = 0 GROUP BY 1, 2),
+        a1 AS (SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+            FROM d1) x WHERE rn = 1),
+        c1 AS (SELECT cluster, i,
+            CAST(floor((2.0*CAST(sum(qv) AS BIGINT)+count(*))
+              /(2.0*count(*))) AS BIGINT) AS cv
+          FROM a1 JOIN el USING (vec_id) GROUP BY 1, 2),
+        d2 AS (SELECT el.vec_id, c1.cluster,
+            CAST(sum((qv-cv)*(qv-cv)) AS BIGINT) AS dist
+          FROM el JOIN c1 USING (i) GROUP BY 1, 2),
+        asn AS (SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+            FROM d2) x WHERE rn = 1),
+        n AS (SELECT vec_id, CAST(sum(qv*qv) AS BIGINT) AS n2
+          FROM el GROUP BY 1),
+        dots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, aa.cluster,
+            CAST(sum(a.qv*b.qv) AS BIGINT) AS dot
+          FROM el a
+          JOIN asn aa ON aa.vec_id = a.vec_id
+          JOIN asn ab ON ab.cluster = aa.cluster
+          JOIN el b ON b.vec_id = ab.vec_id AND a.i = b.i
+            AND a.vec_id < b.vec_id
+          GROUP BY 1, 2, 3),
+        scored AS (SELECT a_id, b_id, cluster,
+            CAST(dot AS DOUBLE)/(sqrt(CAST(na.n2 AS DOUBLE))*sqrt(CAST(nb.n2 AS DOUBLE)))
+              AS cos_sim
+          FROM dots
+          JOIN n na ON dots.a_id = na.vec_id
+          JOIN n nb ON dots.b_id = nb.vec_id)
+        SELECT b_id AS removed_id, cluster, min(a_id) AS kept_by,
+          count(*) AS n_shadows
+        FROM scored WHERE cos_sim >= 0.3 GROUP BY 1, 2"""))
   )
 }

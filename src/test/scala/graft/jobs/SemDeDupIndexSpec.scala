@@ -1,0 +1,93 @@
+package graft.jobs
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.operators.{KMeans, SemDedup}
+import org.apache.spark.sql.DataFrame
+
+/** The incremental semantic-dedup append must be EXACT under the frozen
+  * clustering: after any slicing of arrivals, the stored removals table
+  * equals a from-scratch batch run (assignTo + shadowPairs + removals)
+  * over everything ingested, against the SAME build-time centroids —
+  * because the shadow-pair set partitions disjointly across batches and
+  * both removals aggregates are commutative monoids (min, sum). Also pins
+  * the direction subtlety: a late LOW-id arrival must flip an already-
+  * stored member's removed status. */
+class SemDeDupIndexSpec extends SparkSpec {
+
+  // three well-separated directions (cross-group cos ~ 0 < tau), tight
+  // within-group perturbations (cos ~ 1 >= tau); 8 dims — the operators
+  // take any dimensionality
+  private def vec(axis: Int, wiggle: Float): Seq[Float] = {
+    val v = Array.fill(8)(0.001f)
+    v(axis) = 1.0f
+    v((axis + 3) % 8) = wiggle
+    v.toSeq
+  }
+
+  private val all: Seq[(Long, Seq[Float])] =
+    (0L until 24L).map(i => (i, vec((i % 3).toInt, 0.001f * (i / 3))))
+
+  private def df(rows: Seq[(Long, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def table(d: DataFrame): Seq[(Long, Long, Long, Long)] =
+    d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq.sorted
+
+  /** From-scratch batch removals over `rows` under centroids trained on
+    * `trainRows` — the contract's right-hand side. */
+  private def batchRemovals(trainRows: Seq[(Long, Seq[Float])],
+                            rows: Seq[(Long, Seq[Float])]): Seq[(Long, Long, Long, Long)] = {
+    val (_, cents) = KMeans.lloyd(df(trainRows), "vec_id", "embedding",
+      k = 3, iters = 2)
+    val assign = KMeans.assignTo(df(rows), "vec_id", "embedding", cents)
+    table(SemDedup.removals(SemDedup.shadowPairs(
+      SemDedup.members(df(rows), assign))))
+  }
+
+  test("append after sliced arrival equals the batch run — two slicings") {
+    for ((name, slices) <- Seq(
+      ("by-thirds", Seq(all.take(8), all.slice(8, 16), all.drop(16))),
+      ("interleaved", Seq(all.filter(_._1 % 3 == 0),
+        all.filter(_._1 % 3 == 1), all.filter(_._1 % 3 == 2))))) {
+      val want = batchRemovals(slices.head, all)
+      val dir = Files.createTempDirectory(s"semdedup_idx_$name").toString
+      SemDeDupIndex.build(df(slices.head), dir, k = 3)
+      val last = slices.tail.map(s =>
+        SemDeDupIndex.append(spark, dir, df(s))).last
+      assert(table(last) == want, s"slicing $name diverged")
+      assert(table(SemDeDupIndex.removals(spark, dir)) == want)
+      assert(want.nonEmpty, "weak fixture: no shadows at all")
+    }
+  }
+
+  test("a late low-id arrival flips a stored member's removed status") {
+    // ids 4 and 7 share a direction; 7 arrives first ALONE in its group
+    // (batch-mates 0 and 2 sit on the other axes), 4 arrives later with a
+    // lower id and shadows it
+    val first = Seq(all(7), all(0), all(2))
+    val dir = Files.createTempDirectory("semdedup_idx_low").toString
+    SemDeDupIndex.build(df(first), dir, k = 3)
+    val before = table(SemDeDupIndex.removals(spark, dir))
+    assert(!before.exists(_._1 == 7L), s"7 must start kept, got $before")
+    val after = table(SemDeDupIndex.append(spark, dir, df(Seq(all(4)))))
+    val row = after.find(_._1 == 7L)
+    assert(row.exists(_._3 == 4L),
+      s"7 must now be shadowed with kept_by=4, got $after")
+    assert(table(SemDeDupIndex.removals(spark, dir)) == after)
+    // and it matches the batch run under the same frozen centroids
+    assert(after == batchRemovals(first, first :+ all(4)))
+  }
+
+  test("members accumulate exactly the ingested vectors") {
+    val dir = Files.createTempDirectory("semdedup_idx_members").toString
+    SemDeDupIndex.build(df(all.take(10)), dir, k = 3)
+    SemDeDupIndex.append(spark, dir, df(all.drop(10)))
+    val stored = spark.read.parquet(s"$dir/members")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(stored == (0L until 24L))
+  }
+}
