@@ -9,9 +9,33 @@ Usage: bench_duckdb.py SF_DIR ORACLE_JSON [name ...]
   name...     query names to time (default: every name in the json)
 Prints one JSON line: {"total_sec":..., "queries":{name:sec,...}, "errors":{}}
 """
-import json, os, sys, time
+import json, os, sys, threading, time
 
 import duckdb
+
+# Optional per-query wall clock (seconds) via DUCK_TIMEOUT_SEC: a watcher
+# thread calls con.interrupt() so one DNF oracle (e.g. s11's unrolled
+# k-means SQL at sf1+) can't stall the whole warm-connection run; the
+# interrupted query is recorded as a timeout in `errors`, keeping the
+# shared-connection methodology for everything that finishes.
+TIMEOUT = float(os.environ.get("DUCK_TIMEOUT_SEC", "0") or 0)
+
+
+def run_with_timeout(con, sql):
+    if TIMEOUT <= 0:
+        return con.execute(sql).fetchall()
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(TIMEOUT):
+            con.interrupt()
+    t = threading.Thread(target=watch, daemon=True)
+    t.start()
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        done.set()
+        t.join()
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -36,15 +60,24 @@ def main():
         if not sql:
             errors[name] = "no such query in oracle json"
             continue
+        best = None
         try:
-            con.execute(f"SELECT count(*) FROM ({sql}) q").fetchall()
-            best = None
+            run_with_timeout(con, f"SELECT count(*) FROM ({sql}) q")
             for _ in range(2):
                 t0 = time.perf_counter()
-                con.execute(f"SELECT count(*) FROM ({sql}) q").fetchall()
+                run_with_timeout(con, f"SELECT count(*) FROM ({sql}) q")
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             times[name] = round(best, 4)
+        except duckdb.InterruptException:
+            if best is not None:
+                # min over COMPLETED runs is still a valid best-of: a
+                # co-tenant stall timing out run 2 must not discard run
+                # 1's measurement (that would shrink the comparator's
+                # query set relative to the engine side)
+                times[name] = round(best, 4)
+            else:
+                errors[name] = f"timeout after {TIMEOUT}s (interrupted)"
         except Exception as e:
             errors[name] = str(e).split("\n")[0][:200]
     print(json.dumps({"total_sec": round(sum(times.values()), 3),

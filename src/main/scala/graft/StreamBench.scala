@@ -159,11 +159,11 @@ object StreamBench {
     graft.jobs.SemDeDupIndex.build(evenV, sdDir, k = 8)
     val secSb = (System.nanoTime() - ts0) / 1e9
     val ts1 = System.nanoTime()
-    graft.jobs.SemDeDupIndex.append(spark, sdDir, b1v).count()
+    graft.jobs.SemDeDupIndex.append(spark, sdDir, 1L, b1v).count()
     val secSa1 = (System.nanoTime() - ts1) / 1e9
     val ts2 = System.nanoTime()
     val nRemoved =
-      graft.jobs.SemDeDupIndex.append(spark, sdDir, b2v).count()
+      graft.jobs.SemDeDupIndex.append(spark, sdDir, 2L, b2v).count()
     val secSa2 = (System.nanoTime() - ts2) / 1e9
     println(s"""{"metric":"semdedup_append","vecs_built":$nEven,""" +
       s""""vecs_per_batch":$nBatch,"sec_build":$secSb,""" +

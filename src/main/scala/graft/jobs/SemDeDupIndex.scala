@@ -12,14 +12,26 @@ import graft.operators.{KMeans, SemDedup}
   *
   * What makes append EXACT rather than approximate (see
   * [[graft.operators.SemDedup]]): with the cluster assignment frozen, the
-  * shadow-pair set over `old ∪ batch` is the disjoint union of old-only
-  * pairs (already aggregated in `removals/`) and pairs touching the batch
-  * (computed batch-proportionally), and both removals aggregates are
-  * commutative monoids (`kept_by` = min, `n_shadows` = sum). So after any
-  * slicing of arrivals, the stored removals table equals a from-scratch
-  * batch run under the same centroids — SemDeDupIndexSpec proves it under
-  * ordered and interleaved slicings, including a late LOW-id arrival that
-  * flips an earlier member's removed status.
+  * shadow-pair set over the whole corpus partitions DISJOINTLY by the
+  * higher ingest-batch id of each pair — batch b owns (earlier × b) ∪
+  * (b × b under a_id < b_id) — and both removals aggregates are
+  * commutative monoids (`kept_by` = min, `n_shadows` = sum). So each
+  * batch's aggregate delta is computed once, batch-proportionally, and
+  * [[removals]] folds the deltas to exactly the from-scratch batch run
+  * under the same centroids, whatever the arrival slicing
+  * (SemDeDupIndexSpec proves ordered and interleaved slicings, plus a
+  * late LOW-id arrival flipping an earlier member's removed status).
+  *
+  * Crash/replay contract (the DecontamStream batch_id-overwrite pattern —
+  * exactly Structured Streaming's foreachBatch model): callers assign
+  * strictly increasing batch ids in arrival order ([[build]] owns 0).
+  * Every append writes ONLY its own two partitions
+  * (`members/ingest_batch=b`, `deltas/ingest_batch=b`), deterministically
+  * overwriting them, and its stored side is `ingest_batch < b` — so a
+  * crashed or re-delivered append(b) reproduces byte-identical partitions
+  * (idempotent) even if later batches already landed, and a crash between
+  * the two partition writes is healed by the replay. No cross-partition
+  * swap exists to half-complete.
   *
   * Drift contract: like AnnIndex (and unlike BpeVocabIndex, whose
   * statistic needs no freeze), the CLUSTERING is what's frozen — centroids
@@ -30,68 +42,74 @@ import graft.operators.{KMeans, SemDedup}
   *
   * Layout under `path`:
   *  - `centroids/` — (cluster, i, cv) long-format, FROZEN at build;
-  *  - `members/`   — (vec_id, cluster, embedding, n2), append-only;
-  *  - `removals/`  — (removed_id, cluster, kept_by, n_shadows), the
-  *                   current aggregate, staged-swapped per append;
-  *  - `meta/`      — (k, iters) build parameters, for the record.
+  *  - `members/ingest_batch=b/` — (vec_id, cluster, embedding, n2);
+  *  - `deltas/ingest_batch=b/`  — batch b's removals aggregate
+  *    (removed_id, cluster, kept_by, n_shadows);
+  *  - `meta/` — (k, iters) build parameters, for the record.
   *
   * Scale shape: append assigns the batch map-only against broadcast-sized
-  * centroid literals, then joins batch × stored members on the cluster id
-  * — work ∝ batch × cluster-size, never old × old, and the corpus
-  * embeddings are only ever read through the cluster-pruned members join.
+  * centroid literals, writes it ONCE, and re-reads the on-disk copy for
+  * the pair join (batch × stored members on the cluster id) — work ∝
+  * batch × cluster-size, never old × old; the corpus embeddings are only
+  * ever read through the cluster-pruned members join. Deltas are
+  * aggregate-sized; [[removals]] folds them with one small shuffle.
   */
 object SemDeDupIndex {
 
-  /** Build the index from scratch over (vec_id, embedding) vectors. */
+  private def membersPart(path: String, b: Long) =
+    s"$path/members/ingest_batch=$b"
+  private def deltasPart(path: String, b: Long) =
+    s"$path/deltas/ingest_batch=$b"
+
+  /** The members table across all ingested batches, with the
+    * `ingest_batch` partition column. */
+  private def allMembers(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/members")
+
+  /** Build the index from scratch over (vec_id, embedding) vectors —
+    * ingest batch 0. */
   def build(vecs: DataFrame, path: String, k: Int, iters: Int = 2): Unit = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val (assign, cents) = KMeans.lloyd(vecs, "vec_id", "embedding", k, iters)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     SemDedup.members(vecs, assign)
-      .write.mode("overwrite").parquet(s"$path/members")
-    val stored = spark.read.parquet(s"$path/members")
+      .write.mode("overwrite").parquet(membersPart(path, 0L))
+    val stored = spark.read.parquet(membersPart(path, 0L))
     SemDedup.removals(SemDedup.shadowPairs(stored))
-      .write.mode("overwrite").parquet(s"$path/removals")
+      .write.mode("overwrite").parquet(deltasPart(path, 0L))
     Seq((k, iters)).toDF("k", "iters")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Absorb a new batch: assign against the FROZEN centroids, score only
-    * pairs touching the batch, fold their aggregates into `removals/`
-    * (staged swap — the merge plan reads the live dir), then append the
-    * batch to `members/`. Returns the refreshed removals table.
+  /** Absorb arrival batch `batchId` (> 0, strictly increasing in arrival
+    * order): assign against the FROZEN centroids, write the batch's
+    * members partition, then compute and write its removals delta —
+    * pairs between earlier batches and this one plus this batch's
+    * internal pairs, aggregated. Returns the refreshed [[removals]].
     *
-    * Ordering matters twice: the merged removals are materialized to the
-    * stage dir BEFORE the swap (the lazy plan reads the old `removals/`),
-    * and the batch is appended to `members/` LAST (the pair plan reads
-    * `members/` as the stored side — appending first would let the scan
-    * see the batch on both sides). */
-  def append(spark: SparkSession, path: String, newVecs: DataFrame): DataFrame = {
+    * The members partition is written FIRST and read back as the fresh
+    * side, so the batch plan executes once; the stored side filters
+    * `ingest_batch < batchId`, so neither a replay racing later batches
+    * nor the batch's own partition can leak into it. */
+  def append(spark: SparkSession, path: String, batchId: Long,
+             newVecs: DataFrame): DataFrame = {
+    require(batchId > 0, s"batch id $batchId: build owns 0, appends are > 0")
     val cents = spark.read.parquet(s"$path/centroids")
     val assign = KMeans.assignTo(newVecs, "vec_id", "embedding", cents)
-    val fresh = SemDedup.members(newVecs, assign)
-    val stored = spark.read.parquet(s"$path/members")
-    val merged = SemDedup.mergeRemovals(
-      spark.read.parquet(s"$path/removals"),
-      SemDedup.removals(SemDedup.incrementalShadowPairs(stored, fresh)))
-    merged.write.mode("overwrite").parquet(s"$path/removals_stage")
-    // swap on the filesystem OWNING the index path (BpeVocabIndex
-    // precedent), both booleans checked so a failed rename can't strand
-    // the only copy silently
-    val live = new org.apache.hadoop.fs.Path(s"$path/removals")
-    val stage = new org.apache.hadoop.fs.Path(s"$path/removals_stage")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.delete(live, true) && fs.exists(live))
-      throw new java.io.IOException(s"could not delete $live for swap")
-    if (!fs.rename(stage, live))
-      throw new java.io.IOException(
-        s"rename $stage -> $live failed; removals preserved in stage dir")
-    fresh.write.mode("append").parquet(s"$path/members")
-    spark.read.parquet(s"$path/removals")
+    SemDedup.members(newVecs, assign)
+      .write.mode("overwrite").parquet(membersPart(path, batchId))
+    val fresh = spark.read.parquet(membersPart(path, batchId))
+    val stored = allMembers(spark, path)
+      .filter(col("ingest_batch") < batchId).drop("ingest_batch")
+    SemDedup.removals(SemDedup.incrementalShadowPairs(stored, fresh))
+      .write.mode("overwrite").parquet(deltasPart(path, batchId))
+    removals(spark, path)
   }
 
-  /** The current removals table. */
+  /** The current removals table: the monoid fold over all batch deltas
+    * ((min, sum) per (removed_id, cluster) — aggregate-sized input). */
   def removals(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/removals")
+    SemDedup.foldRemovals(
+      spark.read.parquet(s"$path/deltas").drop("ingest_batch"))
 }

@@ -87,12 +87,16 @@ object SemDedup {
     pairs.groupBy(col("b_id").as("removed_id"), col("cluster"))
       .agg(min(col("a_id")).as("kept_by"), count(lit(1)).as("n_shadows"))
 
-  /** Monoid merge of two removals tables: per (removed_id, cluster),
-    * kept_by = min, n_shadows = sum. Associative and commutative, so
-    * per-batch aggregates fold in any order to the batch-run result. */
-  def mergeRemovals(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b)
-      .groupBy(col("removed_id"), col("cluster"))
+  /** Monoid fold of any number of stacked removals tables: per
+    * (removed_id, cluster), kept_by = min, n_shadows = sum. Associative
+    * and commutative, so per-batch aggregates fold in any order — and any
+    * grouping — to the batch-run result. */
+  def foldRemovals(stacked: DataFrame): DataFrame =
+    stacked.groupBy(col("removed_id"), col("cluster"))
       .agg(min(col("kept_by")).as("kept_by"),
         sum(col("n_shadows")).as("n_shadows"))
+
+  /** Two-table convenience form of [[foldRemovals]]. */
+  def mergeRemovals(a: DataFrame, b: DataFrame): DataFrame =
+    foldRemovals(a.unionByName(b))
 }

@@ -524,51 +524,7 @@ object VectorQueries {
     // on cluster id — never a global all-pairs. ----
     Q("s11_semdedup",
       (s, dir) => semDedup(s, T(s, dir, "embeddings"), k = 8),
-      Some(s"""WITH el AS (SELECT vec_id, i.i AS i,
-            CAST(floor(CAST(embedding[i.i] AS DOUBLE)*1000.0+0.5) AS BIGINT) AS qv
-          FROM embeddings
-          CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i),
-        seeds AS (SELECT vec_id,
-            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
-          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8) s),
-        c0 AS (SELECT cluster, i, qv AS cv FROM seeds JOIN el USING (vec_id)),
-        d1 AS (SELECT el.vec_id, c0.cluster,
-            CAST(sum((qv-cv)*(qv-cv)) AS BIGINT) AS dist
-          FROM el JOIN c0 USING (i) GROUP BY 1, 2),
-        a1 AS (SELECT vec_id, cluster FROM (
-            SELECT vec_id, cluster,
-              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-            FROM d1) x WHERE rn = 1),
-        c1 AS (SELECT cluster, i,
-            CAST(floor((2.0*CAST(sum(qv) AS BIGINT)+count(*))
-              /(2.0*count(*))) AS BIGINT) AS cv
-          FROM a1 JOIN el USING (vec_id) GROUP BY 1, 2),
-        d2 AS (SELECT el.vec_id, c1.cluster,
-            CAST(sum((qv-cv)*(qv-cv)) AS BIGINT) AS dist
-          FROM el JOIN c1 USING (i) GROUP BY 1, 2),
-        asn AS (SELECT vec_id, cluster FROM (
-            SELECT vec_id, cluster,
-              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-            FROM d2) x WHERE rn = 1),
-        n AS (SELECT vec_id, CAST(sum(qv*qv) AS BIGINT) AS n2
-          FROM el GROUP BY 1),
-        dots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, aa.cluster,
-            CAST(sum(a.qv*b.qv) AS BIGINT) AS dot
-          FROM el a
-          JOIN asn aa ON aa.vec_id = a.vec_id
-          JOIN asn ab ON ab.cluster = aa.cluster
-          JOIN el b ON b.vec_id = ab.vec_id AND a.i = b.i
-            AND a.vec_id < b.vec_id
-          GROUP BY 1, 2, 3),
-        scored AS (SELECT a_id, b_id, cluster,
-            CAST(dot AS DOUBLE)/(sqrt(CAST(na.n2 AS DOUBLE))*sqrt(CAST(nb.n2 AS DOUBLE)))
-              AS cos_sim
-          FROM dots
-          JOIN n na ON dots.a_id = na.vec_id
-          JOIN n nb ON dots.b_id = nb.vec_id)
-        SELECT b_id AS removed_id, cluster, min(a_id) AS kept_by,
-          count(*) AS n_shadows
-        FROM scored WHERE cos_sim >= 0.3 GROUP BY 1, 2"""),
+      Some(semDedupUnrolledSql(trainPred = None)),
       bench = true),
 
     // ---- s11's k∝n SCALE form: clusters sized to ~2500 vectors whatever
@@ -613,18 +569,32 @@ object VectorQueries {
         val sd = graft.operators.SemDedup
         sd.removals(sd.shadowPairs(sd.members(e, assign)))
       },
-      Some(s"""WITH el AS (SELECT vec_id, i.i AS i,
+      Some(semDedupUnrolledSql(trainPred = Some("vec_id % 2 = 0"))))
+  )
+
+  /** s11/s13 shared oracle text — ONE builder so the two gates can never
+    * drift apart on the unrolled k-means/cosine SQL. The unroll mirrors
+    * KMeans.lloyd(k=8, iters=2): assign to the 8 smallest-id seeds (d1/a1),
+    * recenter once with the exact rational round-half-up (c1), reassign
+    * (d2/asn — ties to the lower cluster id via ORDER BY dist, cluster),
+    * then within-cluster lower-id shadow pruning at cos ≥ 0.3 over exact
+    * milli-quantized integers. `trainPred` restricts SEEDING and the
+    * RECENTERING PASS to a training subset (s13's frozen-centroid shape);
+    * the final assignment and the pruning always run corpus-wide. */
+  private def semDedupUnrolledSql(trainPred: Option[String]): String = {
+    val seedW = trainPred.map(p => s"WHERE $p ").getOrElse("")
+    val d1W = trainPred.map(p => s"WHERE el.$p ").getOrElse("")
+    s"""WITH el AS (SELECT vec_id, i.i AS i,
             CAST(floor(CAST(embedding[i.i] AS DOUBLE)*1000.0+0.5) AS BIGINT) AS qv
           FROM embeddings
           CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i),
         seeds AS (SELECT vec_id,
             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
-          FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
-                ORDER BY vec_id LIMIT 8) s),
+          FROM (SELECT vec_id FROM embeddings ${seedW}ORDER BY vec_id LIMIT 8) s),
         c0 AS (SELECT cluster, i, qv AS cv FROM seeds JOIN el USING (vec_id)),
         d1 AS (SELECT el.vec_id, c0.cluster,
             CAST(sum((qv-cv)*(qv-cv)) AS BIGINT) AS dist
-          FROM el JOIN c0 USING (i) WHERE el.vec_id % 2 = 0 GROUP BY 1, 2),
+          FROM el JOIN c0 USING (i) ${d1W}GROUP BY 1, 2),
         a1 AS (SELECT vec_id, cluster FROM (
             SELECT vec_id, cluster,
               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
@@ -658,6 +628,6 @@ object VectorQueries {
           JOIN n nb ON dots.b_id = nb.vec_id)
         SELECT b_id AS removed_id, cluster, min(a_id) AS kept_by,
           count(*) AS n_shadows
-        FROM scored WHERE cos_sim >= 0.3 GROUP BY 1, 2"""))
-  )
+        FROM scored WHERE cos_sim >= 0.3 GROUP BY 1, 2"""
+  }
 }

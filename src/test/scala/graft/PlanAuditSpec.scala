@@ -305,6 +305,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("s13 frozen-centroid assignment is literal-embedded, never a join") {
+    // the incremental-ingest shape's scale contract: the frozen centroids
+    // reach the plan as LITERAL arrays inside the nearest-centroid kernel
+    // (a map-only pass), so the whole query carries exactly three joins —
+    // the members id-join (instantiated once per pair-join side) and the
+    // cluster-keyed pair join — and none funnels through one reducer or
+    // degenerates to a cross join. A fourth join would mean the centroid
+    // frame started shuffling against the corpus, which is the regression
+    // this pin exists to catch.
+    val df = SparkEntry.queries("s13_semdedup_frozen")(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"s13 has a single-reducer stage:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"s13 degenerated to a cross join:\n$plan")
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllMatchIn(plan).size
+    assert(joins == 3,
+      s"expected 3 joins (members ×2 sides + pairs), got $joins:\n$plan")
+  }
+
   test("t33 merge application is map-only; e11 funnel never cross-joins") {
     // BPE's merge pass must stay a pure projection over the scan (the
     // kernel rewrite) — any Exchange would mean the corpus shuffled to

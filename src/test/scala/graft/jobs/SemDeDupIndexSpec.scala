@@ -56,11 +56,17 @@ class SemDeDupIndexSpec extends SparkSpec {
       val want = batchRemovals(slices.head, all)
       val dir = Files.createTempDirectory(s"semdedup_idx_$name").toString
       SemDeDupIndex.build(df(slices.head), dir, k = 3)
-      val last = slices.tail.map(s =>
-        SemDeDupIndex.append(spark, dir, df(s))).last
+      val last = slices.tail.zipWithIndex.map { case (s, i) =>
+        SemDeDupIndex.append(spark, dir, i + 1L, df(s)) }.last
       assert(table(last) == want, s"slicing $name diverged")
       assert(table(SemDeDupIndex.removals(spark, dir)) == want)
       assert(want.nonEmpty, "weak fixture: no shadows at all")
+      // crash/replay contract: re-delivering an EARLIER batch id after
+      // later batches landed overwrites its own partitions with identical
+      // content (stored side is ingest_batch < id) — removals unchanged
+      SemDeDupIndex.append(spark, dir, 1L, df(slices(1)))
+      assert(table(SemDeDupIndex.removals(spark, dir)) == want,
+        s"replaying batch 1 under $name changed the removals table")
     }
   }
 
@@ -73,7 +79,7 @@ class SemDeDupIndexSpec extends SparkSpec {
     SemDeDupIndex.build(df(first), dir, k = 3)
     val before = table(SemDeDupIndex.removals(spark, dir))
     assert(!before.exists(_._1 == 7L), s"7 must start kept, got $before")
-    val after = table(SemDeDupIndex.append(spark, dir, df(Seq(all(4)))))
+    val after = table(SemDeDupIndex.append(spark, dir, 1L, df(Seq(all(4)))))
     val row = after.find(_._1 == 7L)
     assert(row.exists(_._3 == 4L),
       s"7 must now be shadowed with kept_by=4, got $after")
@@ -85,9 +91,12 @@ class SemDeDupIndexSpec extends SparkSpec {
   test("members accumulate exactly the ingested vectors") {
     val dir = Files.createTempDirectory("semdedup_idx_members").toString
     SemDeDupIndex.build(df(all.take(10)), dir, k = 3)
-    SemDeDupIndex.append(spark, dir, df(all.drop(10)))
+    SemDeDupIndex.append(spark, dir, 1L, df(all.drop(10)))
     val stored = spark.read.parquet(s"$dir/members")
       .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
     assert(stored == (0L until 24L))
+    // and a replayed append leaves no duplicate members behind
+    SemDeDupIndex.append(spark, dir, 1L, df(all.drop(10)))
+    assert(spark.read.parquet(s"$dir/members").count() == 24L)
   }
 }
