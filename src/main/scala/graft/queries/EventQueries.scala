@@ -59,15 +59,22 @@ object EventQueries {
         FROM events GROUP BY 1, 2"""),
       bench = true),
 
-    // ---- dedup keep-first-by-time (streaming dropDuplicates analogue) ----
+    // ---- dedup keep-first-by-time (streaming dropDuplicates analogue).
+    // Keep-first is an order-insensitive aggregate, not a window: min over
+    // struct(ts, event_id) is lexicographic (earliest ts, then lowest id —
+    // exactly the old row_number(ORDER BY ts, event_id)=1 pick), and an
+    // aggregate combines MAP-SIDE, so the shuffle carries one struct per
+    // (user, type) group per map partition instead of every event row,
+    // and nothing sorts. Measured sf10: 18.9 s (window form, spilled
+    // full-row sort) → aggregate form in PERF.md; at 100 TB the window
+    // form shuffles the whole fact table, this shuffles ~|groups|. ----
     Q("e03_dedup_first",
       (s, dir) => {
-        val w = Window.partitionBy(col("user_id"), col("event_type"))
-          .orderBy(col("ts").asc, col("event_id").asc)
         events(s, dir)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(struct(col("ts"), col("event_id"))).as("m"))
+          .select(col("user_id"), col("event_type"),
+            col("m.event_id").as("event_id"), col("m.ts").as("ts"))
       },
       Some("""SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
         FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type

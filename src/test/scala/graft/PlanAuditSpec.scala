@@ -183,6 +183,18 @@ class PlanAuditSpec extends SparkSpec {
       s"assignment should be map-only:\n$plan")
   }
 
+  test("e03 keep-first dedup is a partial-aggregable min, never a window sort") {
+    // keep-first == min(struct(ts, event_id)) per group: the aggregate
+    // combines map-side (shuffle ∝ groups, not rows) and nothing sorts.
+    // Pin both properties so a refactor back to row_number can't slip in.
+    val df = SparkEntry.queries("e03_dedup_first")(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"no map-side combine in:\n$plan")
+    assert(!plan.contains("Window") && !plan.toLowerCase.contains("sortexec"),
+      s"window/sort reappeared in:\n$plan")
+  }
+
   test("t24 bigram LM never cross-joins and keeps partial aggregation") {
     val df = SparkEntry.queries("t24_bigram_lm_score")(spark, sfSmoke)
     val plan = df.queryExecution.executedPlan.toString
