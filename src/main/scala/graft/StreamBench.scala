@@ -131,10 +131,10 @@ object StreamBench {
     graft.jobs.BpeVocabIndex.build(half1, bpeDir, rounds = 3)
     val secB = (System.nanoTime() - tb) / 1e9
     val tr1 = System.nanoTime()
-    graft.jobs.BpeVocabIndex.refresh(spark, bpeDir, half2).count()
+    graft.jobs.BpeVocabIndex.refresh(spark, bpeDir, 1L, half2).count()
     val secR1 = (System.nanoTime() - tr1) / 1e9
     val tr2 = System.nanoTime()
-    graft.jobs.BpeVocabIndex.refresh(spark, bpeDir,
+    graft.jobs.BpeVocabIndex.refresh(spark, bpeDir, 2L,
       half2.select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
       .count()
     val secR2 = (System.nanoTime() - tr2) / 1e9
@@ -169,6 +169,30 @@ object StreamBench {
       s""""vecs_per_batch":$nBatch,"sec_build":$secSb,""" +
       s""""sec_append1":$secSa1,"sec_append2":$secSa2,""" +
       s""""removed_total":$nRemoved}""")
+
+    // ---- ANN index ingest + compaction (round 9): append is map-only
+    // assignment against frozen centroids (batch-proportional by
+    // construction); compact is the LSM fold that returns probe I/O to
+    // one file per cluster — its cost is one full-index data movement,
+    // the price paid once per maintenance window rather than per probe. ----
+    val annDir = Files.createTempDirectory("sb_ann").toString
+    val ta0 = System.nanoTime()
+    graft.jobs.AnnIndex.build(evenV, "vec_id", "embedding", 8, 3, annDir)
+      .count()
+    val secAb = (System.nanoTime() - ta0) / 1e9
+    val ta1 = System.nanoTime()
+    graft.jobs.AnnIndex.append(spark, annDir, 1L, b1v).count()
+    val secAa1 = (System.nanoTime() - ta1) / 1e9
+    val ta2 = System.nanoTime()
+    graft.jobs.AnnIndex.append(spark, annDir, 2L, b2v).count()
+    val secAa2 = (System.nanoTime() - ta2) / 1e9
+    val ta3 = System.nanoTime()
+    val folded = graft.jobs.AnnIndex.compact(spark, annDir).size
+    val secAc = (System.nanoTime() - ta3) / 1e9
+    println(s"""{"metric":"ann_ingest","vecs_built":$nEven,""" +
+      s""""vecs_per_batch":$nBatch,"sec_build":$secAb,""" +
+      s""""sec_append1":$secAa1,"sec_append2":$secAa2,""" +
+      s""""sec_compact":$secAc,"batches_folded":$folded}""")
     spark.stop()
   }
 }

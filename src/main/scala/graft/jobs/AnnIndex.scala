@@ -6,19 +6,31 @@ import graft.operators.KMeans
 
 /** IVF index as a DISK LAYOUT: k-means training (operators/KMeans) plus a
   * cluster-partitioned parquet directory, so an ANN probe is partition
-  * pruning — the query reads exactly `nProbe` directories and never
-  * touches the rest of the corpus. This is the piece that turns s02/s05's
-  * "probe one cluster" plan shape into physical I/O savings at 100 TB:
-  * listing-time pruning on `cluster=` directories, the same mechanism the
-  * warehouse uses for `period_start` refresh (ScaleSpec proves the pruning
-  * metric).
+  * pruning — the query reads exactly `nProbe` clusters' directories and
+  * never touches the rest of the corpus. This is the piece that turns
+  * s02/s05's "probe one cluster" plan shape into physical I/O savings at
+  * 100 TB: listing-time pruning on `cluster=` directories, the same
+  * mechanism the warehouse uses for `period_start` refresh (ScaleSpec
+  * proves the pruning metric).
   *
-  * Layout: `<path>/vectors/cluster=<c>/…` (id, embedding per row) and
-  * `<path>/centroids` (cluster, i, cv — exact quantized integers).
+  * Layout: `<path>/vectors/ingest_batch=<b>/cluster=<c>/…` (id, embedding
+  * per row) and `<path>/centroids` (cluster, i, cv — exact quantized
+  * integers). The outer `ingest_batch` level carries the SemDeDupIndex
+  * crash/replay contract: [[build]] owns batch 0, each [[append]] writes
+  * ONLY its own `ingest_batch=b` subtree with mode=overwrite, so a
+  * crashed or re-delivered append(b) (Structured Streaming re-runs
+  * foreachBatch with the SAME batchId) reproduces its partitions instead
+  * of duplicating vectors — the property a bare mode=append lacks.
+  * Probes prune on `cluster` exactly as before (partition pruning applies
+  * per-column, independent of directory nesting order).
   */
 object AnnIndex {
 
-  /** Train and write the index; returns the per-cluster row counts. */
+  private def vectorsPart(path: String, b: Long) =
+    s"$path/vectors/ingest_batch=$b"
+
+  /** Train and write the index (ingest batch 0); returns the per-cluster
+    * row counts. */
   def build(embeddings: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int, path: String): DataFrame = {
     val (assign, cents) = KMeans.lloyd(embeddings, idCol, vecCol, k, iters)
@@ -28,33 +40,65 @@ object AnnIndex {
       // one file — the probe's I/O is then exactly nProbe files
       .repartition(k, col("cluster"))
       .write.partitionBy("cluster").mode("overwrite")
-      .parquet(s"$path/vectors")
+      .parquet(vectorsPart(path, 0L))
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     embeddings.sparkSession.read.parquet(s"$path/vectors")
       .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
   }
 
-  /** Incremental maintenance: assign NEW vectors to the existing centroids
-    * (KMeans.assignTo — map-only, no retraining) and append them into the
-    * cluster-partitioned layout. Probes keep pruning to the same
-    * directories; each append adds one file per touched cluster, so probe
-    * I/O grows by one file per increment — rebuild (compact) when the
-    * increment count matters, exactly like any LSM-ish layout. Returns the
-    * refreshed per-cluster counts. */
-  def append(newVectors: DataFrame, idCol: String, vecCol: String,
-             path: String): DataFrame = {
-    val spark = newVectors.sparkSession
+  /** Incremental maintenance: assign arrival batch `batchId` (> 0,
+    * strictly increasing in arrival order) to the existing centroids
+    * (KMeans.assignTo — map-only, no retraining) and land it in its own
+    * `ingest_batch` partition, deterministically overwriting it — the
+    * idempotent foreachBatch contract ([[graft.streaming.AnnIngestStream]]
+    * is the streaming face). Probes keep pruning to the same `cluster=`
+    * values; each append adds one file per touched cluster, so probe I/O
+    * grows by one file per increment — rebuild (compact) when the
+    * increment count matters, exactly like any LSM-ish layout. Like
+    * SemDeDupIndex (and unlike BpeVocabIndex), the CLUSTERING is frozen:
+    * under embedding drift recall decays until [[build]] re-runs. Returns
+    * the per-cluster counts of the INCREMENT only — rescanning the whole
+    * layout for a return value would cost O(full index) read I/O per
+    * append. */
+  def append(spark: SparkSession, path: String, batchId: Long,
+             newVectors: DataFrame, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(batchId > 0, s"batch id $batchId: build owns 0, appends are > 0")
     val cents = spark.read.parquet(s"$path/centroids")
     val k = cents.agg(countDistinct(col("cluster"))).head().getLong(0).toInt
     val assign = KMeans.assignTo(newVectors, idCol, vecCol, cents)
     newVectors
       .join(assign.select(col("id").as(idCol), col("cluster")), idCol)
       .repartition(k, col("cluster"))
-      .write.partitionBy("cluster").mode("append")
-      .parquet(s"$path/vectors")
-    // counts of the INCREMENT only — rescanning the whole layout for a
-    // return value would cost O(full index) read I/O per append
+      .write.partitionBy("cluster").mode("overwrite")
+      .parquet(vectorsPart(path, batchId))
     assign.groupBy(col("cluster")).agg(count(lit(1)).as("n_appended"))
+  }
+
+  /** Fold every `ingest_batch` partition back into batch 0 — the LSM
+    * compaction [[append]]'s contract defers to: probe I/O returns to one
+    * file per cluster (append adds one file per touched cluster per
+    * increment), and the batch counter can restart above 0. Centroids are
+    * untouched; the fold is pure data movement.
+    *
+    * Crash contract (weaker than append's, like any two-step LSM
+    * compaction without a manifest): the fold WRITES batch 0 before it
+    * deletes the higher batches, so a crash between the two leaves
+    * transient duplicate copies visible to [[search]] until compact
+    * re-runs — the `dropDuplicates(idCol)` in the fold makes the re-run
+    * heal exactly (duplicate copies are byte-identical rows). Run it in a
+    * maintenance window with ingest paused; appends racing a compact
+    * could land a batch id the delete step then removes.
+    *
+    * Returns the batch ids that were folded away (empty = nothing to do). */
+  def compact(spark: SparkSession, path: String,
+              idCol: String = "vec_id"): Seq[Long] = {
+    val k = spark.read.parquet(s"$path/centroids")
+      .agg(countDistinct(col("cluster"))).head().getLong(0).toInt
+    LsmCompact.fold(spark, s"$path/vectors", idCol, folded =>
+      folded.repartition(k, col("cluster"))
+        .write.partitionBy("cluster").mode("overwrite")
+        .parquet(vectorsPart(path, 0L)))
   }
 
   /** Exact integer squared distance of a quantized query to each stored

@@ -22,56 +22,70 @@ import graft.operators.Bpe
   * under ANY slicing of arrivals (BpeVocabIndexSpec proves both).
   *
   * Layout under `path`:
-  *  - `word_counts/` — (word, cnt), the sufficient statistic;
+  *  - `word_counts/ingest_batch=<b>/` — batch b's OWN (word, cnt)
+  *    histogram; the corpus statistic is the additive fold (sum per
+  *    word) over all partitions. The batch partitioning is the index
+  *    family's crash/replay contract (SemDeDupIndex, AnnIndex,
+  *    NearDupIndex): [[build]] owns batch 0, each refresh overwrites
+  *    ONLY its own partition, so a re-delivered foreachBatch batch
+  *    reproduces its counts instead of double-counting them — the
+  *    property the previous whole-histogram staged-swap rewrite lacked
+  *    (a replayed refresh would have summed the batch in twice). It
+  *    also makes each refresh's write BATCH-sized, not
+  *    vocabulary-sized;
   *  - `merges/`      — (round, lhs, rhs, merged, pair_count, n_rows_after),
-  *                     the current trained merge table;
+  *                     the current trained merge table. DERIVED state:
+  *                     retrained from the counts fold on every refresh,
+  *                     so a crash between a counts write and the merges
+  *                     write leaves a stale-but-valid table that the
+  *                     replay (or any later refresh) heals;
   *  - `meta/`        — one (rounds) row, read back by refresh.
   *
   * Unlike NearDupIndex's frozen dictionary (which accepts drift until
-  * rebuild), nothing here is approximate — counts merge losslessly — so
-  * there is no rebuild()/drift contract to document.
+  * rebuild), nothing here is approximate — counts fold losslessly — so
+  * there is no rebuild()/drift contract to document. There is also no
+  * [[LsmCompact]] compact(): a SUM statistic has no self-identifying
+  * duplicate form for a crashed half-compact to heal from (the
+  * SemDeDupIndex deltas argument), and the per-batch partitions are
+  * vocabulary-bounded small files whose fold is one shuffle whatever
+  * the partition count.
   */
 object BpeVocabIndex {
 
-  /** Build the vocabulary index from scratch over (id, text) docs. */
+  private def countsPart(path: String, b: Long) =
+    s"$path/word_counts/ingest_batch=$b"
+
+  /** The corpus word histogram: additive fold over all batch partitions. */
+  def counts(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/word_counts").drop("ingest_batch")
+      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Build the vocabulary index from scratch over (id, text) docs —
+    * ingest batch 0. */
   def build(docs: DataFrame, path: String, rounds: Int): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val counts = Bpe.wordCounts(docs)
-    counts.write.mode("overwrite").parquet(s"$path/word_counts")
-    Bpe.trainFromCounts(spark.read.parquet(s"$path/word_counts"), rounds)
+    Bpe.wordCounts(docs).write.mode("overwrite")
+      .parquet(countsPart(path, 0L))
+    Bpe.trainFromCounts(counts(spark, path), rounds)
       .write.mode("overwrite").parquet(s"$path/merges")
     Seq(rounds).toDF("rounds").write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Absorb a new batch and retrain: counts merge additively (the batch is
-    * scanned once; the stored histogram rewrite is vocabulary-sized), then
-    * the merge table is retrained from the merged histogram. Returns the
-    * refreshed merge table. The merged counts are materialized to a stage
-    * dir BEFORE replacing `word_counts/` — the lazy plan reads the old
-    * counts, so writing over them in place would corrupt the read. */
-  def refresh(spark: SparkSession, path: String, newDocs: DataFrame): DataFrame = {
+  /** Absorb arrival batch `batchId` (> 0, strictly increasing in arrival
+    * order) and retrain: the batch is word-counted once (the only pass
+    * that touches its text) into its own partition, then the merge table
+    * is retrained from the counts fold ([[Bpe.trainFromCounts]] —
+    * per-round cost ∝ vocabulary, NOT corpus). Returns the refreshed
+    * merge table. */
+  def refresh(spark: SparkSession, path: String, batchId: Long,
+              newDocs: DataFrame): DataFrame = {
+    require(batchId > 0, s"batch id $batchId: build owns 0, refreshes are > 0")
     val rounds = spark.read.parquet(s"$path/meta").head().getAs[Int]("rounds")
-    val merged = spark.read.parquet(s"$path/word_counts")
-      .unionByName(Bpe.wordCounts(newDocs))
-      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
-    merged.write.mode("overwrite").parquet(s"$path/word_counts_stage")
-    // the filesystem OWNING the index path, not the session default (an
-    // HDFS-default session with a file:/ index would otherwise delete and
-    // rename on the wrong FS, returning false without throwing), and both
-    // booleans checked: a failed rename after the delete would strand the
-    // only copy of the histogram in the stage dir
-    val live = new org.apache.hadoop.fs.Path(s"$path/word_counts")
-    val stage = new org.apache.hadoop.fs.Path(s"$path/word_counts_stage")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.delete(live, true) && fs.exists(live))
-      throw new java.io.IOException(s"could not delete $live for swap")
-    if (!fs.rename(stage, live))
-      throw new java.io.IOException(
-        s"rename $stage -> $live failed; histogram preserved in stage dir")
-    val table = Bpe.trainFromCounts(spark.read.parquet(s"$path/word_counts"),
-      rounds)
-    table.write.mode("overwrite").parquet(s"$path/merges")
+    Bpe.wordCounts(newDocs).write.mode("overwrite")
+      .parquet(countsPart(path, batchId))
+    Bpe.trainFromCounts(counts(spark, path), rounds)
+      .write.mode("overwrite").parquet(s"$path/merges")
     spark.read.parquet(s"$path/merges")
   }
 

@@ -16,8 +16,13 @@ import graft.operators.NearDup
   *  - `dictionary/` — (tok, tok_id): the DF-capped rarity ranks, frozen at
   *    build time (document frequencies of a large corpus move negligibly
   *    per batch; rebuild() refreshes when drift accumulates);
-  *  - `docsets/`    — (doc_id, gs, n, prefix): per-doc sorted gram-id sets
-  *    + AllPairs prefix, the only state appends touch (append-only);
+  *  - `docsets/ingest_batch=<b>/` — (doc_id, gs, n, prefix): per-doc
+  *    sorted gram-id sets + AllPairs prefix, the only state appends
+  *    touch. The batch partitioning is the family's crash/replay
+  *    contract (SemDeDupIndex, AnnIndex): [[build]] owns batch 0, each
+  *    append overwrites ONLY its own partition, so a re-delivered
+  *    foreachBatch batch reproduces its doc sets instead of duplicating
+  *    them — the property the previous `mode("append")` lacked;
   *  - `meta/`       — one row of build parameters, read back by append so
   *    the two sides can never disagree on gramLen/cap/threshold.
   *
@@ -29,7 +34,10 @@ import graft.operators.NearDup
   */
 object NearDupIndex {
 
-  /** Build the index from scratch over (id, text) docs. */
+  private def docsetsPart(path: String, b: Long) =
+    s"$path/docsets/ingest_batch=$b"
+
+  /** Build the index from scratch over (id, text) docs — ingest batch 0. */
   def build(docs: DataFrame, path: String,
             gramLen: Int = 4, capNum: Int = 1, capDen: Int = 10,
             tNum: Int = 4, tDen: Int = 5): Unit = {
@@ -43,33 +51,46 @@ object NearDupIndex {
     val storedRare = spark.read.parquet(s"$path/dictionary")
     NearDup.docSetsAgainst(NearDup.charGramStream(d, gramLen), storedRare,
         tNum, tDen)
-      .write.mode("overwrite").parquet(s"$path/docsets")
+      .write.mode("overwrite").parquet(docsetsPart(path, 0L))
     Seq((gramLen, capNum, capDen, tNum, tDen))
       .toDF("gram_len", "cap_num", "cap_den", "t_num", "t_den")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Flag a new batch against the stored corpus and absorb it into the
-    * index. Returns (a_id, b_id, jaccard) covering new×stored and new×new
-    * pairs under the FROZEN dictionary (grams unseen at build time are
-    * ignored until [[build]] is re-run — the same drift contract as
-    * AnnIndex.append). The pair set is materialized BEFORE the batch's doc
-    * sets are appended: the pair plan reads `docsets/`, and appending first
-    * would let the lazy scan see the batch on its own stored side. */
-  def append(spark: SparkSession, path: String, newDocs: DataFrame): DataFrame = {
+  /** Flag arrival batch `batchId` (> 0, strictly increasing in arrival
+    * order) against the stored corpus and absorb it into the index.
+    * Returns (a_id, b_id, jaccard) covering new×stored and new×new pairs
+    * under the FROZEN dictionary (grams unseen at build time are ignored
+    * until [[build]] is re-run — the same drift contract as
+    * AnnIndex.append). The batch's doc sets are written FIRST and read
+    * back as the fresh side, so the pair plan executes over immutable
+    * on-disk state; the stored side filters `ingest_batch <= batchId`,
+    * so neither a replay racing later batches nor lazy consumption of
+    * the returned pairs can see batches that arrived afterwards. */
+  def append(spark: SparkSession, path: String, batchId: Long,
+             newDocs: DataFrame): DataFrame = {
+    require(batchId > 0, s"batch id $batchId: build owns 0, appends are > 0")
     val m = spark.read.parquet(s"$path/meta").head()
     val (gramLen, tNum, tDen) =
       (m.getAs[Int]("gram_len"), m.getAs[Int]("t_num"), m.getAs[Int]("t_den"))
     val rare = spark.read.parquet(s"$path/dictionary")
-    val stored = spark.read.parquet(s"$path/docsets")
     val fresh = NearDup.normDocs(newDocs)
-    val newSets = NearDup.docSetsAgainst(
-      NearDup.charGramStream(fresh, gramLen), rare, tNum, tDen)
-    val pairs = NearDup.incrementalPairsOver(
-        stored.unionByName(newSets), fresh.select(col("doc_id")), tNum, tDen)
-      .persist()
-    pairs.count() // materialize before the append below mutates docsets/
-    newSets.write.mode("append").parquet(s"$path/docsets")
-    pairs
+    NearDup.docSetsAgainst(NearDup.charGramStream(fresh, gramLen), rare,
+        tNum, tDen)
+      .write.mode("overwrite").parquet(docsetsPart(path, batchId))
+    val upTo = spark.read.parquet(s"$path/docsets")
+      .filter(col("ingest_batch") <= batchId).drop("ingest_batch")
+    NearDup.incrementalPairsOver(upTo, fresh.select(col("doc_id")),
+      tNum, tDen)
   }
+
+  /** Fold every docsets `ingest_batch` partition back into batch 0 — the
+    * family's LSM compaction ([[AnnIndex.compact]] scaladoc carries the
+    * shared crash contract: batch 0 is written before the higher batches
+    * delete, duplicates are transient and byte-identical, the
+    * `dropDuplicates` in the fold makes a re-run heal exactly; run with
+    * ingest paused). Returns the folded batch ids. */
+  def compact(spark: SparkSession, path: String): Seq[Long] =
+    LsmCompact.fold(spark, s"$path/docsets", "doc_id",
+      _.write.mode("overwrite").parquet(docsetsPart(path, 0L)))
 }

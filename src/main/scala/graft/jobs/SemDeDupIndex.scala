@@ -112,4 +112,27 @@ object SemDeDupIndex {
   def removals(spark: SparkSession, path: String): DataFrame =
     SemDedup.foldRemovals(
       spark.read.parquet(s"$path/deltas").drop("ingest_batch"))
+
+  /** Fold every members `ingest_batch` partition back into batch 0 — the
+    * LSM compaction for the one table that grows a file set per batch.
+    * MEMBERS ONLY, and that is exactness, not laziness: the stored deltas
+    * are keyed by pair CONTENT, not by where their members sit, so moving
+    * all members into batch 0 changes neither [[removals]] (which never
+    * reads members) nor any future [[append]] (whose stored side is
+    * `ingest_batch < b` — all of batch 0 qualifies, same content). The
+    * deltas table needs no compaction: it is aggregate-sized and the fold
+    * is one small shuffle whatever its partition count — and folding it
+    * in place would be UNSAFE, since `n_shadows = sum` cannot tell a
+    * crashed half-compact's leftovers from real deltas (members heal via
+    * `dropDuplicates` because duplicate copies are byte-identical rows; a
+    * sum has no such self-identifying form).
+    *
+    * Crash contract (same as AnnIndex.compact): batch 0 is written before
+    * the higher batches are deleted, so a crash between the two leaves
+    * transient duplicate members — appends in that window would
+    * double-count stored-side pairs, so run compaction with ingest
+    * paused; the re-run heals exactly. Returns the folded batch ids. */
+  def compact(spark: SparkSession, path: String): Seq[Long] =
+    LsmCompact.fold(spark, s"$path/members", "vec_id",
+      _.write.mode("overwrite").parquet(membersPart(path, 0L)))
 }

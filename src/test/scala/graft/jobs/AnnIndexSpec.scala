@@ -60,11 +60,20 @@ class AnnIndexSpec extends SparkSpec {
     val base = e.filter(col("vec_id") % 2 === 0)
     val extra = e.filter(col("vec_id") % 2 === 1)
     AnnIndex.build(base, "vec_id", "embedding", k = 8, iters = 3, path)
-    val counts = AnnIndex.append(extra, "vec_id", "embedding", path)
+    val counts = AnnIndex.append(spark, path, 1L, extra)
     // append reports the increment's counts (no full-index rescan)...
     assert(counts.agg(sum(col("n_appended"))).head().getLong(0) == extra.count())
     // ...and the layout now holds the whole corpus
     assert(spark.read.parquet(s"$path/vectors").count() == e.count())
+
+    // crash/replay idempotence: re-delivering the SAME batch id (the
+    // foreachBatch restart contract) overwrites its own partition —
+    // no duplicate vectors, same corpus
+    AnnIndex.append(spark, path, 1L, extra)
+    val after = spark.read.parquet(s"$path/vectors")
+    assert(after.count() == e.count(), "replayed append duplicated vectors")
+    assert(after.groupBy(col("vec_id")).count()
+      .filter(col("count") > 1).isEmpty, "duplicate vec_ids after replay")
 
     // every appended vector landed in the cluster a scalar nearest-centroid
     // scan picks (ties to lower id, like the trainer)
@@ -90,5 +99,50 @@ class AnnIndexSpec extends SparkSpec {
       .head().getSeq[Float](0).toArray
     val hit = AnnIndex.search(spark, path, qv, k = 1, nProbe = 1).head()
     assert(hit.getDouble(2) > 0.999999)
+  }
+
+  test("compact folds the LSM batches back to one file per cluster, search-identically") {
+    val e = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("ann_index_compact").toString
+
+    AnnIndex.build(e.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", k = 8, iters = 3, path)
+    AnnIndex.append(spark, path, 1L, e.filter(col("vec_id") % 3 === 1))
+    AnnIndex.append(spark, path, 2L, e.filter(col("vec_id") % 3 === 2))
+
+    val qv = e.filter(col("vec_id") === 11)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val before = AnnIndex.search(spark, path, qv, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+
+    assert(AnnIndex.compact(spark, path) == Seq(1L, 2L))
+
+    // content preserved, single batch partition, search identical
+    val after = spark.read.parquet(s"$path/vectors")
+    assert(after.count() == e.count())
+    assert(after.selectExpr("cast(ingest_batch as long)").distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(0L))
+    val res = AnnIndex.search(spark, path, qv, k = 5, nProbe = 2)
+    assert(res.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq == before)
+    // probe I/O is back to one file per probed cluster
+    val scan = res.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metrics("numFiles").value == 2L,
+      s"expected 2 files read, got ${scan.metrics("numFiles").value}")
+    // idempotent when already compact
+    assert(AnnIndex.compact(spark, path).isEmpty)
+
+    // crash healing: a compact that died between its write and its deletes
+    // leaves duplicate copies in higher batches — simulate by re-landing
+    // half the corpus as a stray batch, then compact must fold to a
+    // duplicate-free single partition
+    AnnIndex.append(spark, path, 3L, e.filter(col("vec_id") % 3 === 1))
+    assert(spark.read.parquet(s"$path/vectors").count() > e.count())
+    assert(AnnIndex.compact(spark, path) == Seq(3L))
+    val healed = spark.read.parquet(s"$path/vectors")
+    assert(healed.count() == e.count(), "heal left duplicates")
+    assert(healed.groupBy(col("vec_id")).count()
+      .filter(col("count") > 1).isEmpty)
   }
 }

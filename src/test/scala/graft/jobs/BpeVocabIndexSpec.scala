@@ -41,18 +41,24 @@ class BpeVocabIndexSpec extends SparkSpec {
         all.filter(_._1 % 3 == 2))))) {
       val dir = Files.createTempDirectory(s"bpe_idx_$name").toString
       BpeVocabIndex.build(df(slices.head), dir, rounds = 4)
-      val last = slices.tail.map(s =>
-        BpeVocabIndex.refresh(spark, dir, df(s))).last
+      val last = slices.tail.zipWithIndex.map { case (s, i) =>
+        BpeVocabIndex.refresh(spark, dir, i + 1L, df(s)) }.last
       assert(table(last) == want, s"slicing $name diverged")
       assert(table(BpeVocabIndex.merges(spark, dir)) == want)
+      // crash/replay: re-delivering batch 1 after batch 2 landed overwrites
+      // its own partition — the fold (and so the vocab) must NOT double-
+      // count the replayed batch, which the old whole-histogram rewrite did
+      BpeVocabIndex.refresh(spark, dir, 1L, df(slices(1)))
+      assert(table(BpeVocabIndex.merges(spark, dir)) == want,
+        s"replaying batch 1 under $name changed the vocabulary")
     }
   }
 
   test("stored histogram equals the corpus word counts after refreshes") {
     val dir = Files.createTempDirectory("bpe_idx_counts").toString
     BpeVocabIndex.build(df(all.take(3)), dir, rounds = 2)
-    BpeVocabIndex.refresh(spark, dir, df(all.drop(3)))
-    val stored = spark.read.parquet(s"$dir/word_counts").collect()
+    BpeVocabIndex.refresh(spark, dir, 1L, df(all.drop(3)))
+    val stored = BpeVocabIndex.counts(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val want = all.flatMap(_._2.split(" ")).filter(_.nonEmpty)
       .groupBy(identity).view.mapValues(_.size.toLong).toMap

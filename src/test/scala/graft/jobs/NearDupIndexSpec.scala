@@ -55,7 +55,7 @@ class NearDupIndexSpec extends SparkSpec {
 
     // first append: both the index and the in-session operator freeze the
     // dictionary on the build corpus, so they must agree exactly
-    val p1 = NearDupIndex.append(spark, path, b1.toDF("doc_id", "text"))
+    val p1 = NearDupIndex.append(spark, path, 1L, b1.toDF("doc_id", "text"))
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     val op1 = graft.operators.NearDup.incrementalJaccardPairs(
         base.toDF("doc_id", "text"), b1.toDF("doc_id", "text"),
@@ -66,7 +66,7 @@ class NearDupIndexSpec extends SparkSpec {
 
     // second append: b2 must pair against the build corpus AND batch 1 —
     // the stored state grew — still under the ORIGINAL dictionary
-    val p2 = NearDupIndex.append(spark, path, b2.toDF("doc_id", "text"))
+    val p2 = NearDupIndex.append(spark, path, 2L, b2.toDF("doc_id", "text"))
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     val want2 = ref(base, base ++ b1, b2, 4, 9, 10, 0.8)
     assert(p2 == want2, s"got $p2, want $want2")
@@ -74,5 +74,30 @@ class NearDupIndexSpec extends SparkSpec {
     assert(p2.contains((0L, 200L)))
     // no re-emission of batch-1 pairs and nothing old×old
     assert(p2.forall { case (a, b) => a >= 200L || b >= 200L })
+
+    // crash/replay: re-delivering batch 1 AFTER batch 2 landed reproduces
+    // its original pairs exactly — the stored side is `ingest_batch <= 1`,
+    // so batch 2 is invisible, and the partition overwrite leaves no
+    // duplicate doc sets behind
+    val p1r = NearDupIndex.append(spark, path, 1L, b1.toDF("doc_id", "text"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(p1r == p1, s"replayed batch 1 diverged: $p1r vs $p1")
+    assert(spark.read.parquet(s"$path/docsets").count() ==
+      (base.size + b1.size + b2.size).toLong, "replay duplicated doc sets")
+
+    // compact folds the three batches into one partition; a post-compact
+    // append still pairs against everything under the frozen dictionary
+    assert(NearDupIndex.compact(spark, path) == Seq(1L, 2L))
+    val batches = spark.read.parquet(s"$path/docsets")
+      .selectExpr("cast(ingest_batch as long)").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(batches == Seq(0L))
+    val b3 = Seq(300L -> (baseTexts(0) + " zs"))
+    val p3 = NearDupIndex.append(spark, path, 3L, b3.toDF("doc_id", "text"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(p3 == ref(base, base ++ b1 ++ b2, b3, 4, 9, 10, 0.8),
+      s"post-compact append diverged: $p3")
+    assert(p3.contains((0L, 300L)) && p3.contains((100L, 300L))
+      && p3.contains((200L, 300L)), s"post-compact pairs incomplete: $p3")
   }
 }

@@ -88,6 +88,51 @@ class SemDeDupIndexSpec extends SparkSpec {
     assert(after == batchRemovals(first, first :+ all(4)))
   }
 
+  test("compact folds members only, leaves removals exact, and future appends still match the batch run") {
+    val slices = Seq(all.take(8), all.slice(8, 16), all.slice(16, 20))
+    val dir = Files.createTempDirectory("semdedup_idx_compact").toString
+    SemDeDupIndex.build(df(slices.head), dir, k = 3)
+    SemDeDupIndex.append(spark, dir, 1L, df(slices(1)))
+    SemDeDupIndex.append(spark, dir, 2L, df(slices(2)))
+    val before = table(SemDeDupIndex.removals(spark, dir))
+
+    assert(SemDeDupIndex.compact(spark, dir) == Seq(1L, 2L))
+
+    // members folded to one partition, content intact, removals unchanged
+    val members = spark.read.parquet(s"$dir/members")
+    assert(members.selectExpr("cast(ingest_batch as long)").distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(0L))
+    assert(members.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+      == (0L until 20L))
+    assert(table(SemDeDupIndex.removals(spark, dir)) == before)
+    // deltas are untouched (they need no compaction and must not fold)
+    val deltaBatches = spark.read.parquet(s"$dir/deltas")
+      .selectExpr("cast(ingest_batch as long)").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(deltaBatches == Seq(0L, 1L, 2L), s"deltas changed: $deltaBatches")
+    // idempotent when already compact
+    assert(SemDeDupIndex.compact(spark, dir).isEmpty)
+
+    // an append AFTER compaction still equals the from-scratch batch run
+    // (stored side = all members in batch 0 < 3, same content as before)
+    SemDeDupIndex.append(spark, dir, 3L, df(all.drop(20)))
+    assert(table(SemDeDupIndex.removals(spark, dir))
+      == batchRemovals(slices.head, all))
+
+    // crash healing: replicate the exact crashed-compact state — duplicate
+    // member COPIES in a stray higher batch, no delta — then the re-run
+    // folds them away and removals stay exact
+    val stray = spark.read.parquet(s"$dir/members")
+      .filter(org.apache.spark.sql.functions.col("vec_id").between(8, 15))
+      .drop("ingest_batch").localCheckpoint()
+    stray.write.mode("overwrite").parquet(s"$dir/members/ingest_batch=4")
+    assert(SemDeDupIndex.compact(spark, dir) == Seq(3L, 4L))
+    val healed = spark.read.parquet(s"$dir/members")
+    assert(healed.count() == 24L, "heal left duplicate members")
+    assert(table(SemDeDupIndex.removals(spark, dir))
+      == batchRemovals(slices.head, all))
+  }
+
   test("members accumulate exactly the ingested vectors") {
     val dir = Files.createTempDirectory("semdedup_idx_members").toString
     SemDeDupIndex.build(df(all.take(10)), dir, k = 3)
