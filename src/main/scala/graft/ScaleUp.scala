@@ -16,13 +16,38 @@ import org.apache.spark.sql.functions._
   * LSH / clustering operators with 10× docs and ~10× denser dup structure
   * (the adversarial direction for dedup at scale).
   *
-  * Usage: ScaleUp [inDir] [outDir] [factor]
+  * Two corpus modes, selecting which scaling REGIME the near-dup /
+  * semantic-dedup operators are measured under:
+  *  - `dense` (default, the historical behavior): replicas are
+  *    near-duplicates of their base doc, so true near-dup pairs grow
+  *    ∝ factor² per base doc — the ADVERSARIAL regime (pathological dup
+  *    density; output-bound operators are expected to grow with output).
+  *  - `distinct`: replica r's text is SUBSTITUTION-CIPHERED (a seeded
+  *    per-replica permutation of a 62-char alphabet, spaces fixed) — a bijection at the
+  *    character level, so within one replica every similarity statistic (word sets,
+  *    shingles, char n-grams and their relative document frequencies,
+  *    word order) is EXACTLY the base corpus's under renaming, while
+  *    across replicas grams land in disjoint cipher families; embeddings
+  *    get a per-replica signed coordinate permutation (orthogonal:
+  *    intra-replica inner products exact, cross-replica cosines fall to
+  *    the 1/√d random-walk floor). Dup DENSITY is therefore held constant
+  *    as the corpus grows — the REALISTIC regime (real corpora add dups
+  *    ∝ n, not ∝ n²) — so "pairs and runtime ∝ n" is measurable instead
+  *    of argued. One caveat travels with ANY bijective per-replica
+  *    rename: a gram string's corpus-wide df FRACTION dilutes by
+  *    1/factor (its family has the base count, the corpus is factor×
+  *    bigger), so corpus-fraction-relative operators (t06's DF cap) are
+  *    measured with the cap scaled by 1/factor — `graft.DensityProbe` —
+  *    which by bijectivity reproduces the base capped-set semantics.
+  *
+  * Usage: ScaleUp [inDir] [outDir] [factor] [mode]
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val in = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "dense"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -32,6 +57,13 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, in, out, factor, mode)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, in: String, out: String, factor: Int,
+          mode: String = "dense"): Unit = {
+    require(mode == "dense" || mode == "distinct", s"unknown mode $mode")
 
     // The id offset MUST be injective under COMPOSITION: sf10 is built by
     // applying ScaleUp to sf1's output, and a FIXED additive offset
@@ -128,32 +160,106 @@ object ScaleUp {
     // earlier pass's (offset > max id ≥ (factor-1)·prevOffset), so
     // chained replicas never produce equal texts
     val docMult = docOff / OFF
-    // the embedding jitter below grows with docMult; past two chained
-    // passes it would leave near-dup range (cos drops below the s11/s12
-    // τ=0.3 pruning threshold) and silently falsify the "×factor denser
-    // dup structure" premise — refuse loudly, regenerate from base instead
-    require((factor - 1).toDouble * docMult.toDouble * 3e-4 <= 0.03,
-      s"chained jitter amplitude ${(factor - 1) * docMult * 3e-4} would " +
-        "push replicas out of near-dup range; rebuild from the base corpus " +
-        "at a single higher factor instead of chaining again")
-    write("documents", reps(docs)
-      .withColumn("doc_id", off("doc_id", docOff))
-      .withColumn("text", when(col("__r") === 0, col("text"))
-        .otherwise(concat(col("text"), lit(" r"),
-          (col("__r") * docMult).cast("string"))))
-      .withColumn("n_chars", length(col("text")).cast("long")).drop("__r"))
-    // embeddings: deterministic per-replica jitter — 4th decimal on a
-    // first application, ×10 per chained pass (≤0.027/component at the
+    // dense mode only: the embedding jitter below grows with docMult; past
+    // two chained passes it would leave near-dup range (cos drops below
+    // the s11/s12 τ=0.3 pruning threshold) and silently falsify the
+    // "×factor denser dup structure" premise — refuse loudly, regenerate
+    // from base instead. (distinct mode has no jitter — the signed
+    // permutation composes to a signed permutation at any chain depth.)
+    if (mode == "dense")
+      require((factor - 1).toDouble * docMult.toDouble * 3e-4 <= 0.03,
+        s"chained jitter amplitude ${(factor - 1) * docMult * 3e-4} would " +
+          "push replicas out of near-dup range; rebuild from the base corpus " +
+          "at a single higher factor instead of chaining again")
+    // per-replica text perturbation. dense: one suffix TOKEN per doc —
+    // replicas stay near-dups of the base. distinct: a per-replica
+    // SUBSTITUTION CIPHER (a deterministically seeded permutation of
+    // a–z, spaces fixed) — a bijection at the CHARACTER level, so every
+    // similarity statistic any operator derives (word sets, word
+    // shingles, char n-grams, n-gram document frequencies, word order)
+    // is renamed along intact within a replica, while across replicas
+    // grams land in disjoint cipher families (up to rare accidental
+    // collisions of a ciphered gram with a real one). Two designs were
+    // tried first and REJECTED by measurement: (1) per-word suffix tags
+    // preserve word-set Jaccard but destroy the word-boundary char grams
+    // that carry t06's order signal — t06 blew up 206 → 33.9 M pairs at
+    // 10× (280 k even with the cap scaled); char-gram operators need a
+    // char-level bijection. (2) Caesar ROTATIONS only offer 26 cipher
+    // classes, so a chained factor-100 surface pigeonholes ~4 replicas
+    // into each class as EXACT text copies — 206 → 1.2 M pairs at 100×.
+    // Seeded full permutations (26! classes, java.util.Random is
+    // algorithm-stable across JVMs) make within-pass and composed
+    // cross-pass collisions vanishingly rare.
+    // the cipher DOMAIN is 62 chars even though the base corpus only uses
+    // a–z: 100 families of a dense gram population birthday-collide in the
+    // 27⁴ ≈ 531 k char-4-gram space (measured: collisions push real grams
+    // over the scaled DF cap and t06 explodes 206 → 3.6 M pairs at 100×),
+    // while 63⁴ ≈ 15.7 M strings keep the families effectively disjoint.
+    // Permuting the FULL 62-char set also keeps chained passes bijective:
+    // a pass-2 cipher must remap whatever char set pass 1 produced.
+    val alphabet =
+      "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    def cipherTo(tag: Long): String =
+      if (tag == 0L) alphabet
+      else {
+        val arr = alphabet.toCharArray
+        val rnd = new java.util.Random(tag)
+        for (i <- arr.length - 1 to 1 by -1) {
+          val j = rnd.nextInt(i + 1)
+          val t = arr(i); arr(i) = arr(j); arr(j) = t
+        }
+        new String(arr)
+      }
+    if (mode == "dense")
+      write("documents", reps(docs)
+        .withColumn("doc_id", off("doc_id", docOff))
+        .withColumn("text", when(col("__r") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" r"),
+            (col("__r") * docMult).cast("string"))))
+        .withColumn("n_chars", length(col("text")).cast("long")).drop("__r"))
+    else
+      write("documents", (0 until factor).map { r =>
+        val to = cipherTo(r.toLong * docMult)
+        val ciphered =
+          if (to == alphabet) col("text")
+          else translate(col("text"), alphabet, to)
+        docs.withColumn("doc_id", col("doc_id") + lit(r.toLong * docOff))
+          .withColumn("text", ciphered)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }.reduce(_ unionByName _))
+    // embeddings. dense: deterministic per-replica jitter — 4th decimal on
+    // a first application, ×10 per chained pass (≤0.027/component at the
     // guarded depth: inside near-dup range, outside exact-dup range).
-    // vec_id ⊆ doc_id domain: SHARE the documents offset so a doc and its
-    // embedding stay aligned per replica; jitter scaled by the same
-    // per-pass multiplier so equal-sum replica pairs (r₁+r₂) no longer
-    // produce bitwise-identical vectors under chaining
+    // distinct: signed coordinate permutation per replica (rotate by
+    // __r·docMult, md5-balanced ± signs per position) — orthogonal, so
+    // intra-replica dot products and norms are preserved EXACTLY while
+    // cross-replica cosines fall to the 1/√d random-walk floor; composes
+    // to a signed permutation under chaining. vec_id ⊆ doc_id domain: SHARE the documents offset
+    // so a doc and its embedding stay aligned per replica; the dense
+    // jitter is scaled by the same per-pass multiplier so equal-sum
+    // replica pairs (r₁+r₂) no longer produce bitwise-identical vectors
+    // under chaining
+    val perturbedEmb =
+      if (mode == "dense")
+        expr(s"transform(embedding, (v, i) -> v + cast(__r as float) * " +
+          s"cast($docMult as float) * 1e-4f * cast(1 + pmod(i, 3) as float))")
+      else
+        // signs are md5-derived per (position, replica tag): a plain
+        // shift + fixed sign pattern left cross-replica cosines at the
+        // base corpus's AUTOCORRELATION (measured 0.36 at lag 1 — inside
+        // near-dup range), while balanced pseudo-random signs drive them
+        // to a 1/√d random walk (σ ≈ 0.125 at d = 64) whatever structure
+        // the vectors carry. Still exactly orthogonal, still composes.
+        when(col("__r") === 0, col("embedding"))
+          .otherwise(expr(
+            "transform(sequence(0, size(embedding) - 1), i -> " +
+              s"element_at(embedding, cast(pmod(i + __r * $docMult, " +
+              "size(embedding)) as int) + 1) * " +
+              "cast(1 - 2 * pmod(cast(conv(substr(md5(concat(" +
+              s"cast(i as string), ':', cast(__r * $docMult as string)" +
+              ")), 1, 4), 16, 10) as int), 2) as float))"))
     write("embeddings", reps(embs)
-      .withColumn("embedding", expr(
-        s"transform(embedding, (v, i) -> v + cast(__r as float) * " +
-          s"cast($docMult as float) * 1e-4f * cast(1 + pmod(i, 3) as float))"))
+      .withColumn("embedding", perturbedEmb)
       .withColumn("vec_id", off("vec_id", docOff)).drop("__r"))
-    spark.stop()
   }
 }

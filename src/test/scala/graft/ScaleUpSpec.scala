@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** The distinct (density-constant) ScaleUp mode must deliver what the
+  * scaling measurements assume: within one replica the corpus's near-dup
+  * structure is EXACTLY the base corpus's (bijective word rename / signed
+  * coordinate permutation), while across replicas docs stop being
+  * near-dups — so true pair volume grows ∝ factor, not ∝ factor². */
+class ScaleUpSpec extends SparkSpec {
+
+  private lazy val out = {
+    val dir = Files.createTempDirectory("scaleup_distinct").toString
+    ScaleUp.run(spark, sfSmoke, dir, factor = 3, mode = "distinct")
+    dir
+  }
+
+  private def wordSet(text: String): Set[String] =
+    text.split(" ").filter(_.nonEmpty).toSet
+
+  private def jac(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty && b.isEmpty) 1.0
+    else a.intersect(b).size.toDouble / a.union(b).size.toDouble
+
+  test("distinct mode: ids are unique and replica counts are exact") {
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val base = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    assert(docs.count() == 3 * base.count())
+    assert(docs.select("doc_id").distinct().count() == docs.count())
+    val embs = spark.read.parquet(s"$out/embeddings.parquet")
+    assert(embs.select("vec_id").distinct().count() == embs.count())
+  }
+
+  test("distinct mode: within-replica word-set Jaccard equals the base corpus's exactly") {
+    val base = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(12).collect()
+      .map(r => r.getLong(0) -> wordSet(r.getString(1)))
+    // replica 1 of the same docs (offset = 10^9 at smoke scale)
+    val off = 1000000000L
+    val ids = base.map(_._1 + off).toSeq
+    val rep = spark.read.parquet(s"$out/documents.parquet")
+      .filter(col("doc_id").isin(ids: _*))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0) - off) -> wordSet(r.getString(1))).toMap
+    for {
+      (ia, sa) <- base; (ib, sb) <- base if ia < ib
+    } assert(jac(sa, sb) == jac(rep(ia), rep(ib)),
+      s"jaccard($ia,$ib) drifted in replica 1")
+  }
+
+  test("distinct mode: the same doc across replicas stops being a near-dup") {
+    val off = 1000000000L
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val a = docs.filter(col("doc_id") === 5).select("text").head().getString(0)
+    val r1 = docs.filter(col("doc_id") === 5 + off).select("text").head().getString(0)
+    val r2 = docs.filter(col("doc_id") === 5 + 2 * off).select("text").head().getString(0)
+    // bijectively renamed words share NOTHING at the word level
+    assert(jac(wordSet(a), wordSet(r1)) == 0.0)
+    assert(jac(wordSet(r1), wordSet(r2)) == 0.0)
+    // and the texts are not equal (exact-dup-free)
+    assert(a != r1 && r1 != r2)
+  }
+
+  test("distinct mode: signed permutation preserves intra-replica quantized dots exactly, kills cross-replica cosine") {
+    graft.functions.VectorExpressions.register(spark)
+    val off = 1000000000L
+    val base = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+      .filter(col("vec_id") < 40)
+    val scaled = spark.read.parquet(s"$out/embeddings.parquet")
+    val rep1 = scaled.filter(col("vec_id") >= off && col("vec_id") < off + 40)
+      .select((col("vec_id") - off).as("vec_id"), col("embedding"))
+    // the multiset of per-coordinate products is preserved EXACTLY by a
+    // signed permutation ((−a)(−b) == ab in IEEE float): compare the
+    // sorted product arrays pairwise — a stronger, float-exact form of
+    // "inner products preserved" that no summation order can blur
+    def dots(d: org.apache.spark.sql.DataFrame): Map[(Long, Long), Seq[Float]] =
+      d.as("x").join(d.select(col("vec_id").as("vid2"),
+          col("embedding").as("emb2")),
+          col("vec_id") < col("vid2"))
+        .select(col("vec_id"), col("vid2"),
+          sort_array(zip_with(col("embedding"), col("emb2"),
+            (a, b) => a * b)).as("prods"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Float](2)).toMap
+    val bd = dots(base.select("vec_id", "embedding"))
+    val rd = dots(rep1)
+    assert(bd.nonEmpty && bd == rd,
+      "intra-replica product multisets drifted under the permutation")
+    // cross-replica: the SAME vector against its permuted self decorrelates —
+    // the pairs that were exact dups (cos 1.0) in dense mode. Deterministic
+    // data, so the bound is stable; τ=0.3 is the semdedup prune threshold.
+    val self = base.select(col("vec_id"), col("embedding"))
+      .join(rep1.select(col("vec_id"), col("embedding").as("emb2")), "vec_id")
+      .select(
+        graft.functions.VectorExpressions.quantizedDot(
+          col("embedding"), col("emb2")).cast("double").as("dot"),
+        graft.functions.VectorExpressions.quantizedNorm2(col("embedding"))
+          .cast("double").as("n2a"),
+        graft.functions.VectorExpressions.quantizedNorm2(col("emb2"))
+          .cast("double").as("n2b"))
+      .select((col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b")))).as("cos"))
+      .collect().map(_.getDouble(0))
+    // at d = 64 a perfectly decorrelated pair has cos σ ≈ 1/√64 = 0.125,
+    // so a rare tail above τ is expected of ANY orthogonal scramble; the
+    // density claim needs the BULK below τ and no mass near 1.0
+    val absCos = self.map(math.abs)
+    assert(absCos.sum / absCos.length < 0.15,
+      s"mean |cos| ${absCos.sum / absCos.length} — permutation failed to decorrelate")
+    assert(absCos.count(_ >= 0.3).toDouble / absCos.length <= 0.1,
+      s"${absCos.count(_ >= 0.3)}/${absCos.length} self-pairs ≥ τ")
+    assert(absCos.max < 0.7, s"a self-pair stayed close to exact-dup: ${absCos.max}")
+  }
+
+  test("dense mode first application reproduces the legacy layout shape") {
+    val dir = Files.createTempDirectory("scaleup_dense").toString
+    ScaleUp.run(spark, sfSmoke, dir, factor = 2, mode = "dense")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    assert(docs.count() == 2 * base.count())
+    // replica 1 text = base text + " r1" (docMult = 1 on first application)
+    val t0 = base.filter(col("doc_id") === 3).head().getAs[String]("text")
+    val t1 = docs.filter(col("doc_id") === 3 + 1000000000L)
+      .head().getAs[String]("text")
+    assert(t1 == t0 + " r1")
+  }
+}
