@@ -13,15 +13,26 @@ import org.apache.spark.sql.functions._
   * while the corpus is factor× larger, and cap/factor reproduces each
   * per-replica capped gram set bit-for-bit (ScaleUp's scaladoc records
   * the 206 → 33.9 M blow-up of measuring with the UNscaled cap). The
-  * cap-free operators (t36 shingle LSH, s12 scaled semantic dedup) run
-  * unmodified.
+  * cap-free operators — t36 shingle LSH and s12 scaled semantic dedup
+  * (k ∝ n, the embedding-side probe) — run unmodified.
   *
-  * Usage: DensityProbe <sfDir> <factor>   (prints one JSON line)
+  * The whole set runs TWICE and the SECOND pass is reported: a fresh JVM's
+  * first query absorbs all JIT/codegen/classload cost (~5–7 s), which at
+  * the small base surface dominates the measurement and flattens every
+  * cross-surface runtime ratio (found in review — the first published
+  * table had t06 "8.8 s" at base where warm work is ~2 s).
+  *
+  * Usage: DensityProbe <sfDir> <factor> [skip_s12]   (prints one JSON line)
+  * `skip_s12` exists for surfaces where s12's cost is dominated by the
+  * O(n·k·d) centroid-assignment pass (factor 1000: k = 8000 over 20 M
+  * vectors ≈ 10¹³ MACs per pass) — there the warmup double-run buys
+  * nothing, so s12 is measured once via graft.BenchOne instead.
   */
 object DensityProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val factor = args(1).toInt
+    val skipS12 = args.length > 2 && args(2) == "skip_s12"
     val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val docs = graft.core.Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
@@ -32,27 +43,42 @@ object DensityProbe {
       ((System.nanoTime() - t0) / 1e9, n, a)
     }
 
-    // t06 shape, cap scaled with the corpus
-    val (t06Sec, t06Pairs, pairs) = timed {
-      val p = graft.operators.NearDup.jaccardPairs(
-        docs, gramLen = 4, capNum = 1, capDen = 10 * factor,
-        tNum = 4, tDen = 5)
-      (p.count(), p)
+    def pass() = {
+      // t06 shape, cap scaled with the corpus
+      val (t06Sec, t06Pairs, pairs) = timed {
+        val p = graft.operators.NearDup.jaccardPairs(
+          docs, gramLen = 4, capNum = 1, capDen = 10 * factor,
+          tNum = 4, tDen = 5)
+        (p.count(), p)
+      }
+      // t11 shape over those pairs
+      val (t11Sec, t11Rows, _) = timed {
+        val labels = graft.operators.Graph.connectedComponents(
+          pairs.select(col("a_id"), col("b_id")))
+        (labels.count(), ())
+      }
+      // t36 shape (cap-free)
+      val (t36Sec, t36Pairs, _) = timed {
+        (graft.operators.NearDup.selfMinHashPairs(docs).count(), ())
+      }
+      // s12 shape (cap-free: k ∝ n) — the embedding-side density probe;
+      // its removal count is the direct "semantic dups ∝ n" statistic
+      val (s12Sec, s12Rows, _) =
+        if (skipS12) (-1.0, -1L, ())
+        else timed {
+          (SparkEntry.queries("s12_semdedup_scaled")(spark, sfDir).count(), ())
+        }
+      (t06Sec, t06Pairs, t11Sec, t11Rows, t36Sec, t36Pairs, s12Sec, s12Rows)
     }
-    // t11 shape over those pairs
-    val (t11Sec, t11Rows, _) = timed {
-      val labels = graft.operators.Graph.connectedComponents(
-        pairs.select(col("a_id"), col("b_id")))
-      (labels.count(), ())
-    }
-    // t36 shape (cap-free)
-    val (t36Sec, t36Pairs, _) = timed {
-      (graft.operators.NearDup.selfMinHashPairs(docs).count(), ())
-    }
+
+    pass() // warmup — see scaladoc
+    val (t06Sec, t06Pairs, t11Sec, t11Rows,
+      t36Sec, t36Pairs, s12Sec, s12Rows) = pass()
     println(s"""{"metric":"density_probe","sf":"$sfDir","factor":$factor,""" +
       s""""t06_sec":$t06Sec,"t06_pairs":$t06Pairs,""" +
       s""""t11_sec":$t11Sec,"t11_rows":$t11Rows,""" +
-      s""""t36_sec":$t36Sec,"t36_pairs":$t36Pairs}""")
+      s""""t36_sec":$t36Sec,"t36_pairs":$t36Pairs,""" +
+      s""""s12_sec":$s12Sec,"s12_removed":$s12Rows}""")
     spark.stop()
   }
 }

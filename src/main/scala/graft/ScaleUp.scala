@@ -120,14 +120,25 @@ object ScaleUp {
     def off(c: String, offset: Long): org.apache.spark.sql.Column =
       col(c) + col("__r") * offset
 
-    def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    // Replicated tables are REPARTITIONED before write. Without this the
+    // reps() crossJoin (base scan partitions × broadcast) yields 1-2
+    // output files, each one row group when under ~128 MB — an
+    // UNSPLITTABLE scan, so every downstream map stage (near-dup
+    // signatures, centroid assignment) ran effectively single-threaded on
+    // the scaled surfaces until its first shuffle (found when a rebuilt
+    // surface measured t36 3× slower than the old union-of-branches
+    // build, which had incidentally written `factor` files). 32 files
+    // matches the bench session's parallelism; files past 128 MB split by
+    // row group on their own.
+    def write(name: String, df: DataFrame, repartition: Boolean = true): Unit = {
+      (if (repartition) df.repartition(32) else df)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scaleup] wrote $name")
     }
 
-    // dimensions: copy unchanged
+    // dimensions: copy unchanged (tiny — keep their natural layout)
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
-      write(t, graft.core.Tables(spark, in, t))
+      write(t, graft.core.Tables(spark, in, t), repartition = false)
     }
     // orders/lineitem: replicate on the order-key spine; customers/parts/
     // suppliers are shared across replicas (fact-to-dim fan-in grows, the
@@ -197,19 +208,14 @@ object ScaleUp {
     // while 63⁴ ≈ 15.7 M strings keep the families effectively disjoint.
     // Permuting the FULL 62-char set also keeps chained passes bijective:
     // a pass-2 cipher must remap whatever char set pass 1 produced.
-    val alphabet =
-      "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
-    def cipherTo(tag: Long): String =
-      if (tag == 0L) alphabet
-      else {
-        val arr = alphabet.toCharArray
-        val rnd = new java.util.Random(tag)
-        for (i <- arr.length - 1 to 1 by -1) {
-          val j = rnd.nextInt(i + 1)
-          val t = arr(i); arr(i) = arr(j); arr(j) = t
-        }
-        new String(arr)
-      }
+    // Every per-replica perturbation (cipher target, coordinate
+    // permutation, signs) rides ONE broadcast replica-map frame of
+    // `factor` rows, joined onto the single-scan reps() expansion — the
+    // first cut union'd `factor` per-replica branches, i.e. `factor` full
+    // scans of the input parquet for a factor-100 build (found in review).
+    // translate() rebuilds its char dict when the replace argument
+    // changes, so a non-foldable per-row cipher target is supported.
+    lazy val repMap = replicaMap(spark, factor, docMult, embDim(embs))
     if (mode == "dense")
       write("documents", reps(docs)
         .withColumn("doc_id", off("doc_id", docOff))
@@ -218,48 +224,123 @@ object ScaleUp {
             (col("__r") * docMult).cast("string"))))
         .withColumn("n_chars", length(col("text")).cast("long")).drop("__r"))
     else
-      write("documents", (0 until factor).map { r =>
-        val to = cipherTo(r.toLong * docMult)
-        val ciphered =
-          if (to == alphabet) col("text")
-          else translate(col("text"), alphabet, to)
-        docs.withColumn("doc_id", col("doc_id") + lit(r.toLong * docOff))
-          .withColumn("text", ciphered)
-          .withColumn("n_chars", length(col("text")).cast("long"))
-      }.reduce(_ unionByName _))
+      write("documents", reps(docs)
+        .join(broadcast(repMap.select("__r", "__to")), "__r")
+        .withColumn("doc_id", off("doc_id", docOff))
+        .withColumn("text", expr(s"translate(text, '$alphabet', __to)"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .drop("__r", "__to"))
     // embeddings. dense: deterministic per-replica jitter — 4th decimal on
     // a first application, ×10 per chained pass (≤0.027/component at the
     // guarded depth: inside near-dup range, outside exact-dup range).
-    // distinct: signed coordinate permutation per replica (rotate by
-    // __r·docMult, md5-balanced ± signs per position) — orthogonal, so
-    // intra-replica dot products and norms are preserved EXACTLY while
-    // cross-replica cosines fall to the 1/√d random-walk floor; composes
-    // to a signed permutation under chaining. vec_id ⊆ doc_id domain: SHARE the documents offset
-    // so a doc and its embedding stay aligned per replica; the dense
-    // jitter is scaled by the same per-pass multiplier so equal-sum
-    // replica pairs (r₁+r₂) no longer produce bitwise-identical vectors
-    // under chaining
+    // distinct: a SEEDED FULL coordinate permutation + seeded balanced ±
+    // signs per replica tag (see [[permFor]]/[[signsFor]]) — orthogonal,
+    // so intra-replica dot products and norms are preserved EXACTLY while
+    // cross-replica cosines fall toward the 1/√d random-walk floor;
+    // composes to a signed permutation under chaining. Two weaker designs
+    // were rejected: a fixed sign pattern + coordinate SHIFT leaves
+    // cross-replica cosines at the base corpus's autocorrelation
+    // (measured 0.36 at lag 1 — inside near-dup range), and a ROTATION by
+    // __r·docMult pigeonholes at factor ≥ d: replicas with equal rotation
+    // mod d differ only by signs, so their cosine is ±Σ±v_j²/‖v‖² — above
+    // the τ=0.3 semdedup threshold for any energy-concentrated vector
+    // (found in review; full permutations make a shared permutation a
+    // 1-in-d! event instead of a pigeonhole certainty).
+    // vec_id ⊆ doc_id domain: SHARE the documents offset so a doc and its
+    // embedding stay aligned per replica; the dense jitter is scaled by
+    // the same per-pass multiplier so equal-sum replica pairs (r₁+r₂) no
+    // longer produce bitwise-identical vectors under chaining
+    val embBase =
+      if (mode == "dense") reps(embs)
+      else reps(embs).join(broadcast(
+        repMap.select("__r", "__perm", "__signs")), "__r")
     val perturbedEmb =
       if (mode == "dense")
         expr(s"transform(embedding, (v, i) -> v + cast(__r as float) * " +
           s"cast($docMult as float) * 1e-4f * cast(1 + pmod(i, 3) as float))")
       else
-        // signs are md5-derived per (position, replica tag): a plain
-        // shift + fixed sign pattern left cross-replica cosines at the
-        // base corpus's AUTOCORRELATION (measured 0.36 at lag 1 — inside
-        // near-dup range), while balanced pseudo-random signs drive them
-        // to a 1/√d random walk (σ ≈ 0.125 at d = 64) whatever structure
-        // the vectors carry. Still exactly orthogonal, still composes.
-        when(col("__r") === 0, col("embedding"))
+        // size(embedding) <= 0 guard: sequence(0, -1) is a [0,-1] DOWNWARD
+        // ramp, not the empty array — an ungated transform turns [] into
+        // [null, null] (found in review); empty and null stay themselves
+        when(col("__r") === 0 || size(col("embedding")) <= 0,
+          col("embedding"))
           .otherwise(expr(
             "transform(sequence(0, size(embedding) - 1), i -> " +
-              s"element_at(embedding, cast(pmod(i + __r * $docMult, " +
-              "size(embedding)) as int) + 1) * " +
-              "cast(1 - 2 * pmod(cast(conv(substr(md5(concat(" +
-              s"cast(i as string), ':', cast(__r * $docMult as string)" +
-              ")), 1, 4), 16, 10) as int), 2) as float))"))
-    write("embeddings", reps(embs)
+              "element_at(embedding, element_at(__perm, i + 1) + 1) * " +
+              "element_at(__signs, i + 1))"))
+    write("embeddings", embBase
       .withColumn("embedding", perturbedEmb)
-      .withColumn("vec_id", off("vec_id", docOff)).drop("__r"))
+      .withColumn("vec_id", off("vec_id", docOff))
+      .drop("__r", "__perm", "__signs"))
   }
+
+  val alphabet =
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+
+  /** distinct-mode cipher target for one replica tag: a seeded
+    * Fisher-Yates permutation of [[alphabet]] (identity at tag 0 — replica
+    * 0 stays byte-identical to the base). java.util.Random's algorithm is
+    * specified, so the cipher is stable across JVMs. */
+  private[graft] def cipherTo(tag: Long): String =
+    if (tag == 0L) alphabet
+    else {
+      val arr = alphabet.toCharArray
+      val rnd = new java.util.Random(tag)
+      for (i <- arr.length - 1 to 1 by -1) {
+        val j = rnd.nextInt(i + 1)
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+      }
+      new String(arr)
+    }
+
+  /** distinct-mode coordinate permutation for one replica tag: 0-based
+    * source position per target position, identity at tag 0. */
+  private[graft] def permFor(tag: Long, d: Int): Array[Int] = {
+    val p = Array.range(0, d)
+    if (tag != 0L) {
+      val rnd = new java.util.Random(tag)
+      for (i <- d - 1 to 1 by -1) {
+        val j = rnd.nextInt(i + 1)
+        val t = p(i); p(i) = p(j); p(j) = t
+      }
+    }
+    p
+  }
+
+  /** distinct-mode ± signs for one replica tag (all +1 at tag 0). Seed is
+    * decoupled from [[permFor]]'s so the sign pattern is independent of
+    * the permutation prefix. */
+  private[graft] def signsFor(tag: Long, d: Int): Array[Float] =
+    if (tag == 0L) Array.fill(d)(1f)
+    else {
+      val rnd = new java.util.Random(tag ^ 0x9E3779B97F4A7C15L)
+      Array.fill(d)(if (rnd.nextBoolean()) 1f else -1f)
+    }
+
+  /** embedding dimensionality, probed once (bounded: one 2-value agg);
+    * loud if non-empty embeddings disagree — [[permFor]] arrays are built
+    * for ONE d, and a silent skip would leave odd-sized vectors
+    * unperturbed (a fake cross-replica near-dup). Empty table / all-empty
+    * arrays → 0 (the when-guard keeps them unchanged). */
+  private def embDim(embs: DataFrame): Int = {
+    val r = embs.select(size(col("embedding")).as("s")).where(col("s") > 0)
+      .agg(min(col("s")), max(col("s"))).head()
+    if (r.isNullAt(0)) 0
+    else {
+      require(r.getInt(0) == r.getInt(1),
+        s"distinct mode needs one embedding dimensionality, " +
+          s"found ${r.getInt(0)}..${r.getInt(1)}")
+      r.getInt(0)
+    }
+  }
+
+  /** the broadcast replica-map frame: one row per replica with every
+    * distinct-mode perturbation — `factor` driver-built rows, built once
+    * per run (the lazy val in [[run]]). */
+  private def replicaMap(spark: SparkSession, factor: Int, docMult: Long,
+                         d: Int): DataFrame =
+    spark.createDataFrame((0 until factor).map { r =>
+      val tag = r.toLong * docMult
+      (r.toLong, cipherTo(tag), permFor(tag, d), signsFor(tag, d))
+    }).toDF("__r", "__to", "__perm", "__signs")
 }

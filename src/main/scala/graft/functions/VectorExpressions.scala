@@ -167,8 +167,19 @@ object VectorExpressions {
     }
     @transient private lazy val ids: Array[Long] =
       idsLit.eval(null).asInstanceOf[ArrayData].toLongArray()
+    // large k goes through the group-pruned index (EXACT, see the class
+    // scaladoc); small k keeps the flat loop — the k'·d coarse pass plus
+    // per-row bookkeeping only pays for itself once the flat scan is wide
+    @transient private lazy val prunedIdx: PrunedCentroidIndex =
+      if (matrix.length >= PrunedCentroidIndex.Threshold)
+        new PrunedCentroidIndex(matrix, ids)
+      else null
 
     private def best(q: ArrayData): (Long, Long) = {
+      if (prunedIdx != null) {
+        val r = prunedIdx.best(q)
+        return (r(0), r(1))
+      }
       var bestD = Long.MaxValue
       var bestC = Long.MaxValue
       var j = 0
@@ -198,6 +209,19 @@ object VectorExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (q, _, _) => {
+        if (matrix.length >= PrunedCentroidIndex.Threshold) {
+          // the index is built ONCE here on the driver and ships inside the
+          // generated class's references; best() returns a thread-local
+          // 2-long scratch the row constructor copies out of immediately
+          val idxRef = ctx.addReferenceObj("prunedIdx", prunedIdx,
+            classOf[PrunedCentroidIndex].getName)
+          val r = ctx.freshName("r")
+          s"""
+            long[] $r = $idxRef.best($q);
+            ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              new Object[]{java.lang.Long.valueOf($r[0]), java.lang.Long.valueOf($r[1])});
+          """
+        } else {
         val m = ctx.addReferenceObj("centMatrix", matrix, "long[][]")
         val idRef = ctx.addReferenceObj("centIds", ids, "long[]")
         val j = ctx.freshName("j")
@@ -227,12 +251,206 @@ object VectorExpressions {
           ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
             new Object[]{java.lang.Long.valueOf($bestD), java.lang.Long.valueOf($bestC)});
         """
+        }
       })
 
     override protected def withNewChildrenInternal(
         newFirst: Expression, newSecond: Expression,
         newThird: Expression): Expression =
       copy(vec = newFirst, centsLit = newSecond, idsLit = newThird)
+  }
+
+  /** EXACT nearest-centroid search with triangle-inequality group pruning —
+    * the large-k assignment path of [[NearestCentroid]].
+    *
+    * The flat argmin loop is O(k·d) per row; with k ∝ corpus (the
+    * SemDeDup/IVF deployment regime, s12's k = n/2500) assignment becomes
+    * the quadratic wall AFTER pair work is linearized — at factor 1000
+    * (k = 8000 over 20 M vectors) it is ~10¹³ multiply-adds. This index
+    * clusters the k CENTROIDS into g ≈ √k coarse groups once on the driver
+    * (a mini-Lloyd over k points — k·d is KBs), stores each group's exact
+    * max member-to-coarse-center squared distance r², and per row:
+    *
+    *  1. computes the g coarse distances (g·d work),
+    *  2. visits groups in ascending coarse-distance order (tightens the
+    *     running best early),
+    *  3. skips a whole group when the triangle inequality proves no member
+    *     can beat the running best: ‖x−c‖ ≥ ‖x−m_g‖ − ‖c−m_g‖ for every
+    *     member c of group g, so the group's minimum possible squared
+    *     distance is (√cd − √r²)², and `cd > bestD + r² + 2·√(bestD·r²)`
+    *     (the squared form of √cd > √bestD + √r²) proves it strictly
+    *     exceeds bestD.
+    *
+    * EXACTNESS, not approximation: the prune test errs conservative — it
+    * adds a +2.0 margin that dwarfs the ≤ 1e-6 absolute error of the one
+    * double sqrt (inputs are exact integers < 2⁶⁰, so bestD + r² is
+    * double-exact and the product's rounding is bounded), and it is
+    * STRICT, so a member tied with the running best (equal distance,
+    * lower-id tiebreak pending) is never pruned. Rows whose
+    * dimensionality differs from the matrix's fall back to the flat scan
+    * (the triangle bound only holds over the full coordinate set). The
+    * result is bit-identical to the flat loop at any k — pruning is a
+    * speed lever only, so [[graft.operators.KMeans]] semantics (and the
+    * s11 hash gate pinning them) are untouched.
+    *
+    * Worst case (centroids with no cluster structure) degrades to the flat
+    * scan plus ~√k·d overhead (≈1–2% at k = 8000); the measured win on the
+    * density surfaces is in PERF.md. Built on the driver, shipped inside
+    * the generated class's references; only the per-thread scratch is
+    * rebuilt per JVM. */
+  final class PrunedCentroidIndex(val matrix: Array[Array[Long]],
+                                  val ids: Array[Long]) extends Serializable {
+    private val k = matrix.length
+    private val dim = if (k == 0) 0 else matrix(0).length
+    require(k > 0 && matrix.forall(_.length == dim),
+      "pruned index needs a non-empty rectangular centroid matrix")
+
+    private def dist2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+
+    // g coarse groups from a deterministic mini-Lloyd over the centroids:
+    // seeds evenly spaced in id order, 4 assignment passes, integer
+    // round-half-up recenter (floor((2s+c)/(2c)) — the engine's own rule).
+    // Grouping quality affects SPEED only; exactness never depends on it.
+    private val (coarse: Array[Array[Long]],
+                 members: Array[Array[Int]],
+                 r2: Array[Long]) = {
+      val g0 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+      var centers = Array.tabulate(g0)(j => matrix(((j.toLong * k) / g0).toInt))
+      val assign = new Array[Int](k)
+      var pass = 0
+      while (pass < 4) {
+        var c = 0
+        while (c < k) {
+          var bd = Long.MaxValue; var bj = 0; var j = 0
+          while (j < centers.length) {
+            val d = dist2(matrix(c), centers(j))
+            if (d < bd) { bd = d; bj = j }
+            j += 1
+          }
+          assign(c) = bj
+          c += 1
+        }
+        val sums = Array.ofDim[Long](centers.length, dim)
+        val cnts = new Array[Long](centers.length)
+        var c2 = 0
+        while (c2 < k) {
+          val j = assign(c2); cnts(j) += 1
+          var i = 0
+          while (i < dim) { sums(j)(i) += matrix(c2)(i); i += 1 }
+          c2 += 1
+        }
+        centers = Array.tabulate(centers.length) { j =>
+          if (cnts(j) == 0) centers(j) // empty: keep (dropped below)
+          else Array.tabulate(dim)(i =>
+            Math.floorDiv(2L * sums(j)(i) + cnts(j), 2L * cnts(j)))
+        }
+        pass += 1
+      }
+      val byGroup = (0 until k).groupBy(assign)
+      val live = byGroup.keys.toArray.sorted
+      (live.map(centers),
+        live.map(j => byGroup(j).toArray),
+        live.map(j => byGroup(j).map(c => dist2(matrix(c), centers(j))).max))
+    }
+    private val nGroups = coarse.length
+
+    // per-thread scratch: coarse distances, visit order, and the 2-long
+    // result the caller copies out of immediately — zero per-row allocation
+    @transient private lazy val scratch =
+      new ThreadLocal[(Array[Long], Array[Int], Array[Long])] {
+        override def initialValue() =
+          (new Array[Long](nGroups), new Array[Int](nGroups), new Array[Long](2))
+      }
+
+    private def scanGroup(q: ArrayData, gi: Int, out: Array[Long]): Unit = {
+      val ms = members(gi)
+      var mi = 0
+      while (mi < ms.length) {
+        val j = ms(mi)
+        val row = matrix(j)
+        var acc = 0L
+        var i = 0
+        while (i < dim) { val d = q.getLong(i) - row(i); acc += d * d; i += 1 }
+        if (acc < out(0) || (acc == out(0) && ids(j) < out(1))) {
+          out(0) = acc; out(1) = ids(j)
+        }
+        mi += 1
+      }
+    }
+
+    /** struct(dist, cluster) packed as the thread-local {dist, id} pair;
+      * identical to the flat loop's result for every input. */
+    def best(q: ArrayData): Array[Long] = {
+      val (cd, ord, out) = scratch.get()
+      out(0) = Long.MaxValue
+      out(1) = Long.MaxValue
+      if (q.numElements() != dim) { // no full-dim triangle bound: flat scan
+        var gi = 0
+        while (gi < nGroups) { scanGroupTrunc(q, gi, out); gi += 1 }
+        return out
+      }
+      var gi = 0
+      while (gi < nGroups) {
+        var acc = 0L
+        val m = coarse(gi)
+        var i = 0
+        while (i < dim) { val d = q.getLong(i) - m(i); acc += d * d; i += 1 }
+        cd(gi) = acc
+        ord(gi) = gi
+        gi += 1
+      }
+      // insertion sort by coarse distance (g ≈ √k elements)
+      var a = 1
+      while (a < nGroups) {
+        val o = ord(a); val key = cd(o)
+        var b = a - 1
+        while (b >= 0 && cd(ord(b)) > key) { ord(b + 1) = ord(b); b -= 1 }
+        ord(b + 1) = o
+        a += 1
+      }
+      var oi = 0
+      while (oi < nGroups) {
+        val g = ord(oi)
+        val skip = out(0) != Long.MaxValue &&
+          cd(g).toDouble > out(0).toDouble + r2(g).toDouble +
+            2.0 * math.sqrt(out(0).toDouble * r2(g).toDouble) + 2.0
+        if (!skip) scanGroup(q, g, out)
+        oi += 1
+      }
+      out
+    }
+
+    /** flat fallback for dimensionality-mismatched rows — mirrors the
+      * small-k loop's min(n, row.length) semantics exactly. */
+    private def scanGroupTrunc(q: ArrayData, gi: Int, out: Array[Long]): Unit = {
+      val ms = members(gi)
+      var mi = 0
+      while (mi < ms.length) {
+        val j = ms(mi)
+        val row = matrix(j)
+        val n = math.min(q.numElements(), row.length)
+        var acc = 0L
+        var i = 0
+        while (i < n) { val d = q.getLong(i) - row(i); acc += d * d; i += 1 }
+        if (acc < out(0) || (acc == out(0) && ids(j) < out(1))) {
+          out(0) = acc; out(1) = ids(j)
+        }
+        mi += 1
+      }
+    }
+  }
+
+  object PrunedCentroidIndex {
+    /** centroid count at which [[NearestCentroid]] switches to the pruned
+      * index; below it the flat loop's simplicity wins (s11's k = 8 and
+      * Pq's k = 16 subspace codebooks stay on the flat path). */
+    val Threshold = 128
   }
 
   /** Register the expressions as session functions (idempotent) — the public
