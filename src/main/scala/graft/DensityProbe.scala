@@ -33,6 +33,9 @@ object DensityProbe {
     val sfDir = args(0)
     val factor = args(1).toInt
     val skipS12 = args.length > 2 && args(2) == "skip_s12"
+    // a misspelled flag must fail in milliseconds, not silently run the
+    // ~10^13-MAC s12 pass twice on the very surface the flag exists for
+    require(args.length <= 2 || skipS12, s"unknown argument '${args(2)}'")
     val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val docs = graft.core.Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
@@ -44,11 +47,15 @@ object DensityProbe {
     }
 
     def pass() = {
-      // t06 shape, cap scaled with the corpus
+      // t06 shape, cap scaled with the corpus. The pair frame is PERSISTED
+      // inside the t06 timer (compute + cache is t06's reported cost) so
+      // the t11 timer below measures connected components only — an
+      // uncached frame would silently re-run the whole jaccardPairs job
+      // inside t11's timed block and skew the cross-surface ratios
       val (t06Sec, t06Pairs, pairs) = timed {
         val p = graft.operators.NearDup.jaccardPairs(
           docs, gramLen = 4, capNum = 1, capDen = 10 * factor,
-          tNum = 4, tDen = 5)
+          tNum = 4, tDen = 5).persist()
         (p.count(), p)
       }
       // t11 shape over those pairs
@@ -57,6 +64,7 @@ object DensityProbe {
           pairs.select(col("a_id"), col("b_id")))
         (labels.count(), ())
       }
+      pairs.unpersist()
       // t36 shape (cap-free)
       val (t36Sec, t36Pairs, _) = timed {
         (graft.operators.NearDup.selfMinHashPairs(docs).count(), ())

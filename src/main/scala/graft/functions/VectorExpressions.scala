@@ -169,9 +169,13 @@ object VectorExpressions {
       idsLit.eval(null).asInstanceOf[ArrayData].toLongArray()
     // large k goes through the group-pruned index (EXACT, see the class
     // scaladoc); small k keeps the flat loop — the k'·d coarse pass plus
-    // per-row bookkeeping only pays for itself once the flat scan is wide
+    // per-row bookkeeping only pays for itself once the flat scan is wide.
+    // A RAGGED matrix also stays flat: the flat loop defines truncated
+    // min(n, row.length) semantics per row, which the triangle bound
+    // cannot reproduce (it needs one full coordinate set).
     @transient private lazy val prunedIdx: PrunedCentroidIndex =
-      if (matrix.length >= PrunedCentroidIndex.Threshold)
+      if (matrix.length >= PrunedCentroidIndex.Threshold &&
+          matrix.forall(_.length == matrix(0).length))
         new PrunedCentroidIndex(matrix, ids)
       else null
 
@@ -209,7 +213,7 @@ object VectorExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (q, _, _) => {
-        if (matrix.length >= PrunedCentroidIndex.Threshold) {
+        if (prunedIdx != null) {
           // the index is built ONCE here on the driver and ships inside the
           // generated class's references; best() returns a thread-local
           // 2-long scratch the row constructor copies out of immediately
@@ -282,22 +286,28 @@ object VectorExpressions {
     *     exceeds bestD.
     *
     * EXACTNESS, not approximation: the prune test errs conservative — it
-    * adds a +2.0 margin that dwarfs the ≤ 1e-6 absolute error of the one
-    * double sqrt (inputs are exact integers < 2⁶⁰, so bestD + r² is
-    * double-exact and the product's rounding is bounded), and it is
+    * adds a `2.0 + 1e-9·cd` margin that exceeds the accumulated double
+    * rounding of the bound's terms by ~10⁶× at EVERY magnitude (the
+    * terms round relatively, ≤ ~5 ulp, so a fixed margin alone would
+    * stop covering them past 2⁵³), and it is
     * STRICT, so a member tied with the running best (equal distance,
     * lower-id tiebreak pending) is never pruned. Rows whose
     * dimensionality differs from the matrix's fall back to the flat scan
-    * (the triangle bound only holds over the full coordinate set). The
+    * (the triangle bound only holds over the full coordinate set), and a
+    * RAGGED matrix never builds the index at all — the flat loop's
+    * truncated per-row semantics stay authoritative. The
     * result is bit-identical to the flat loop at any k — pruning is a
     * speed lever only, so [[graft.operators.KMeans]] semantics (and the
     * s11 hash gate pinning them) are untouched.
     *
     * Worst case (centroids with no cluster structure) degrades to the flat
     * scan plus ~√k·d overhead (≈1–2% at k = 8000); the measured win on the
-    * density surfaces is in PERF.md. Built on the driver, shipped inside
-    * the generated class's references; only the per-thread scratch is
-    * rebuilt per JVM. */
+    * density surfaces is in PERF.md. The codegen path builds the index
+    * once on the driver and ships it inside the generated class's
+    * references (only the per-thread scratch is rebuilt per JVM); the
+    * interpreted-eval fallback instead rebuilds it lazily per
+    * deserialized expression copy (~0.2 s at k = 8000) — acceptable
+    * because every hot path here runs whole-stage codegen. */
   final class PrunedCentroidIndex(val matrix: Array[Array[Long]],
                                   val ids: Array[Long]) extends Serializable {
     private val k = matrix.length
@@ -417,9 +427,15 @@ object VectorExpressions {
       var oi = 0
       while (oi < nGroups) {
         val g = ord(oi)
+        // margin scales with magnitude: the bound's terms round relatively
+        // (≤ ~4 ulp ≈ 1e-15·value once past 2⁵³), so a FIXED +2.0 margin
+        // stops covering the rounding when squared distances exceed 2⁵³ —
+        // 1e-9·cd is 10⁶× the worst accumulated error at every magnitude
+        // while costing a vanishing fraction of pruning power
         val skip = out(0) != Long.MaxValue &&
           cd(g).toDouble > out(0).toDouble + r2(g).toDouble +
-            2.0 * math.sqrt(out(0).toDouble * r2(g).toDouble) + 2.0
+            2.0 * math.sqrt(out(0).toDouble * r2(g).toDouble) +
+            2.0 + 1e-9 * cd(g).toDouble
         if (!skip) scanGroup(q, g, out)
         oi += 1
       }

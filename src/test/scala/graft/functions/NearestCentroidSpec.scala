@@ -97,6 +97,49 @@ class NearestCentroidSpec extends SparkSpec {
     assert(got(0)._2 == 3L, "duplicate-centroid tie must resolve to the lower id")
   }
 
+  test("pruned path: generated code COMPILES (no silent interpreter fallback) and matches") {
+    // DataFrame runs fall back to interpreted execution silently if
+    // expression codegen fails to compile, so the property tests above
+    // cannot by themselves prove the large-k generated branch is valid
+    // Java — generate the projection directly: Janino rejection throws
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.types._
+    val cents = (0 until 140).map(j => (j.toLong, Array(j.toLong * 7, (j % 11).toLong, -j.toLong)))
+    val expr = VectorExpressions.NearestCentroid(
+      BoundReference(0, ArrayType(LongType), nullable = true),
+      Literal.create(cents.map(_._2.toSeq), ArrayType(ArrayType(LongType))),
+      Literal.create(cents.map(_._1), ArrayType(LongType)))
+    val proj = GenerateMutableProjection.generate(Seq(expr))
+    for (q <- Seq(Array(0L, 0L, 0L), Array(490L, 5L, -70L), Array(973L, 10L, -139L),
+        Array(1L, 2L))) { // incl. a dim-mismatch row through generated code
+      val row = proj(InternalRow(ArrayData.toArrayData(q))).getStruct(0, 2)
+      assert((row.getLong(0), row.getLong(1)) == reference(q, cents),
+        s"generated code diverged on ${q.toSeq}")
+    }
+  }
+
+  test("large-k RAGGED matrix stays on the flat path with truncated semantics") {
+    // parseCentroids imposes no rectangularity; the flat loop defines
+    // min(n, row.length) truncation, which the triangle bound cannot
+    // reproduce — a ragged matrix must compute, not throw
+    val base = Array.tabulate(150)(j => Array(j.toLong, j.toLong * 2, j.toLong * 3))
+    base(77) = Array(77L) // ragged row
+    val books = base.zipWithIndex.map { case (c, j) => (j.toLong, c) }.toSeq
+    val queries = Seq(Array(77L, 0L, 0L), Array(10L, 20L, 30L))
+    val got = queries.zipWithIndex.toDF("qv", "i")
+      .withColumn("best", graft.operators.KMeans.bestCentroid(books, col("qv")))
+      .select(col("i"), col("best.dist"), col("best.cluster"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    queries.zipWithIndex.foreach { case (q, i) =>
+      assert(got(i) == reference(q, books), s"query $i diverged on ragged matrix")
+    }
+    // the short row wins query 0 outright: its truncated distance is 0
+    assert(got(0) == ((0L, 77L)))
+  }
+
   test("pruned path: interpreted eval matches codegen at large k") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.util.ArrayData
