@@ -15,7 +15,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // default: one shuffle partition per core. SPARK_GRAFT_SHUFFLE
+      // overrides for large-SF probes — at 1000× base a fixed 32 means
+      // ~19 M-row partitions that spill; sizing partitions to the data
+      // (AQE coalesces the small ones back) is the same knob a cluster
+      // run turns, measured in PERF.md's 1000× relational probe
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // shuffled hash join beats sort-merge when neither side needs a sort;
