@@ -31,15 +31,9 @@ object BucketProbe {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
-    // the q25 shape over arbitrary (lineitem, orders) frames
-    def q25(li: org.apache.spark.sql.DataFrame,
-            os: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      li.join(os, col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") >= col("o_orderdate") &&
-          col("l_shipdate") <= add_months(col("o_orderdate"), 2).cast("timestamp"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_lines"),
-          sum(graft.functions.Money.cents(col("l_quantity"))).as("sum_qty_c"))
+    // the gated q25 body itself — ONE definition (review: a local copy had
+    // already drifted in its agg expression)
+    def q25 = graft.queries.RelationalQueries.q25Shape _
 
     val li = graft.core.Tables(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_shipdate", "l_quantity")
@@ -81,6 +75,14 @@ object BucketProbe {
     require(graft.operators.Scale.isExchangeFree(joinOnly),
       s"bucketed join plan still shuffles:\n${joinOnly.queryExecution.executedPlan}")
     val (bucketSec, bucketRows) = measure(bucketed)
+    // CONTENT equality of the full aggregate output, not its group count —
+    // a row-count compare of a ~5-group agg would pass under millions of
+    // silently dropped fact rows (review finding): every per-group measure
+    // must match the raw plan's exactly
+    def resultOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy(col("o_orderpriority")).collect().toSeq.map(_.toSeq)
+    require(resultOf(q25(li, os)) == resultOf(bucketed),
+      "bucketed q25 output drifted from the raw plan's")
     require(rawRows == bucketRows, s"row drift: raw $rawRows vs bucketed $bucketRows")
 
     println(s"""{"metric":"bucket_probe","sf":"$sfDir","buckets":$numBuckets,""" +

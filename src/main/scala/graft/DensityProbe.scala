@@ -33,9 +33,10 @@ object DensityProbe {
     val sfDir = args(0)
     val factor = args(1).toInt
     val skipS12 = args.length > 2 && args(2) == "skip_s12"
-    // a misspelled flag must fail in milliseconds, not silently run the
-    // ~10^13-MAC s12 pass twice on the very surface the flag exists for
+    // a misspelled or extra flag must fail in milliseconds, not silently
+    // run the ~10^13-MAC s12 pass twice on the very surface it exists for
     require(args.length <= 2 || skipS12, s"unknown argument '${args(2)}'")
+    require(args.length <= 3, s"unexpected extra arguments: ${args.drop(3).mkString(" ")}")
     val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val docs = graft.core.Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))

@@ -19,6 +19,18 @@ import Q._
   */
 object RelationalQueries {
 
+  /** q25's shape over arbitrary (lineitem, orders) frames — shared with
+    * [[graft.BucketProbe]], which re-times it over bucketed tables; ONE
+    * definition so the probe can never drift from the gated query. */
+  def q25Shape(li: org.apache.spark.sql.DataFrame,
+               os: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    li.join(os, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= add_months(col("o_orderdate"), 2).cast("timestamp"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"))
+
   val all: Seq[Q] = Seq(
 
     // ---- A1: hash group-by + sum (reference: jobs/raw_to_staging.py:44-52 groupby-sum) ----
@@ -446,15 +458,7 @@ object RelationalQueries {
 
     // ---- J5: equi-join + interval post-filter (reference: jobs/staging_to_app.py:122-140) ----
     Q("q25_interval_join",
-      (s, dir) => {
-        T(s, dir, "lineitem")
-          .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .filter(col("l_shipdate") >= col("o_orderdate") &&
-            col("l_shipdate") <= add_months(col("o_orderdate"), 2).cast("timestamp"))
-          .groupBy(col("o_orderpriority"))
-          .agg(count(lit(1)).as("n_lines"),
-            (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"))
-      },
+      (s, dir) => q25Shape(T(s, dir, "lineitem"), T(s, dir, "orders")),
       Some(s"""SELECT o_orderpriority, count(*) AS n_lines,
         ${sqlSumC("l_quantity")}/100.0 AS sum_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
