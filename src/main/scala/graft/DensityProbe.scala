@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * cross-surface runtime ratio (found in review — the first published
   * table had t06 "8.8 s" at base where warm work is ~2 s).
   *
-  * Usage: DensityProbe <sfDir> <factor> [skip_s12]   (prints one JSON line)
+  * Usage: DensityProbe <sfDir> <factor> [skip_s12] [nowarm]   (one JSON line)
   * `skip_s12` exists for surfaces where s12's cost is dominated by the
   * O(n·k·d) centroid-assignment pass (factor 1000: k = 8000 over 20 M
   * vectors ≈ 10¹³ MACs per pass) — there the warmup double-run buys
@@ -32,11 +32,18 @@ object DensityProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val factor = args(1).toInt
-    val skipS12 = args.length > 2 && args(2) == "skip_s12"
-    // a misspelled or extra flag must fail in milliseconds, not silently
-    // run the ~10^13-MAC s12 pass twice on the very surface it exists for
-    require(args.length <= 2 || skipS12, s"unknown argument '${args(2)}'")
-    require(args.length <= 3, s"unexpected extra arguments: ${args.drop(3).mkString(" ")}")
+    // flags after <factor>: skip_s12 (see scaladoc) and nowarm (skip the
+    // warmup pass — for surfaces whose gram shuffle is large enough that
+    // the warmup pass's not-yet-GC'd shuffle files DOUBLE the peak disk
+    // footprint; at the ≥15 s runtimes such surfaces imply, the JIT
+    // constant the warmup removes is relative noise). A misspelled flag
+    // must fail in milliseconds, not silently run the ~10^13-MAC s12
+    // pass twice on the very surface skip_s12 exists for.
+    val flags = args.drop(2).toSet
+    val skipS12 = flags.contains("skip_s12")
+    val noWarm = flags.contains("nowarm")
+    require((flags -- Set("skip_s12", "nowarm")).isEmpty,
+      s"unknown argument(s): ${(flags -- Set("skip_s12", "nowarm")).mkString(" ")}")
     val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val docs = graft.core.Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
@@ -80,7 +87,7 @@ object DensityProbe {
       (t06Sec, t06Pairs, t11Sec, t11Rows, t36Sec, t36Pairs, s12Sec, s12Rows)
     }
 
-    pass() // warmup — see scaladoc
+    if (!noWarm) pass() // warmup — see scaladoc
     val (t06Sec, t06Pairs, t11Sec, t11Rows,
       t36Sec, t36Pairs, s12Sec, s12Rows) = pass()
     println(s"""{"metric":"density_probe","sf":"$sfDir","factor":$factor,""" +

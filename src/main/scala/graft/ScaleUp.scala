@@ -63,7 +63,8 @@ object ScaleUp {
 
   def run(spark: SparkSession, in: String, out: String, factor: Int,
           mode: String = "dense"): Unit = {
-    require(mode == "dense" || mode == "distinct", s"unknown mode $mode")
+    require(mode == "dense" || mode == "distinct" || mode == "distinct_wide",
+      s"unknown mode $mode")
 
     // The id offset MUST be injective under COMPOSITION: sf10 is built by
     // applying ScaleUp to sf1's output, and a FIXED additive offset
@@ -87,8 +88,14 @@ object ScaleUp {
     // had both id collisions AND (r₁=1,r₂=0)/(r₁=0,r₂=1) text twins —
     // the same bug class, found in review).
     val OFF = 1000000000L
+    // the base side is repartitioned BEFORE the crossJoin: a small base
+    // (one scan partition) × a large factor otherwise generates the whole
+    // replicated table in ONE task — a factor-1000 single-pass build sat
+    // single-threaded for its 600 M-row lineitem until this split the
+    // generation across the session's cores
     def reps(df: DataFrame): DataFrame =
-      df.crossJoin(spark.range(factor).select(col("id").as("__r")))
+      df.repartition(32)
+        .crossJoin(spark.range(factor).select(col("id").as("__r")))
     /** smallest power of 10 > mx, floored at the legacy 10⁹; loud on the
       * edges instead of silently colliding */
     def offsetAbove(mx: Long): Long = {
@@ -215,7 +222,26 @@ object ScaleUp {
     // scans of the input parquet for a factor-100 build (found in review).
     // translate() rebuilds its char dict when the replace argument
     // changes, so a non-foldable per-row cipher target is supported.
-    lazy val repMap = replicaMap(spark, factor, docMult, embDim(embs))
+    //
+    // `distinct_wide` (round 9, after the 62-char cipher's measured
+    // birthday bound): each replica's 62 target chars are a seeded
+    // 62-subset of a ~46k BMP codepoint pool (CJK, Hangul, Yi, PUA — all
+    // single UTF-16 code units, so the char-gram kernels' String
+    // semantics are unchanged), making the cross-family gram space
+    // pool⁴ ≈ 4.6e18 instead of 63⁴ ≈ 15.7 M — no saturation until ~10⁹
+    // gram families. The cost is composability: a second pass would only
+    // remap a–z, leaving non-base families as EXACT copies, so wide mode
+    // REFUSES non-ASCII input (which simultaneously refuses chaining);
+    // build any factor in ONE pass from the ASCII base instead.
+    if (mode == "distinct_wide") {
+      val nonAscii = docs.agg(
+        sum(expr("octet_length(text) - length(text)"))).head().getLong(0)
+      require(nonAscii == 0L,
+        "distinct_wide needs a pure-ASCII base corpus (it is single-pass " +
+          "by design — a chained application would copy non-base families " +
+          "verbatim); build the full factor in one pass from the base")
+    }
+    lazy val repMap = replicaMap(spark, factor, docMult, embDim(embs), mode)
     if (mode == "dense")
       write("documents", reps(docs)
         .withColumn("doc_id", off("doc_id", docOff))
@@ -293,6 +319,38 @@ object ScaleUp {
       new String(arr)
     }
 
+  /** the distinct_wide codepoint pool: U+0100–U+07FF — 1,792 codepoints
+    * that are single UTF-16 code units (the char-gram kernels index
+    * java.lang.String by code unit, so a supplementary-plane char would
+    * be two "chars" and silently change every gram statistic) AND 2-byte
+    * UTF-8 (a first CJK-pool cut at 3 bytes/char blew the probe box's
+    * shuffle scratch: the t06 gram explode of a 1000× corpus is
+    * corpus-sized). Codepoint ASSIGNMENT is irrelevant for a synthetic
+    * corpus — every value here is a valid Java char and valid UTF-8. */
+  private[graft] val widePool: Array[Char] =
+    (0x100 to 0x7FF).map(_.toChar).toArray
+
+  /** distinct_wide cipher target: a seeded 62-subset of [[widePool]]
+    * (identity at tag 0). Two families share ~62²/1792 ≈ 2 chars in
+    * expectation, but a cross-family char-GRAM collision needs every
+    * position to land on shared chars in a compatible arrangement: the
+    * gram space is 1792⁴ ≈ 1.0e13 against ~5e7 gram strings at 1000
+    * families (expected birthday collisions ≈ 10², harmless) — where the
+    * 62-char cipher's 63⁴ ≈ 1.6e7 space measurably saturated. */
+  private[graft] def cipherToWide(tag: Long): String =
+    if (tag == 0L) alphabet
+    else {
+      val rnd = new java.util.Random(tag)
+      val seen = new java.util.HashSet[Char]()
+      val out = new Array[Char](alphabet.length)
+      var i = 0
+      while (i < out.length) {
+        val c = widePool(rnd.nextInt(widePool.length))
+        if (seen.add(c)) { out(i) = c; i += 1 }
+      }
+      new String(out)
+    }
+
   /** distinct-mode coordinate permutation for one replica tag: 0-based
     * source position per target position, identity at tag 0. */
   private[graft] def permFor(tag: Long, d: Int): Array[Int] = {
@@ -338,9 +396,12 @@ object ScaleUp {
     * distinct-mode perturbation — `factor` driver-built rows, built once
     * per run (the lazy val in [[run]]). */
   private def replicaMap(spark: SparkSession, factor: Int, docMult: Long,
-                         d: Int): DataFrame =
+                         d: Int, mode: String): DataFrame = {
+    val cipher: Long => String =
+      if (mode == "distinct_wide") cipherToWide else cipherTo
     spark.createDataFrame((0 until factor).map { r =>
       val tag = r.toLong * docMult
-      (r.toLong, cipherTo(tag), permFor(tag, d), signsFor(tag, d))
+      (r.toLong, cipher(tag), permFor(tag, d), signsFor(tag, d))
     }).toDF("__r", "__to", "__perm", "__signs")
+  }
 }

@@ -134,6 +134,59 @@ class ScaleUpSpec extends SparkSpec {
     assert((perms ++ chained).distinct.size == 109)
   }
 
+  test("distinct_wide: within-replica Jaccard exact, cross-replica disjoint, refuses non-ASCII input") {
+    val dir = Files.createTempDirectory("scaleup_wide").toString
+    ScaleUp.run(spark, sfSmoke, dir, factor = 3, mode = "distinct_wide")
+    val off = 1000000000L
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    assert(docs.count() == 3 * base.count())
+    // within-replica: word-set Jaccard preserved exactly (bijection)
+    val b = base.select("doc_id", "text").orderBy("doc_id").limit(8).collect()
+      .map(r => r.getLong(0) -> wordSet(r.getString(1)))
+    val ids = b.map(_._1 + off).toSeq
+    val rep = docs.filter(col("doc_id").isin(ids: _*))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0) - off) -> wordSet(r.getString(1))).toMap
+    for { (ia, sa) <- b; (ib, sb) <- b if ia < ib }
+      assert(jac(sa, sb) == jac(rep(ia), rep(ib)), s"jaccard($ia,$ib) drifted")
+    // cross-replica: wide families share chars only by subset birthday —
+    // whole WORDS colliding is vanishing
+    val a = docs.filter(col("doc_id") === 5).head().getAs[String]("text")
+    val r1 = docs.filter(col("doc_id") === 5 + off).head().getAs[String]("text")
+    val r2 = docs.filter(col("doc_id") === 5 + 2 * off).head().getAs[String]("text")
+    assert(jac(wordSet(a), wordSet(r1)) == 0.0)
+    assert(jac(wordSet(r1), wordSet(r2)) == 0.0)
+    // every ciphered char is from the 2-byte single-code-unit pool and
+    // replica 0 is base
+    assert(r1.forall(c => c == ' ' || (c >= 0x100 && c <= 0x7FF)),
+      "non-pool char in wide replica")
+    assert(docs.filter(col("doc_id") === 5).head().getAs[String]("text") == a)
+    // chaining / non-ASCII input refused loudly
+    val err = intercept[IllegalArgumentException] {
+      ScaleUp.run(spark, dir, Files.createTempDirectory("w2").toString,
+        factor = 2, mode = "distinct_wide")
+    }
+    assert(err.getMessage.contains("pure-ASCII"))
+  }
+
+  test("distinct_wide: 1000 family char sets are pairwise gram-disjoint enough") {
+    // the property the 62-char cipher measurably lost at ~1000 families:
+    // count pairwise char-set overlaps across 1000 wide ciphers — a
+    // 4-gram collision needs 4 aligned shared chars, so small overlaps
+    // are harmless (expected ~62²/1792 ≈ 2 shared chars per pair); what
+    // must NOT happen is wholesale char-set reuse
+    val sets = (0 until 1000).map(r => ScaleUp.cipherToWide(r.toLong).toSet)
+    assert(sets.head == ScaleUp.alphabet.toSet)
+    var worst = 0
+    for (i <- 1 until 1000; j <- (i + 1) until 1000 by 97) { // strided sample
+      val o = (sets(i) intersect sets(j)).size
+      if (o > worst) worst = o
+    }
+    assert(worst <= 12, s"a sampled family pair shares $worst chars")
+    assert(sets.drop(1).forall(_.size == 62))
+  }
+
   test("dense mode first application reproduces the legacy layout shape") {
     val dir = Files.createTempDirectory("scaleup_dense").toString
     ScaleUp.run(spark, sfSmoke, dir, factor = 2, mode = "dense")
