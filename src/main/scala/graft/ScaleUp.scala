@@ -92,9 +92,12 @@ object ScaleUp {
     // (one scan partition) × a large factor otherwise generates the whole
     // replicated table in ONE task — a factor-1000 single-pass build sat
     // single-threaded for its 600 M-row lineitem until this split the
-    // generation across the session's cores
+    // generation across the session's actual cores (defaultParallelism,
+    // not a hardcoded 32 — review caught both the cap under
+    // SPARK_GRAFT_CPUS=64 and that a fixed number under-used wider bases)
+    val genPar = spark.sparkContext.defaultParallelism
     def reps(df: DataFrame): DataFrame =
-      df.repartition(32)
+      df.repartition(genPar)
         .crossJoin(spark.range(factor).select(col("id").as("__r")))
     /** smallest power of 10 > mx, floored at the legacy 10⁹; loud on the
       * edges instead of silently colliding */
@@ -141,6 +144,23 @@ object ScaleUp {
       (if (repartition) df.repartition(32) else df)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scaleup] wrote $name")
+    }
+
+    // BEFORE writing anything: both distinct modes refuse non-ASCII input
+    // loudly. A distinct pass (62-char OR wide) onto a wide corpus would
+    // remap only a–z and copy every non-base family verbatim — factor×
+    // exact-dup families, silently falsifying every density measurement —
+    // and a late failure would also leave a half-written surface after
+    // the expensive fact replication (both found in review). 62-char
+    // cipher output is ASCII, so legitimate 62-char chaining passes.
+    if (mode != "dense") {
+      val nonAscii = graft.core.Tables(spark, in, "documents")
+        .agg(coalesce(sum(expr("octet_length(text) - length(text)")), lit(0L)))
+        .head().getLong(0)
+      require(nonAscii == 0L,
+        s"$mode needs a pure-ASCII input corpus: a ciphered pass over " +
+          "non-ASCII text would copy non-base families verbatim; build " +
+          "the full factor in one pass from the ASCII base")
     }
 
     // dimensions: copy unchanged (tiny — keep their natural layout)
@@ -225,22 +245,18 @@ object ScaleUp {
     //
     // `distinct_wide` (round 9, after the 62-char cipher's measured
     // birthday bound): each replica's 62 target chars are a seeded
-    // 62-subset of a ~46k BMP codepoint pool (CJK, Hangul, Yi, PUA — all
-    // single UTF-16 code units, so the char-gram kernels' String
-    // semantics are unchanged), making the cross-family gram space
-    // pool⁴ ≈ 4.6e18 instead of 63⁴ ≈ 15.7 M — no saturation until ~10⁹
-    // gram families. The cost is composability: a second pass would only
-    // remap a–z, leaving non-base families as EXACT copies, so wide mode
-    // REFUSES non-ASCII input (which simultaneously refuses chaining);
-    // build any factor in ONE pass from the ASCII base instead.
-    if (mode == "distinct_wide") {
-      val nonAscii = docs.agg(
-        sum(expr("octet_length(text) - length(text)"))).head().getLong(0)
-      require(nonAscii == 0L,
-        "distinct_wide needs a pure-ASCII base corpus (it is single-pass " +
-          "by design — a chained application would copy non-base families " +
-          "verbatim); build the full factor in one pass from the base")
-    }
+    // 62-subset of [[widePool]] (1,792 single-code-unit 2-byte-UTF-8
+    // codepoints — see its scaladoc, incl. why a 46k CJK pool was cut),
+    // making the cross-family gram space pool⁴ ≈ 1.0e13 against ~5e7
+    // gram strings at 1000 families — headroom to roughly 10⁵–10⁶
+    // families, where the 62-char space saturated at ~10³; three decades
+    // is the VALIDATED domain. The cost is composability: a second pass
+    // would only remap a–z, leaving non-base families as EXACT copies,
+    // so the ASCII guard below refuses wide input (for BOTH distinct
+    // modes — plain `distinct` chained onto a wide corpus has the same
+    // verbatim-copy failure; 62-char output is ASCII, so legitimate
+    // 62-char chaining still passes). The guard runs in [[run]]'s
+    // preamble, before any table is written.
     lazy val repMap = replicaMap(spark, factor, docMult, embDim(embs), mode)
     if (mode == "dense")
       write("documents", reps(docs)

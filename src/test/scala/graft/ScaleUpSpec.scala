@@ -158,10 +158,12 @@ class ScaleUpSpec extends SparkSpec {
     assert(jac(wordSet(a), wordSet(r1)) == 0.0)
     assert(jac(wordSet(r1), wordSet(r2)) == 0.0)
     // every ciphered char is from the 2-byte single-code-unit pool and
-    // replica 0 is base
+    // replica 0 is byte-identical to the BASE TABLE's row (comparing the
+    // scaled frame against itself here was vacuous — review finding)
     assert(r1.forall(c => c == ' ' || (c >= 0x100 && c <= 0x7FF)),
       "non-pool char in wide replica")
-    assert(docs.filter(col("doc_id") === 5).head().getAs[String]("text") == a)
+    val baseText5 = base.filter(col("doc_id") === 5).head().getAs[String]("text")
+    assert(a == baseText5, "wide replica 0 drifted from the base corpus")
     // chaining / non-ASCII input refused loudly
     val err = intercept[IllegalArgumentException] {
       ScaleUp.run(spark, dir, Files.createTempDirectory("w2").toString,
@@ -185,6 +187,16 @@ class ScaleUpSpec extends SparkSpec {
     }
     assert(worst <= 12, s"a sampled family pair shares $worst chars")
     assert(sets.drop(1).forall(_.size == 62))
+    // production tags are r * docMult; cover a docMult > 1 seed family
+    // (base ids >= 1e9 make docMult 1000) — a correlated-seed degeneracy
+    // there must fail here, not on a surface
+    val strided = (1 until 1000).map(r => ScaleUp.cipherToWide(r * 1000L).toSet)
+    var worstS = 0
+    for (i <- 0 until strided.length; j <- (i + 1) until strided.length by 97) {
+      val o = (strided(i) intersect strided(j)).size
+      if (o > worstS) worstS = o
+    }
+    assert(worstS <= 12, s"a sampled strided-tag pair shares $worstS chars")
   }
 
   test("dense mode first application reproduces the legacy layout shape") {
