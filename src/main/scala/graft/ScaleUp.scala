@@ -41,6 +41,13 @@ import org.apache.spark.sql.functions._
   *    which by bijectivity reproduces the base capped-set semantics.
   *
   * Usage: ScaleUp [inDir] [outDir] [factor] [mode]
+  *
+  * Dense-mode ceiling: the per-replica embedding jitter amplitude is
+  * (factor−1)·docMult·3e-4 and must stay ≤ 0.03 to keep replicas inside
+  * near-dup range (the s11/s12 τ=0.3 prune), so dense mode refuses any
+  * COMPOSED factor above ~101 — single-pass or chained. Larger factors
+  * use `distinct`/`distinct_wide`, whose perturbations are exact
+  * bijections at any chain depth.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
@@ -204,11 +211,22 @@ object ScaleUp {
     // "×factor denser dup structure" premise — refuse loudly, regenerate
     // from base instead. (distinct mode has no jitter — the signed
     // permutation composes to a signed permutation at any chain depth.)
-    if (mode == "dense")
-      require((factor - 1).toDouble * docMult.toDouble * 3e-4 <= 0.03,
-        s"chained jitter amplitude ${(factor - 1) * docMult * 3e-4} would " +
-          "push replicas out of near-dup range; rebuild from the base corpus " +
-          "at a single higher factor instead of chaining again")
+    if (mode == "dense") {
+      // the amplitude bound applies to single passes too: docMult = 1 and
+      // factor >= 102 already gives (factor-1)·3e-4 > 0.03, so dense mode
+      // has a hard COMPOSED-factor ceiling of ~101 (documented in the
+      // usage scaladoc) — the message just names which case was hit
+      val amp = (factor - 1).toDouble * docMult.toDouble * 3e-4
+      require(amp <= 0.03,
+        if (docMult > 1)
+          s"chained jitter amplitude $amp would push replicas out of " +
+            "near-dup range; rebuild from the base corpus at a single " +
+            "higher factor (<= ~101) instead of chaining again"
+        else
+          s"dense mode caps the single-pass factor at ~101 (jitter " +
+            s"amplitude (factor-1)*3e-4 = $amp > 0.03 leaves near-dup " +
+            "range); use distinct/distinct_wide mode for larger factors")
+    }
     // per-replica text perturbation. dense: one suffix TOKEN per doc —
     // replicas stay near-dups of the base. distinct: a per-replica
     // SUBSTITUTION CIPHER (a deterministically seeded permutation of

@@ -30,9 +30,15 @@ object AnnIndex {
     s"$path/vectors/ingest_batch=$b"
 
   /** Train and write the index (ingest batch 0); returns the per-cluster
-    * row counts. */
+    * row counts. Rebuild-safe over a dirty path: any `ingest_batch >= 1`
+    * partitions a previous life of the index appended are cleared FIRST —
+    * batch 0's own overwrite only replaces its subtree, so without the
+    * clear an in-place rebuild (the drift remedy [[append]] prescribes)
+    * would mix vectors assigned under the OLD centroids into every later
+    * probe (IndexRebuildSpec). */
   def build(embeddings: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int, path: String): DataFrame = {
+    LsmCompact.clearAppendedBatches(embeddings.sparkSession, s"$path/vectors")
     val (assign, cents) = KMeans.lloyd(embeddings, idCol, vecCol, k, iters)
     embeddings
       .join(assign.select(col("id").as(idCol), col("cluster")), idCol)
@@ -64,6 +70,7 @@ object AnnIndex {
              newVectors: DataFrame, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     require(batchId > 0, s"batch id $batchId: build owns 0, appends are > 0")
+    LsmCompact.assertNotCompacting(spark, s"$path/vectors")
     val cents = spark.read.parquet(s"$path/centroids")
     val k = cents.agg(countDistinct(col("cluster"))).head().getLong(0).toInt
     val assign = KMeans.assignTo(newVectors, idCol, vecCol, cents)

@@ -65,6 +65,10 @@ object BpeVocabIndex {
   def build(docs: DataFrame, path: String, rounds: Int): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // rebuild-safe over a dirty path: clear previously appended batches
+    // FIRST, or counts() would sum stale batch histograms into the fresh
+    // build's training fold (IndexRebuildSpec)
+    LsmCompact.clearAppendedBatches(spark, s"$path/word_counts")
     Bpe.wordCounts(docs).write.mode("overwrite")
       .parquet(countsPart(path, 0L))
     Bpe.trainFromCounts(counts(spark, path), rounds)

@@ -43,6 +43,10 @@ object NearDupIndex {
             tNum: Int = 4, tDen: Int = 5): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // rebuild-safe over a dirty path: clear previously appended batches
+    // FIRST, or doc sets fingerprinted under the OLD dictionary would mix
+    // into every later pair join (IndexRebuildSpec)
+    LsmCompact.clearAppendedBatches(spark, s"$path/docsets")
     val d = NearDup.normDocs(docs)
     val rare = NearDup.rarityDictionary(
       NearDup.charGramStream(d, gramLen), d.count(), capNum, capDen,
@@ -66,10 +70,16 @@ object NearDupIndex {
     * back as the fresh side, so the pair plan executes over immutable
     * on-disk state; the stored side filters `ingest_batch <= batchId`,
     * so neither a replay racing later batches nor lazy consumption of
-    * the returned pairs can see batches that arrived afterwards. */
+    * the returned pairs can see batches that arrived afterwards — the
+    * returned frame is MATERIALIZED (localCheckpoint) before this method
+    * returns, because its stored side is the lazy `ingest_batch <=
+    * batchId` disk filter: if a later [[compact]] ran before a lazy
+    * consumer executed the plan, later batches would have folded into
+    * batch 0 and passed the filter, silently admitting future docs. */
   def append(spark: SparkSession, path: String, batchId: Long,
              newDocs: DataFrame): DataFrame = {
     require(batchId > 0, s"batch id $batchId: build owns 0, appends are > 0")
+    LsmCompact.assertNotCompacting(spark, s"$path/docsets")
     val m = spark.read.parquet(s"$path/meta").head()
     val (gramLen, tNum, tDen) =
       (m.getAs[Int]("gram_len"), m.getAs[Int]("t_num"), m.getAs[Int]("t_den"))
@@ -81,7 +91,8 @@ object NearDupIndex {
     val upTo = spark.read.parquet(s"$path/docsets")
       .filter(col("ingest_batch") <= batchId).drop("ingest_batch")
     NearDup.incrementalPairsOver(upTo, fresh.select(col("doc_id")),
-      tNum, tDen)
+        tNum, tDen)
+      .localCheckpoint() // pin the <= batchId snapshot against compact()
   }
 
   /** Fold every docsets `ingest_batch` partition back into batch 0 — the

@@ -71,6 +71,11 @@ object SemDeDupIndex {
   def build(vecs: DataFrame, path: String, k: Int, iters: Int = 2): Unit = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // rebuild-safe over a dirty path: clear previously appended batches
+    // FIRST, or the stale members (assigned under the OLD centroids) and
+    // stale deltas would fold into removals() forever (IndexRebuildSpec)
+    LsmCompact.clearAppendedBatches(spark, s"$path/members")
+    LsmCompact.clearAppendedBatches(spark, s"$path/deltas")
     val (assign, cents) = KMeans.lloyd(vecs, "vec_id", "embedding", k, iters)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     SemDedup.members(vecs, assign)
@@ -95,6 +100,7 @@ object SemDeDupIndex {
   def append(spark: SparkSession, path: String, batchId: Long,
              newVecs: DataFrame): DataFrame = {
     require(batchId > 0, s"batch id $batchId: build owns 0, appends are > 0")
+    LsmCompact.assertNotCompacting(spark, s"$path/members")
     val cents = spark.read.parquet(s"$path/centroids")
     val assign = KMeans.assignTo(newVecs, "vec_id", "embedding", cents)
     SemDedup.members(newVecs, assign)

@@ -1,0 +1,114 @@
+package graft.jobs
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The append-vs-compact interleaving contract: compact fences the table
+  * root with a `_compacting` marker for its whole window, every append
+  * refuses while the marker is present (an append racing the fold's
+  * delete step could land a batch id the delete then removes — batch
+  * counters may restart above 0 after compact), a SUCCESSFUL compact
+  * lifts the fence, a crashed one leaves it (appends stay fenced until
+  * the compact re-run heals), and build() — the full reset — clears it. */
+class CompactFenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(axis: Int): Seq[Float] = {
+    val v = Array.fill(8)(0.001f)
+    v(axis) = 1.0f
+    v.toSeq
+  }
+  private def vecs(ids: Range) =
+    ids.map(i => (i.toLong, vec(i % 3))).toDF("vec_id", "embedding")
+
+  private def dropMarker(root: String): Unit = {
+    new java.io.File(root).mkdirs()
+    assert(new java.io.File(root, "_compacting").createNewFile())
+  }
+
+  test("all three appendable indexes refuse an append while the fence is down") {
+    // SemDeDup
+    val sd = Files.createTempDirectory("fence_sem").toString
+    SemDeDupIndex.build(vecs(0 until 9), sd, k = 3)
+    dropMarker(s"$sd/members")
+    val e1 = intercept[IllegalArgumentException] {
+      SemDeDupIndex.append(spark, sd, 1L, vecs(9 until 12))
+    }
+    assert(e1.getMessage.contains("_compacting"))
+
+    // Ann
+    val e = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+    val an = Files.createTempDirectory("fence_ann").toString
+    AnnIndex.build(e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      k = 4, iters = 1, an)
+    dropMarker(s"$an/vectors")
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.append(spark, an, 1L, e.filter(col("vec_id") % 2 === 1))
+    }
+    assert(e2.getMessage.contains("_compacting"))
+
+    // NearDup
+    val nd = Files.createTempDirectory("fence_nd").toString
+    NearDupIndex.build(Seq(1L -> "alpha beta gamma delta")
+      .toDF("doc_id", "text"), nd, gramLen = 4, capNum = 9, capDen = 10)
+    dropMarker(s"$nd/docsets")
+    val e3 = intercept[IllegalArgumentException] {
+      NearDupIndex.append(spark, nd, 1L,
+        Seq(2L -> "epsilon zeta eta theta").toDF("doc_id", "text"))
+    }
+    assert(e3.getMessage.contains("_compacting"))
+  }
+
+  test("a successful compact lifts the fence; the marker never pollutes reads") {
+    val dir = Files.createTempDirectory("fence_lift").toString
+    SemDeDupIndex.build(vecs(0 until 9), dir, k = 3)
+    SemDeDupIndex.append(spark, dir, 1L, vecs(9 until 15))
+    assert(SemDeDupIndex.compact(spark, dir) == Seq(1L))
+    assert(!new java.io.File(s"$dir/members", "_compacting").exists(),
+      "successful compact left the fence down")
+    // appends work again and the folded state is intact
+    SemDeDupIndex.append(spark, dir, 2L, vecs(15 until 18))
+    val ids = spark.read.parquet(s"$dir/members")
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids == (0L until 18L).toSet)
+  }
+
+  test("compact's nothing-to-do early return still lifts a stale fence") {
+    val dir = Files.createTempDirectory("fence_early").toString
+    SemDeDupIndex.build(vecs(0 until 9), dir, k = 3)
+    dropMarker(s"$dir/members") // crashed predecessor, already-compact table
+    assert(SemDeDupIndex.compact(spark, dir).isEmpty)
+    assert(!new java.io.File(s"$dir/members", "_compacting").exists())
+    SemDeDupIndex.append(spark, dir, 1L, vecs(9 until 12)) // fence is up
+  }
+
+  test("a compact re-run heals a crashed compact's fence and leftovers") {
+    val dir = Files.createTempDirectory("fence_heal").toString
+    SemDeDupIndex.build(vecs(0 until 9), dir, k = 3)
+    SemDeDupIndex.append(spark, dir, 1L, vecs(9 until 15))
+    // crashed-compact state: duplicate member copies in a stray batch plus
+    // the leftover marker (fold wrote batch 0, crashed before deletes)
+    val stray = spark.read.parquet(s"$dir/members")
+      .filter(col("vec_id") < 5).drop("ingest_batch").localCheckpoint()
+    stray.write.mode("overwrite").parquet(s"$dir/members/ingest_batch=2")
+    dropMarker(s"$dir/members")
+    intercept[IllegalArgumentException] {
+      SemDeDupIndex.append(spark, dir, 3L, vecs(15 until 18))
+    }
+    assert(SemDeDupIndex.compact(spark, dir) == Seq(1L, 2L))
+    assert(!new java.io.File(s"$dir/members", "_compacting").exists())
+    assert(spark.read.parquet(s"$dir/members").count() == 15L,
+      "heal left duplicate members")
+    SemDeDupIndex.append(spark, dir, 3L, vecs(15 until 18))
+  }
+
+  test("build clears a leftover fence (the full-reset path)") {
+    val dir = Files.createTempDirectory("fence_build").toString
+    SemDeDupIndex.build(vecs(0 until 9), dir, k = 3)
+    dropMarker(s"$dir/members")
+    SemDeDupIndex.build(vecs(0 until 9), dir, k = 3)
+    assert(!new java.io.File(s"$dir/members", "_compacting").exists())
+    SemDeDupIndex.append(spark, dir, 1L, vecs(9 until 12))
+  }
+}
