@@ -530,13 +530,15 @@ object VectorQueries {
     // ---- s11's k∝n SCALE form: clusters sized to ~2500 vectors whatever
     // the corpus size, so the within-cluster pairwise work grows LINEARLY
     // with n instead of quadratically (the SemDeDup paper's actual
-    // deployment shape; s11's fixed k=8 exists for oracle tractability).
-    // Dynamic k has no reasonable SQL oracle (the seed set changes with
-    // n), so this row is rows-only checked; the semantics are s11's, the
-    // same shared body, pinned by the s11 hash gate at k=8. Measured
-    // lever: sf10 s11 (k=8) 281 s → s12 (k=80) linear-scaled — see
-    // PERF.md round 9. Below n=20000 the formula floors at k=8, so the
-    // sf0.1 surface times an s11 twin (~1 s) — accepted cost of
+    // deployment shape; s11's fixed k=8 exists so the oracle's pair join
+    // stays tractable at any gate scale). The oracle is the SAME unrolled
+    // SQL as s11 — every CTE in it is k-agnostic, so the dynamic k =
+    // max(8, n/2500) is computed IN the SQL (a scalar subquery bounding
+    // the seed row_numbers), and the hash gate proves the dynamic-k
+    // semantics cross-engine at whatever k the gate corpus implies.
+    // Measured lever: sf10 s11 (k=8) 281 s → s12 (k=80) linear-scaled —
+    // see PERF.md round 9. Below n=20000 the formula floors at k=8, so
+    // the sf0.1 surface times an s11 twin (~1 s) — accepted cost of
     // re-measuring the lever on EVERY standing surface each round. ----
     Q("s12_semdedup_scaled",
       (s, dir) => {
@@ -544,7 +546,9 @@ object VectorQueries {
         val k = math.max(8L, e.count() / 2500L).toInt
         semDedup(s, e, k)
       },
-      None),
+      Some(semDedupUnrolledSql(trainPred = None,
+        kSql = "SELECT greatest(8, CAST(floor(count(*)/2500.0) AS BIGINT))" +
+          " FROM embeddings"))),
 
     // ---- SemDeDup under FROZEN centroids — the incremental-ingest shape:
     // centroids are trained on yesterday's corpus (here: the even-id half,
@@ -572,25 +576,32 @@ object VectorQueries {
       Some(semDedupUnrolledSql(trainPred = Some("vec_id % 2 = 0"))))
   )
 
-  /** s11/s13 shared oracle text — ONE builder so the two gates can never
+  /** s11/s12/s13 shared oracle text — ONE builder so the gates can never
     * drift apart on the unrolled k-means/cosine SQL. The unroll mirrors
-    * KMeans.lloyd(k=8, iters=2): assign to the 8 smallest-id seeds (d1/a1),
+    * KMeans.lloyd(k, iters=2): assign to the k smallest-id seeds (d1/a1),
     * recenter once with the exact rational round-half-up (c1), reassign
     * (d2/asn — ties to the lower cluster id via ORDER BY dist, cluster),
     * then within-cluster lower-id shadow pruning at cos ≥ 0.3 over exact
-    * milli-quantized integers. `trainPred` restricts SEEDING and the
-    * RECENTERING PASS to a training subset (s13's frozen-centroid shape);
-    * the final assignment and the pruning always run corpus-wide. */
-  private def semDedupUnrolledSql(trainPred: Option[String]): String = {
+    * milli-quantized integers. The unroll is hardcoded only in the
+    * ITERATION COUNT — every CTE below is k-agnostic joins — so `kSql`
+    * (any scalar SQL expression; s12 passes a computed subquery) sets how
+    * many smallest-id seeds start the clustering. `trainPred` restricts
+    * SEEDING and the RECENTERING PASS to a training subset (s13's
+    * frozen-centroid shape); the final assignment and the pruning always
+    * run corpus-wide. */
+  private def semDedupUnrolledSql(trainPred: Option[String],
+                                  kSql: String = "8"): String = {
     val seedW = trainPred.map(p => s"WHERE $p ").getOrElse("")
     val d1W = trainPred.map(p => s"WHERE el.$p ").getOrElse("")
     s"""WITH el AS (SELECT vec_id, i.i AS i,
             CAST(floor(CAST(embedding[i.i] AS DOUBLE)*1000.0+0.5) AS BIGINT) AS qv
           FROM embeddings
           CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) i),
-        seeds AS (SELECT vec_id,
-            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
-          FROM (SELECT vec_id FROM embeddings ${seedW}ORDER BY vec_id LIMIT 8) s),
+        seeds AS (SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cluster
+          FROM (SELECT vec_id,
+                  row_number() OVER (ORDER BY vec_id) AS rn
+                FROM embeddings ${seedW}) s
+          WHERE rn <= ($kSql)),
         c0 AS (SELECT cluster, i, qv AS cv FROM seeds JOIN el USING (vec_id)),
         d1 AS (SELECT el.vec_id, c0.cluster,
             CAST(sum((qv-cv)*(qv-cv)) AS BIGINT) AS dist
