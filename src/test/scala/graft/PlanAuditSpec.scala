@@ -363,4 +363,29 @@ class PlanAuditSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"v02 shuffles payload bytes:\n$plan")
   }
+
+  test("q58 bucketed join co-locates: fact-fact join without an exchange") {
+    // the standing co-location gate (round-9 ask #3): q25's shape over
+    // Scale.writeBucketed tables. The runner itself asserts the join
+    // subplan exchange-free at RUN time on every surface. This pin forces
+    // the non-broadcast path (at smoke scale the planner would broadcast
+    // the orders side, which is exchange-free trivially and proves
+    // nothing about bucketing) and asserts the full aggregate plan
+    // carries exactly ONE exchange — the ~5-group partial agg rows —
+    // i.e. neither fact table's rows ever move
+    withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = SparkEntry.queries("q58_bucketed_join")(spark, sfSmoke)
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"expected exactly the final-agg exchange, got $exchanges:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"q58 lost its co-located join:\n$plan")
+      // and its output equals the raw-shuffle q25 on the same surface
+      val raw = SparkEntry.queries("q25_interval_join")(spark, sfSmoke)
+        .orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
+      val buck = df.orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
+      assert(raw == buck, "bucketed output drifted from the raw plan")
+    }
+  }
 }
