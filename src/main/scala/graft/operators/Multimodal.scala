@@ -234,6 +234,26 @@ object Multimodal {
       gray: Array[Byte],
       ahash: Long)
 
+  /** The aHash step shared by [[thumbnails]] (post-resize) and
+    * [[thumbnailsRaw]] (pre-decoded pixels): bit i is 1 iff gray pixel i
+    * is strictly above the thumbnail mean. Integer bytes against an exact
+    * power-of-two-divided mean, so the threshold is bit-reproducible in
+    * any engine (the v03 gate re-derives it in SQL). */
+  private def grayThumb(mediaId: Long, w: Int, h: Int,
+                        gray: Array[Byte]): Thumb = {
+    var sum = 0L
+    var i = 0
+    while (i < gray.length) { sum += gray(i) & 0xff; i += 1 }
+    val mean = sum.toDouble / gray.length
+    var hash = 0L
+    i = 0
+    while (i < gray.length) {
+      if ((gray(i) & 0xff) > mean) hash |= (1L << i)
+      i += 1
+    }
+    Thumb(mediaId, w, h, gray, hash)
+  }
+
   /** Real resize via `java.awt` bilinear scaling to a `w`×`h` grayscale
     * thumbnail (the standard decode→resize→featurize step of an image
     * training pipeline), partition-at-a-time like [[featurize]]. The aHash
@@ -261,18 +281,30 @@ object Multimodal {
           g.dispose()
           val gray = new Array[Byte](w * h)
           small.getRaster.getDataElements(0, 0, w, h, gray)
-          var sum = 0L
-          var i = 0
-          while (i < gray.length) { sum += gray(i) & 0xff; i += 1 }
-          val mean = sum.toDouble / gray.length
-          var hash = 0L
-          i = 0
-          while (i < gray.length) {
-            if ((gray(i) & 0xff) > mean) hash |= (1L << i)
-            i += 1
-          }
-          Thumb(row.media_id, w, h, gray, hash)
+          grayThumb(row.media_id, w, h, gray)
         }
+      }
+    }
+  }
+
+  /** [[thumbnails]] for payloads that are ALREADY decoded `w`×`h` 8-bit
+    * grayscale pixels (row-major, one byte per pixel) — the ingest seam
+    * for pipelines whose upstream stage decodes/resizes once and ships
+    * raw thumbnails downstream, so the aHash/banding machinery runs
+    * without re-touching a codec. Same aHash as [[thumbnails]] (shared
+    * [[grayThumb]]); a payload of the wrong length yields the all-zero
+    * thumbnail, the same never-drop-rows contract as an undecodable
+    * image. The v03/v04 gates hash-prove this path (hash bits, band
+    * values, candidate pairs) cross-engine — pixel math is plain byte
+    * arithmetic a SQL oracle can re-derive, which the codec path can't. */
+  def thumbnailsRaw(ds: Dataset[MediaRow], w: Int = 8, h: Int = 8): Dataset[Thumb] = {
+    require(w * h <= 64, s"ahash needs w*h <= 64, got ${w * h}")
+    implicit val enc = Encoders.product[Thumb]
+    ds.mapPartitions { it =>
+      it.map { row =>
+        if (row.payload == null || row.payload.length != w * h)
+          Thumb(row.media_id, w, h, new Array[Byte](w * h), 0L)
+        else grayThumb(row.media_id, w, h, row.payload)
       }
     }
   }

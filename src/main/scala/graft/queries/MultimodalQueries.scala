@@ -113,6 +113,96 @@ object MultimodalQueries {
           CAST(least(32, n - frame_idx * 32) AS BIGINT) AS flen,
           md5(substr(hx, CAST(frame_idx * 64 + 1 AS INTEGER),
             CAST(least(32, n - frame_idx * 32) * 2 AS INTEGER))) AS frame_fp
-        FROM f"""))
+        FROM f""")),
+
+    // ---- image aHash on the hash gate (round-9 verdict ask #4): payloads
+    // are 8×8 PRE-DECODED grayscale pixels (the thumbnailsRaw ingest seam —
+    // raw bytes both engines construct identically: the doc's first 64
+    // chars space-padded, v01's trick), so the mean-threshold hash bits
+    // and the 4×16-bit SimHash-style band values are re-derived by the
+    // oracle byte-for-byte. Codec decode + bilinear resize stay value-
+    // tested on real encoded bytes in MultimodalSpec/ImageNearDupSpec —
+    // pixels a SQL oracle cannot reach — but the near-dup MATH now has a
+    // gate row, not just a spec. ----
+    Q("v03_image_ahash",
+      (s, dir) => ahashBands(s, dir)
+        .select(col("media_id"), col("band"), col("bv")),
+      Some(s"""WITH $ahashBandsSql
+        SELECT doc_id AS media_id, band, bv FROM bands""")),
+
+    // ---- the image near-dup pairs themselves: candidates share at least
+    // one full 16-bit band of the aHash (LSH banding — never all-pairs),
+    // then exact 64-bit hamming distance ≤ 6 verifies. The hash gate
+    // proves band bucketing, the candidate join, AND the hamming verify
+    // cross-engine (the oracle sums per-band bit_counts; the engine
+    // bit_counts the xor of the full hashes — two constructions, one
+    // result). Scale shape: identical to t08's SimHash banding — pairs
+    // come from band-bucket joins whose fan-out is bounded by bucket
+    // occupancy, and the wide payload column never reaches the join. ----
+    Q("v04_image_neardup",
+      (s, dir) => {
+        val bands = ahashBands(s, dir)
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+              col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
+            col("a.ahash").as("a_hash"), col("b.ahash").as("b_hash"))
+          .distinct()
+        cand.withColumn("hamming", expr("CAST(bit_count(a_hash ^ b_hash) AS INT)"))
+          .filter(col("hamming") <= 6)
+          .select(col("a_id"), col("b_id"), col("hamming"))
+      },
+      Some(s"""WITH $ahashBandsSql,
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.bv = b.bv
+            AND a.doc_id < b.doc_id),
+        ham AS (SELECT c.a_id, c.b_id,
+            CAST(sum(bit_count(xor(ba.bv, bb.bv))) AS INT) AS hamming
+          FROM cand c
+          JOIN bands ba ON ba.doc_id = c.a_id
+          JOIN bands bb ON bb.doc_id = c.b_id AND bb.band = ba.band
+          GROUP BY 1, 2)
+        SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 6"""))
   )
+
+  /** Engine side of the v03/v04 shared body: 64-byte raw-gray payloads →
+    * thumbnailsRaw aHash → (media_id, ahash, band, bv) with bv = the
+    * band-th 16-bit slice ('& 65535' so band 3 survives the arithmetic
+    * shift's sign extension when hash bit 63 is set). */
+  private def ahashBands(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val media = T(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), lit("image/gray8").as("mime"),
+        rpad(substring(coalesce(col("text"), lit("")), 1, 64), 64, " ")
+          .cast("binary").as("payload"))
+      .as[Multimodal.MediaRow](Encoders.product[Multimodal.MediaRow])
+    Multimodal.thumbnailsRaw(media, 8, 8).toDF()
+      .select(col("media_id"), col("ahash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bv",
+        expr("shiftright(ahash, CAST(band * 16 AS INT)) & 65535"))
+  }
+
+  /** Oracle side of the v03/v04 shared body (one definition so the two
+    * gates cannot drift): bytes via hex unnesting, exact mean threshold,
+    * band value = Σ 2^(i mod 16) over set bits. The mean is an integer
+    * sum divided by the power of two 64, so `v > mean` is IEEE-exact in
+    * both engines. */
+  private def ahashBandsSql: String =
+    """src AS (
+          SELECT doc_id,
+            hex(encode(rpad(substr(coalesce(text, ''), 1, 64), 64, ' '))) AS hx
+          FROM documents),
+        bytes AS (
+          SELECT doc_id, CAST(i AS INT) AS i,
+            ('0x' || substr(hx, 2*CAST(i AS INT)+1, 2))::INT AS v
+          FROM (SELECT doc_id, hx, unnest(range(64)) AS i FROM src) u),
+        m AS (SELECT doc_id, sum(v)/64.0 AS mean FROM bytes GROUP BY 1),
+        bits AS (SELECT b.doc_id, b.i,
+            CASE WHEN b.v > m.mean THEN 1 ELSE 0 END AS bit
+          FROM bytes b JOIN m USING (doc_id)),
+        bands AS (SELECT doc_id, CAST(i // 16 AS INT) AS band,
+            CAST(sum((1 << (i % 16)) * bit) AS BIGINT) AS bv
+          FROM bits GROUP BY 1, 2)"""
 }

@@ -191,6 +191,38 @@ class MultimodalSpec extends SparkSpec {
     assert(t2.ahash == 0L && t2.gray.forall(_ == 0))
   }
 
+  test("thumbnailsRaw equals the decoded path's aHash on identical pixels") {
+    // a pre-decoded gray payload and a PNG whose decode+resize produces
+    // exactly those pixels must hash identically — the raw ingest seam and
+    // the codec path share grayThumb, and this pins that they stay shared.
+    // 8x8 source so the "resize" is identity and the pixels comparable.
+    import java.awt.image.BufferedImage
+    val gray = Array.tabulate[Byte](64)(i => (i * 4).toByte)
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, 8, 8, gray)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+
+    val viaCodec = thumbnails(
+      Seq(MediaRow(1L, "image/png", out.toByteArray)).toDS(), 8, 8)
+      .collect().head
+    val viaRaw = thumbnailsRaw(
+      Seq(MediaRow(1L, "image/gray8", gray)).toDS(), 8, 8)
+      .collect().head
+    assert(viaRaw.gray.sameElements(gray))
+    assert(viaCodec.gray.sameElements(viaRaw.gray),
+      "PNG decode of raw gray pixels drifted")
+    assert(viaCodec.ahash == viaRaw.ahash && viaRaw.ahash != 0L)
+
+    // wrong-length or null payloads keep the never-drop-rows contract
+    val bad = thumbnailsRaw(Seq(
+      MediaRow(2L, "image/gray8", Array[Byte](1, 2, 3)),
+      MediaRow(3L, "image/gray8", null)).toDS(), 8, 8)
+      .collect().map(t => t.media_id -> t).toMap
+    assert(bad(2L).ahash == 0L && bad(2L).gray.forall(_ == 0))
+    assert(bad(3L).ahash == 0L && bad(3L).gray.length == 64)
+  }
+
   test("media payloads stay distributed (no driver collect in the plan)") {
     // build media rows from the documents table's text bytes — the binary
     // column plumbing a real image/audio ingest would use
