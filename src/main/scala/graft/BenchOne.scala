@@ -5,6 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: time one named query (warm, N passes) — the per-query view of
   * Bench for iterating on a single plan without re-running the full set.
   * Usage: BenchOne <queryName> [sfDir] [passes]
+  *
+  * Opt-in diagnostics (both used for the round-10 sf10 pins):
+  *  - SPARK_GRAFT_EXPLAIN=1  print the FINAL executed plan (post-AQE —
+  *    `graft.Explain` prints the static plan, which hides runtime
+  *    broadcast conversions and skew splits) after the last pass;
+  *  - SPARK_GRAFT_STAGES=1   per-stage wall time / task time / shuffle
+  *    bytes for the LAST pass, sorted by wall time — the stage-level view
+  *    that separates "one stage grew" from "everything inflated" (the
+  *    co-tenant signature) when a query's number drifts across windows.
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -29,11 +38,49 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    final case class StageRow(id: Int, nm: String, wallMs: Long,
+                              taskMs: Long, shufRead: Long, shufWrite: Long)
+    val stages = scala.collection.mutable.ArrayBuffer.empty[StageRow]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = e.stageInfo
+        val wall = (for {a <- i.completionTime; b <- i.submissionTime}
+          yield a - b).getOrElse(0L)
+        val m = i.taskMetrics
+        stages.synchronized {
+          stages += StageRow(i.stageId, i.name.takeWhile(_ != '\n').take(60),
+            wall, m.executorRunTime,
+            m.shuffleReadMetrics.totalBytesRead,
+            m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    }
+
+    var last: org.apache.spark.sql.DataFrame = null
     (1 to passes).foreach { i =>
+      val profile = sys.env.contains("SPARK_GRAFT_STAGES") && i == passes
+      if (profile) spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      last = SparkEntry.queries(name)(spark, sfDir)
+      val n = last.count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"pass $i: $dt%.3f s  rows=$n")
+    }
+    if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+      // the listener bus is async; give it a moment to drain (the public
+      // API hides listenerBus.waitUntilEmpty)
+      Thread.sleep(1000)
+      println("stage profile (last pass, by wall time):")
+      stages.sortBy(-_.wallMs).take(20).foreach { s =>
+        println(f"  stage ${s.id}%4d ${s.wallMs}%7d ms wall ${s.taskMs}%8d ms task " +
+          f"shufR ${s.shufRead / 1048576}%5d MB shufW ${s.shufWrite / 1048576}%5d MB  ${s.nm}")
+      }
+    }
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN") && last != null) {
+      println("final executed plan (post-AQE):")
+      println(last.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

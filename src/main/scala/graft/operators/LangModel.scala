@@ -10,10 +10,10 @@ import org.apache.spark.sql.functions._
   * ONE definition shared by the oracle-gated query (t24_bigram_lm_score)
   * and the corpus pipeline's filter stage (jobs/CorpusPipeline), so the
   * pipeline's cut can never silently diverge from the hash-matched
-  * semantics. See t24's comment for the scale analysis (two
-  * partial-aggregable groupBys + one shuffle join against the
-  * vocab²-bounded dictionary; AQE splits the zipf-skewed stop-word
-  * prefixes).
+  * semantics. See [[bigramScores]] for the scale analysis (two
+  * partial-aggregable groupBys, the dictionary materialized once, and a
+  * measured-count broadcast-vs-shuffle join decision; AQE splits the
+  * zipf-skewed stop-word prefixes on the shuffle branch).
   */
 object LangModel {
 
@@ -87,8 +87,31 @@ object LangModel {
     * model: (doc_id, n_bigrams, sum_q, avg_logp) where sum_q is the exact
     * integer sum of floor(1e4·ln P(w2|w1)) — order-free and
     * partition-count-invariant — and avg_logp = sum_q/n/1e4 is the display
-    * form. Documents with fewer than two words produce no row. */
-  def bigramScores(docs: DataFrame): DataFrame = {
+    * form. Documents with fewer than two words produce no row.
+    *
+    * Plan shape (rebuilt for the round-10 sf10 pin — the old one-liner
+    * `b ⋈ (c12 ⋈ c1)` planned PATHOLOGICALLY once the corpus outgrew the
+    * gate scales, measured at sf10 in PERF.md: Catalyst's static
+    * estimates, fed by the dense corpus's ~10× parquet compression,
+    * priced the 27.5 M-row exploded CORPUS side under the broadcast
+    * threshold and built it as the broadcast hash relation — a ~16 s
+    * single-threaded stage and a driver OOM at any real scale — while c1
+    * recomputed c12's whole subtree, so the corpus was scanned and
+    * exploded THREE times):
+    *  1. c12 is computed once and MATERIALIZED (localCheckpoint —
+    *     dictionary-sized); c1 and the dictionary derive from the
+    *     materialized copy, so the corpus is exploded exactly twice
+    *     (count + score) whatever the plan does;
+    *  2. the scoring join picks its physical side from the dictionary's
+    *     now-KNOWN row count, the decision static stats cannot make: a
+    *     vocabulary-bounded dictionary (≤ `maxBroadcastTypes` entries)
+    *     broadcasts — the corpus never shuffles OR broadcasts — and a
+    *     corpus-like dictionary (the 100 TB natural-text regime) takes
+    *     the shuffle-hash join with AQE skew split, building on the
+    *     dictionary side. Both branches are the same exact arithmetic;
+    *     PlanAuditSpec pins each branch's shape. */
+  def bigramScores(docs: DataFrame,
+                   maxBroadcastTypes: Long = 2000000L): DataFrame = {
     val b = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2) // sequence() counts DOWN below 1 elem
@@ -96,9 +119,14 @@ object LangModel {
         "transform(sequence(1, size(ws)-1), j -> struct(ws[j-1] AS w1, ws[j] AS w2))")).as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
     val c12 = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val nTypes = c12.count() // dictionary-sized, already materialized
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val dict = c12.join(c1, "w1")
-    b.join(dict, Seq("w1", "w2"))
+    val scored =
+      if (nTypes <= maxBroadcastTypes) b.join(broadcast(dict), Seq("w1", "w2"))
+      else b.join(dict.hint("shuffle_hash"), Seq("w1", "w2"))
+    scored
       .select(col("doc_id"),
         floor(lit(10000.0) *
           log(col("c12").cast("double") / col("c1").cast("double")))

@@ -834,17 +834,21 @@ object TextQueries {
     // CCNet/Gopher-style: score each document by how typical its word
     // sequences are of the corpus, drop the high-perplexity tail). The LM
     // is trained on the corpus itself in the same plan: bigram counts c12
-    // and prefix counts c1 are two partial-aggregable groupBys; each
-    // document bigram then looks up log P(w2|w1) = ln(c12/c1) through ONE
-    // shuffle equi-join against the (vocab²-bounded) dictionary — never a
-    // per-doc model object, never a driver-side vocabulary. Stop-word
-    // prefixes make the join key zipf-skewed; AQE skew-join splits those
-    // reducers. Per-bigram log-probs are quantized to floor(1e4·ln p) so
-    // the doc-level SUM is exact integer arithmetic — the score is
+    // and prefix counts c1 are two partial-aggregable groupBys, with c12
+    // materialized once so c1/dict derive from it instead of re-scanning
+    // the corpus; each document bigram then looks up log P(w2|w1) =
+    // ln(c12/c1) against the dictionary, whose JOIN SIDE is chosen from
+    // the dictionary's measured row count (LangModel.bigramScores — a
+    // vocabulary-bounded dictionary broadcasts so the corpus never
+    // shuffles; a corpus-like dictionary falls back to the shuffle-hash
+    // join with AQE skew-splitting the zipf-hot stop-word prefixes).
+    // Never a per-doc model object, never a driver-side vocabulary.
+    // Per-bigram log-probs are quantized to floor(1e4·ln p) so the
+    // doc-level SUM is exact integer arithmetic — the score is
     // partition-count-invariant and bit-identical cross-engine (the same
     // trick as the money columns; only the final display division is
-    // float). At 100 TB the dictionary is a disk-backed shuffle join and
-    // the corpus streams through it once. ----
+    // float). At 100 TB the dictionary outgrows maxBroadcastTypes and the
+    // corpus streams through the disk-backed shuffle join once. ----
     Q("t24_bigram_lm_score",
       (s, dir) => graft.operators.LangModel.bigramScores(
         T(s, dir, "documents").select(col("doc_id"), col("text"))),

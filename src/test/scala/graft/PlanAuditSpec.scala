@@ -207,29 +207,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(cols == Set("doc_id", "text"), s"scan read $cols")
   }
 
-  test("t24 dictionary join stays a shuffle join under AQE (the skew-split path)") {
-    // PERF.md's scale claim for t24: the vocab²-bounded dictionary CANNOT
-    // broadcast at 100 TB, and its zipf-hot stop-word prefixes are
-    // delegated to AQE's skew split. Check both halves mechanically:
-    // AQE + skew handling are on, the query optimizes adaptively, and
-    // no dictionary-side join reverts to a broadcast build.
+  test("t24 scoring join: dict broadcasts when bounded, corpus NEVER broadcasts") {
+    // The round-10 sf10 finding: static estimates priced the exploded
+    // CORPUS side under the broadcast threshold (dense text compresses
+    // ~10×) and built 27.5 M rows as the broadcast hash relation — a 16 s
+    // single-threaded stage locally, a driver OOM on a cluster. The
+    // operator now decides the join side from the MATERIALIZED
+    // dictionary's row count. Branch 1 (vocabulary-bounded dictionary,
+    // the default): the dictionary is the explicit broadcast side and the
+    // corpus side feeds the probe directly — no exchange of corpus rows.
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
-    // At sf0.001 stats let Catalyst broadcast the tiny corpus side — the
-    // right call HERE. The 100 TB regime is "no side fits broadcast":
-    // simulate it by disabling auto-broadcast and pin that the operator
-    // degrades to an AQE-managed shuffle join, never something worse.
-    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val df = SparkEntry.queries("t24_bigram_lm_score")(spark, sfSmoke)
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("AdaptiveSparkPlan"), s"t24 not under AQE:\n$plan")
-      assert(!plan.contains("BroadcastHashJoin"),
-        s"dictionary join broadcast an unbounded side despite threshold=-1:\n$plan")
-      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
-        s"expected a shuffle join for the dictionary lookup:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    val df = SparkEntry.queries("t24_bigram_lm_score")(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bounded dictionary did not broadcast:\n$plan")
+    // the broadcast build must be the dictionary (its subtree carries the
+    // c12/c1 aggregate), never the doc_id-bearing corpus side
+    val bcast = plan.split("BroadcastExchange").drop(1)
+    assert(bcast.forall(s => !s.take(400).contains("doc_id")),
+      s"corpus side reached a broadcast build:\n$plan")
+  }
+
+  test("t24 unbounded-dictionary branch degrades to the AQE shuffle join") {
+    // Branch 2 (the 100 TB natural-text regime: the dictionary outgrows
+    // maxBroadcastTypes): the scoring join must be a dictionary-side-build
+    // shuffle join — zipf-hot stop-word prefixes delegated to AQE's skew
+    // split — and never a broadcast of either unbounded side.
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select("doc_id", "text")
+    val df = graft.operators.LangModel.bigramScores(docs, maxBroadcastTypes = 0L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AdaptiveSparkPlan"), s"t24 not under AQE:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffle join for the dictionary lookup:\n$plan")
+    // the scoring result must match the broadcast branch exactly
+    val a = df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = graft.operators.LangModel.bigramScores(docs)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b, "shuffle and broadcast branches diverged")
   }
 
   test("s09 PQ ADC scan is join-free: LUT is a literal, codes-only read") {
