@@ -163,8 +163,72 @@ object MultimodalQueries {
           JOIN bands ba ON ba.doc_id = c.a_id
           JOIN bands bb ON bb.doc_id = c.b_id AND bb.band = ba.band
           GROUP BY 1, 2)
-        SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 6"""))
+        SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 6""")),
+
+    // ---- audio fingerprint on the hash gate (the last spec-only
+    // multimodal leg): payloads are REAL PCM16 WAV files — a constant
+    // canonical 44-byte header (mono, 8 kHz, 16-bit, exactly 260 data
+    // bytes; hex literal below, derivation in the comment) prepended to
+    // the doc's first 260 chars space-padded, so the engine's
+    // javax.sound decode parses actual WAV while the oracle skips the
+    // header it knows byte-for-byte and re-derives the 130 little-endian
+    // signed samples from hex. The sign-of-delta fingerprint over 65
+    // equal windows (Multimodal.audioFingerprints — the production
+    // operator, unchanged) is emitted as 4×16-bit bands like v03, so all
+    // 64 bits are hash-gated without bigint sign games. decoded=1 rides
+    // the output: a header the JDK stopped parsing would flip it to 0
+    // and fail the gate loudly. ----
+    Q("v05_audio_fingerprint",
+      (s, dir) => {
+        val media = T(s, dir, "documents")
+          .select(col("doc_id").as("media_id"), lit("audio/wav").as("mime"),
+            concat(unhex(lit(WavHeaderHex)),
+              rpad(substring(coalesce(col("text"), lit("")), 1, 260), 260, " ")
+                .cast("binary")).as("payload"))
+          .as[Multimodal.MediaRow](Encoders.product[Multimodal.MediaRow])
+        Multimodal.audioFingerprints(media).toDF()
+          .select(col("media_id"), col("fp"), col("n_samples"),
+            col("decoded").cast("int").as("decoded"),
+            explode(expr("sequence(0, 3)")).as("band"))
+          .withColumn("bv",
+            expr("shiftright(fp, CAST(band * 16 AS INT)) & 65535"))
+          .select(col("media_id"), col("band"), col("bv"),
+            col("n_samples"), col("decoded"))
+      },
+      Some("""WITH src AS (
+          SELECT doc_id,
+            hex(encode(rpad(substr(coalesce(text, ''), 1, 260), 260, ' '))) AS hx
+          FROM documents),
+        samp AS (SELECT doc_id, i,
+            abs((CASE WHEN h >= 128 THEN h - 256 ELSE h END) * 256 + l) AS amp
+          FROM (SELECT doc_id, CAST(i AS INT) AS i,
+                  ('0x' || substr(hx, 4*CAST(i AS INT)+1, 2))::INT AS l,
+                  ('0x' || substr(hx, 4*CAST(i AS INT)+3, 2))::INT AS h
+                FROM (SELECT doc_id, hx, unnest(range(130)) AS i FROM src) u) v),
+        win AS (SELECT doc_id, CAST(i // 2 AS INT) AS w, sum(amp)/2.0 AS m
+          FROM samp GROUP BY 1, 2),
+        bits AS (SELECT a.doc_id, a.w AS b,
+            CASE WHEN n.m > a.m THEN 1 ELSE 0 END AS bit
+          FROM win a JOIN win n ON n.doc_id = a.doc_id AND n.w = a.w + 1
+          WHERE a.w < 64),
+        bands AS (SELECT doc_id, CAST(b // 16 AS INT) AS band,
+            CAST(sum((1 << (b % 16)) * bit) AS BIGINT) AS bv
+          FROM bits GROUP BY 1, 2)
+        SELECT doc_id AS media_id, band, bv,
+          CAST(130 AS BIGINT) AS n_samples, 1 AS decoded
+        FROM bands"""))
   )
+
+  /** Canonical 44-byte PCM WAV header for exactly 260 data bytes, as hex:
+    * "RIFF" + 296u32le (36 + 260) + "WAVE" + "fmt " + 16u32le +
+    * format=1u16le + channels=1u16le + rate=8000u32le + byteRate=16000u32le +
+    * blockAlign=2u16le + bits=16u16le + "data" + 260u32le. Constant
+    * because the payload length is pinned at 260 bytes — which is what
+    * lets the oracle treat it as a known prefix. */
+  private val WavHeaderHex: String =
+    "52494646" + "28010000" + "57415645" + "666D7420" + "10000000" +
+      "0100" + "0100" + "401F0000" + "803E0000" + "0200" + "1000" +
+      "64617461" + "04010000"
 
   /** Engine side of the v03/v04 shared body: 64-byte raw-gray payloads →
     * thumbnailsRaw aHash → (media_id, ahash, band, bv) with bv = the
