@@ -39,22 +39,31 @@ object LangModel {
     * the integer counts) rather than loosening the gate.
     *
     * Scale shape: training is one partial-aggregable (lang, token)
-    * groupBy; the dictionary is vocabulary×L-bounded and BROADCAST (a
-    * natural-language vocabulary, not corpus-sized — at the scale where it
-    * outgrows broadcast, drop the hint and let AQE shuffle it); scoring
-    * explodes each token occurrence × L classes (L is a constant) with a
-    * per-doc bounded argmax window; the confusion rollup is L²-bounded.
+    * groupBy, MATERIALIZED once (localCheckpoint) so the vocabulary
+    * scalar, the per-class totals, and the dictionary all derive from the
+    * vocab×L-sized copy instead of re-scanning the corpus; the scoring
+    * join side is then chosen from the dictionary's measured entry count
+    * (the t24 pattern — static estimates cannot price a derived
+    * aggregate): a vocabulary-bounded dictionary broadcasts, and one that
+    * outgrows `maxBroadcastTypes` (corpus-scale natural text) degrades to
+    * a dictionary-side-build shuffle join under AQE. Scoring explodes
+    * each token occurrence × L classes (L is a constant) with a per-doc
+    * bounded argmax window; the confusion rollup is L²-bounded.
     *
     * @return (true_lang, predicted, n_docs) */
-  def nbLangConfusion(docs: DataFrame): DataFrame = {
+  def nbLangConfusion(docs: DataFrame,
+                      maxBroadcastTypes: Long = 2000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("tok"))
     val cnt = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nEntries = cnt.count() // vocab×L, already materialized
     val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
     // two bounded driver scalars, like NearDup's corpus count: the vocab
-    // size (smoothing denominator) and the doc count (prior denominator)
-    val vocab = toks.select(col("tok")).distinct().count()
+    // size (smoothing denominator — derived from the materialized counts,
+    // not a second corpus pass) and the doc count (prior denominator)
+    val vocab = cnt.select(col("tok")).distinct().count()
     val nDocs = docs.count()
     def q(x: org.apache.spark.sql.Column) =
       floor(lit(10000.0) * log(x)).cast("long")
