@@ -79,7 +79,14 @@ object LangModel {
     val scored = toks.select(col("doc_id"), col("lang").as("true_lang"),
         col("tok"))
       .crossJoin(broadcast(priors))
-      .join(broadcast(dict), Seq("model_lang", "tok"), "left")
+      .join(
+        // the t24 pattern: the physical side is chosen from the
+        // MATERIALIZED dictionary's row count (vocab×L), which static
+        // estimates cannot price — a bounded dictionary broadcasts, a
+        // corpus-scale one builds its own side of a shuffle-hash join
+        if (nEntries <= maxBroadcastTypes) broadcast(dict)
+        else dict.hint("shuffle_hash"),
+        Seq("model_lang", "tok"), "left")
       .withColumn("qv", coalesce(col("lp_q"), col("unseen_q")))
       .groupBy(col("doc_id"), col("true_lang"), col("model_lang"),
         col("prior_q"))

@@ -166,9 +166,15 @@ object RelationalQueries {
 
     // ---- J6: anti-join (reference: jobs/fix_data.py:65-70 set-difference zero-fill) ----
     Q("q08_anti_join",
+      // customers with no EARLY order (the generated data gives every
+      // customer an order eventually, which left this gate vacuous — 0
+      // rows both engines, r1–r10 — so the anti set is taken against the
+      // pre-1996 orders: non-empty and non-trivial at every gate scale)
       (s, dir) => {
+        val early = T(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
         T(s, dir, "customer")
-          .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(early, col("c_custkey") === col("o_custkey"), "left_anti")
           .groupBy(col("c_nationkey"))
           .agg(count(lit(1)).as("n_no_order"),
             (sum(cents(col("c_acctbal"))) / 100.0).as("bal"))
@@ -176,7 +182,8 @@ object RelationalQueries {
       Some(s"""SELECT c_nationkey, count(*) AS n_no_order,
         ${sqlSumC("c_acctbal")}/100.0 AS bal
         FROM customer WHERE NOT EXISTS
-          (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             AND o_orderdate < TIMESTAMP '1996-01-01')
         GROUP BY c_nationkey""")),
 
     // ---- J2-as-semi: existence filter (reference: jobs/raw_to_staging.py:22 boundary-plant filter) ----

@@ -248,6 +248,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(a == b, "shuffle and broadcast branches diverged")
   }
 
+  test("t35 scoring join: dict broadcasts when bounded, corpus NEVER broadcasts") {
+    // Same hazard class as t24's round-10 finding: the scoring join's
+    // build side must be decided from the MATERIALIZED vocab×L
+    // dictionary's row count, never by static estimates or a forced
+    // hint. Branch 1 (bounded dictionary, the default): the dictionary
+    // broadcasts; no broadcast build may contain the doc_id-bearing
+    // token stream.
+    val df = SparkEntry.queries("t35_nb_langid")(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bounded dictionary did not broadcast:\n$plan")
+    val bcast = plan.split("BroadcastExchange").drop(1)
+    assert(bcast.forall(s => !s.take(400).contains("doc_id")),
+      s"corpus side reached a broadcast build:\n$plan")
+  }
+
+  test("t35 unbounded-dictionary branch degrades to the AQE shuffle join") {
+    // Branch 2 (corpus-scale vocab×L, the 100 TB regime): the scoring
+    // join must be a dictionary-side-build shuffle join — the corpus is
+    // never driver-collected — and the confusion matrix must match the
+    // broadcast branch cell for cell.
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val df = graft.operators.LangModel.nbLangConfusion(docs, maxBroadcastTypes = 0L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AdaptiveSparkPlan"), s"t35 not under AQE:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffle join for the dictionary lookup:\n$plan")
+    val bcast = plan.split("BroadcastExchange").drop(1)
+    assert(bcast.forall(s => !s.take(400).contains("doc_id")),
+      s"corpus side reached a broadcast build:\n$plan")
+    val key = Seq("true_lang", "predicted")
+    val a = df.orderBy(key.head, key.tail: _*).collect().map(_.toSeq).toSeq
+    val b = graft.operators.LangModel.nbLangConfusion(docs)
+      .orderBy(key.head, key.tail: _*).collect().map(_.toSeq).toSeq
+    assert(a == b, "shuffle and broadcast branches diverged")
+  }
+
   test("s09 PQ ADC scan is join-free: LUT is a literal, codes-only read") {
     val df = SparkEntry.queries("s09_pq_adc")(spark, sfSmoke)
     // after the driver-side train/encode setup, the SCORING plan itself
