@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the similarity-search hot path.
   *
@@ -69,6 +69,91 @@ object VectorExpressions {
           long $acc = 0L;
           for (int $i = 0; $i < $n; $i++) {
             $acc += ($qx) * ($qy);
+          }
+          ${ev.value} = $acc;
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Quantize an array<float> once to its exact milli-unit integers
+    * (array<int>). Factoring the quantization OUT of the pair loop is the
+    * SemDeDup hot-path lever: [[QuantizedDot]] re-derives both sides'
+    * integers on every evaluation — 128 double floors per pair, paid
+    * (cluster-size)² times — while a members row is quantized exactly once
+    * here and the O(pairs) inner loop degrades to [[PreQuantizedDot]]'s
+    * pure int multiply-add. The integers are identical by construction, so
+    * every downstream cosine/hash is unchanged. Values fit int easily:
+    * unit-scale embedding elements quantize to ±O(10³). */
+  case class QuantizeVec(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = math.floor(x.getFloat(i) * 1000.0 + 0.5).toInt
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val arr = ctx.freshName("arr")
+        s"""
+          int $n = $a.numElements();
+          int[] $arr = new int[$n];
+          for (int $i = 0; $i < $n; $i++) {
+            $arr[$i] = (int) java.lang.Math.floor($a.getFloat($i) * 1000.0d + 0.5d);
+          }
+          ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Dot product of two pre-quantized array<int> columns → long: the
+    * O(pairs) companion of [[QuantizeVec]] — nothing but int loads and a
+    * widening multiply-add in the generated loop. */
+  case class PreQuantizedDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += x.getInt(i).toLong * y.getInt(i).toLong
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+          int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+          long $acc = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
           }
           ${ev.value} = $acc;
         """
@@ -479,6 +564,10 @@ object VectorExpressions {
       exprs => QuantizedNorm2(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_nearest_centroid",
       exprs => NearestCentroid(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_quantize_vec",
+      exprs => QuantizeVec(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_prequantized_dot",
+      exprs => PreQuantizedDot(exprs(0), exprs(1)), "scala_udf")
   }
 
   def quantizedDot(a: Column, b: Column): Column =
@@ -490,4 +579,10 @@ object VectorExpressions {
   def nearestCentroid(vec: Column, cents: Column, ids: Column): Column =
     org.apache.spark.sql.functions.call_function(
       "graft_nearest_centroid", vec, cents, ids)
+
+  def quantizeVec(a: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_quantize_vec", a)
+
+  def preQuantizedDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_prequantized_dot", a, b)
 }

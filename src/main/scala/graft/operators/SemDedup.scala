@@ -58,17 +58,62 @@ object SemDedup {
   /** Within-cluster ordered pairs `a_id < b_id` with cos ≥ [[TAU]]:
     * `(cluster, a_id, b_id, cos_sim)`. The join key is the cluster id, so
     * the shuffle is cluster-partitioned and the pairwise work per cluster
-    * is (size²)/2 — cluster count is THE scale lever (see s12). */
-  private def scoredPairs(a: DataFrame, b: DataFrame): DataFrame =
-    a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
+    * is (size²)/2 — cluster count is THE scale lever (see s12).
+    *
+    * `blocks` removes the OTHER ceiling: with few clusters (s11's fixed
+    * k=8) the cluster-keyed shuffle has at most k populated reducers, so
+    * one stage owns ~n²/k comparisons at parallelism k (the round-10 pin:
+    * 3.4 effective cores of 32 at sf10). Sub-splitting each cluster's
+    * pair grid into (iBlock, jBlock) tiles — each member's home block is
+    * `id mod blocks`, side a replicated across every partner jBlock, side
+    * b across every partner iBlock — is an EXACT refinement: a pair
+    * (a, b) meets in precisely the task (cluster, blk(a), blk(b)), so the
+    * pair set (and every downstream hash) is identical while the stage's
+    * task grid grows k → k·blocks². Comparison work is unchanged; the
+    * price is blocks× shuffle replication of the member rows, which is
+    * linear in n and irrelevant next to the quadratic compare. */
+  private def scoredPairs(a: DataFrame, b: DataFrame,
+                          blocks: Int = 1): DataFrame = {
+    // quantize each member ONCE (linear) so the O(pairs) join condition is
+    // PreQuantizedDot's bare int multiply-add — QuantizedDot re-floors both
+    // float vectors on every pair, 128 double floors × (cluster-size)²
+    // evaluations (the dominant cost of the old plan). Same integers, same
+    // cosine, same hashes.
+    // ... and likewise each member's sqrt norm: cos = dot / (a_s · b_s)
+    // is the identical IEEE op graph to dot / (sqrt(a_n2)·sqrt(b_n2)) —
+    // each sqrt is exact on the same long — just hoisted out of the
+    // quadratic loop.
+    val aq = a.withColumn("a_q", VectorExpressions.quantizeVec(col("a_emb")))
+      .withColumn("a_s", sqrt(col("a_n2").cast("double")))
+      .drop("a_emb", "a_n2")
+    val bq = b.withColumn("b_q", VectorExpressions.quantizeVec(col("b_emb")))
+      .withColumn("b_s", sqrt(col("b_n2").cast("double")))
+      .drop("b_emb", "b_n2")
+    val (ak, bk, keys) =
+      if (blocks <= 1) (aq, bq, Seq("cluster"))
+      else {
+        val grid = lit((0 until blocks).toArray)
+        (aq.withColumn("ib", pmod(col("a_id"), lit(blocks)).cast("int"))
+           .withColumn("jb", explode(grid)),
+         bq.withColumn("jb", pmod(col("b_id"), lit(blocks)).cast("int"))
+           .withColumn("ib", explode(grid)),
+         Seq("cluster", "ib", "jb"))
+      }
+    // the pair stage must be a shuffled HASH join: static estimates on the
+    // Generate/aggregate subtrees otherwise pick sort-merge, whose
+    // buffered duplicate-key groups (a whole cluster tile per key) cost
+    // more per pair and spill on the big tiles
+    ak.join(bk.hint("shuffle_hash"), keys).filter(col("a_id") < col("b_id"))
       .withColumn("cos_sim",
-        cosine(VectorExpressions.quantizedDot(col("a_emb"), col("b_emb")),
-          col("a_n2"), col("b_n2")))
+        VectorExpressions.preQuantizedDot(col("a_q"), col("b_q"))
+          .cast("double") / (col("a_s") * col("b_s")))
       .filter(col("cos_sim") >= TAU)
       .select(col("cluster"), col("a_id"), col("b_id"), col("cos_sim"))
+  }
 
   /** All shadow pairs of one members frame (the batch form). */
-  def shadowPairs(m: DataFrame): DataFrame = scoredPairs(aSide(m), bSide(m))
+  def shadowPairs(m: DataFrame, blocks: Int = 1): DataFrame =
+    scoredPairs(aSide(m), bSide(m), blocks)
 
   /** Shadow pairs with AT LEAST ONE side in `fresh`, each exactly once:
     * (anything × fresh) ∪ (fresh × stored) under `a_id < b_id`. The two

@@ -45,8 +45,22 @@ object VectorQueries {
     val (assign, _) = graft.operators.KMeans.lloyd(
       e, "vec_id", "embedding", k = k, iters = 2)
     val sd = graft.operators.SemDedup
-    sd.removals(sd.shadowPairs(sd.members(e, assign)))
+    sd.removals(sd.shadowPairs(sd.members(e, assign), blocks = pairBlocks(k)))
   }
+
+  /** Block factor for the within-cluster pair join (SemDedup.scoredPairs):
+    * size the (cluster × iBlock × jBlock) task grid to ~128 tasks so a
+    * small-k run (s11's fixed k=8 — at most k populated reducers
+    * otherwise, the round-10 3.4-effective-core pin) still spreads the
+    * quadratic stage over the whole executor pool; large k (s12/s13's
+    * deployment shapes) already has enough cluster keys and degrades
+    * toward blocks = 1, paying ~zero replication. Exact refinement either
+    * way — the pair set and the gate hash never change. The target is
+    * deliberately modest: replication, shuffle, and hash-build costs grow
+    * with blocks, and the sf10 sweep (PERF.md round 11) measured B=4 (128
+    * tiles) fastest, with B=6/B=12 giving back 40–55% of the win. */
+  private def pairBlocks(k: Int, targetTasks: Int = 128): Int =
+    math.max(1, math.ceil(math.sqrt(targetTasks.toDouble / k)).toInt)
 
   private def cosine(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
@@ -571,7 +585,8 @@ object VectorQueries {
         val assign = graft.operators.KMeans.assignTo(
           e, "vec_id", "embedding", cents)
         val sd = graft.operators.SemDedup
-        sd.removals(sd.shadowPairs(sd.members(e, assign)))
+        sd.removals(sd.shadowPairs(sd.members(e, assign),
+          blocks = pairBlocks(8)))
       },
       Some(semDedupUnrolledSql(trainPred = Some("vec_id % 2 = 0"))))
   )

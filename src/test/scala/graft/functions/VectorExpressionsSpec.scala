@@ -51,6 +51,33 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(n2.eval(null) == 5000000L)
   }
 
+  test("preQuantizedDot over quantizeVec equals quantizedDot on real embeddings") {
+    // the SemDeDup pair-loop split: quantize once per row, int-dot per
+    // pair — must produce the identical integers to the fused expression
+    // (and hence identical cosines/hashes) on every real vector, both
+    // codegen and interpreted
+    VectorExpressions.register(spark)
+    val e = spark.read.parquet(s"$sfSmoke/embeddings.parquet").limit(100)
+    val prev = e.select(col("vec_id"), col("embedding"))
+      .withColumnRenamed("vec_id", "b_id").withColumnRenamed("embedding", "b_emb")
+    val pairs = e.limit(10).crossJoin(prev)
+    val cmp = pairs.select(
+      VectorExpressions.preQuantizedDot(
+        VectorExpressions.quantizeVec(col("embedding")),
+        VectorExpressions.quantizeVec(col("b_emb"))).as("split"),
+      VectorExpressions.quantizedDot(col("embedding"), col("b_emb")).as("fused"))
+    assert(cmp.filter(col("split") =!= col("fused")).count() == 0)
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val lit1 = Literal.create(Array(1.25f, -2.0f),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val q = VectorExpressions.QuantizeVec(lit1)
+    val arr = q.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(arr.toIntArray().toSeq == Seq(1250, -2000))
+    assert(VectorExpressions.PreQuantizedDot(q, q).eval(null) ==
+      1250L * 1250L + 2000L * 2000L)
+  }
+
   test("null input yields null, not a crash") {
     VectorExpressions.register(spark)
     val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
