@@ -1,0 +1,64 @@
+#!/usr/bin/env bash
+# Same-window engine-vs-DuckDB pairing — the standing artifact behind the
+# 2x comparator gate (the round-10 process gap: BENCH_r10's raw total was
+# +21% co-tenant-inflated with no pairing of record, and the honest ratio
+# had to be re-measured by the judge).
+#
+# Methodology (MEMORY/PERF.md): run graft.Bench and scripts/bench_duckdb.py
+# BACK-TO-BACK in one window, warm shared DuckDB connection, min-of-2 per
+# query on both sides, totals over the intersection of query names that
+# completed on both engines. Co-tenant load inflates both sides equally in
+# one window, so the RATIO is the number of record; raw totals are kept for
+# context only.
+#
+# Usage: scripts/pair_bench.sh [SF_DIR] [OUT_JSON]
+#   SF_DIR   parquet dir (default /root/testdata/sf0.1)
+#   OUT_JSON merged artifact (default PAIR_BENCH.json in the repo root);
+#            also printed to stdout. Append the band to PERF.md each round.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.1}
+OUT=${2:-PAIR_BENCH.json}
+
+# oracle_sql.json for the comparator: dump it via a cheap single-query
+# Verify run (Verify always writes the FULL oracle map)
+ORACLE_DIR=$(mktemp -d /tmp/pair_oracle.XXXX)
+trap 'rm -rf "$ORACLE_DIR"' EXIT
+scripts/run_verify.sh /root/testdata/sf0.001 "$ORACLE_DIR" graft.Verify \
+  q01_groupby_sum >/dev/null 2>&1
+
+echo "[pair] engine bench on $SF ..." >&2
+ENGINE_JSON=$(SPARK_GRAFT_SF_DIR="$SF" scripts/run_verify.sh x x graft.Bench \
+  2>/dev/null | tail -1)
+
+echo "[pair] duckdb comparator (same window) ..." >&2
+NAMES=$(python3 -c "import json,sys; print(' '.join(sorted(json.loads(sys.argv[1])['queries'])))" "$ENGINE_JSON")
+DUCK_JSON=$(DUCK_TIMEOUT_SEC=${DUCK_TIMEOUT_SEC:-120} \
+  python3 scripts/bench_duckdb.py "$SF" "$ORACLE_DIR/oracle_sql.json" $NAMES)
+
+python3 - "$ENGINE_JSON" "$DUCK_JSON" "$SF" "$OUT" <<'EOF'
+import json, sys, datetime
+eng, duck, sf, out = json.loads(sys.argv[1]), json.loads(sys.argv[2]), sys.argv[3], sys.argv[4]
+shared = sorted(set(eng["queries"]) & set(duck["queries"]))
+et = sum(eng["queries"][n] for n in shared)
+dt = sum(duck["queries"][n] for n in shared)
+merged = {
+    "window_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
+    "sf": sf,
+    "n_shared": len(shared),
+    "engine_total_sec": round(et, 3),
+    "duckdb_total_sec": round(dt, 3),
+    "ratio": round(et / dt, 3) if dt else None,
+    "engine_only": sorted(set(eng["queries"]) - set(duck["queries"])),
+    "duckdb_errors": duck.get("errors", {}),
+    "engine_passes": eng.get("passes"),
+    "engine": eng["queries"],
+    "duckdb": duck["queries"],
+}
+with open(out, "w") as f:
+    json.dump(merged, f, indent=1, sort_keys=False)
+    f.write("\n")
+print(json.dumps({k: merged[k] for k in
+    ("window_utc", "sf", "n_shared", "engine_total_sec",
+     "duckdb_total_sec", "ratio")}))
+EOF

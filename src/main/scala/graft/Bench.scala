@@ -40,8 +40,9 @@ object Bench {
     spark
   }
 
-  /** Warmup + two measured passes over the bench set against `sfDir`;
-    * returns the one-line JSON report. */
+  /** Warmup + N measured passes (SPARK_GRAFT_PASSES, default 2) over the
+    * bench set against `sfDir`; returns the one-line JSON report with the
+    * per-query minimum and the pass count. */
   def run(spark: SparkSession, sfDir: String): String = {
     // loud (non-fatal) schema-drift diagnosis before anything runs
     graft.core.Contract.warn(spark, sfDir)
@@ -92,9 +93,16 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val pass1 = names.map(n => n -> timeOnce(n)).toMap
+    // SPARK_GRAFT_PASSES raises the measured-pass count (default 2, the
+    // methodology every round since r1 — keep it for round-over-round
+    // comparability) when a noisy co-tenant window would otherwise
+    // dominate the deltas; the count is RECORDED in the output so an
+    // artifact measured at a different N is never silently compared.
+    val passes = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    val allPasses = (1 to passes).map(_ => names.map(n => n -> timeOnce(n)).toMap)
     val results = names
-      .map(n => n -> math.min(pass1(n), timeOnce(n)))
+      .map(n => n -> allPasses.map(_(n)).min)
       .filterNot { case (n, _) => errors.contains(n) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -102,7 +110,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val skipJson = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"skipped":$skipJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"errors":$errJson,"skipped":$skipJson,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
