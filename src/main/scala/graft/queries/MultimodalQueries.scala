@@ -18,6 +18,8 @@ import Q._
   */
 object MultimodalQueries {
 
+  // (registered below; round-11 adds v06_video_neardup, closing the
+  // image/audio/video near-dup triangle on the hash gate)
   val all: Seq[Q] = Seq(
 
     // ---- byte-level media featurization on the hash gate: n_bytes, exact
@@ -169,7 +171,7 @@ object MultimodalQueries {
     // multimodal leg): payloads are REAL PCM16 WAV files — a constant
     // canonical 44-byte header (mono, 8 kHz, 16-bit, exactly 260 data
     // bytes; hex literal below, derivation in the comment) prepended to
-    // the doc's first 260 chars space-padded, so the engine's
+    // the doc's first 260 bytes space-padded, so the engine's
     // javax.sound decode parses actual WAV while the oracle skips the
     // header it knows byte-for-byte and re-derives the 130 little-endian
     // signed samples from hex. The sign-of-delta fingerprint over 65
@@ -183,8 +185,10 @@ object MultimodalQueries {
         val media = T(s, dir, "documents")
           .select(col("doc_id").as("media_id"), lit("audio/wav").as("mime"),
             concat(unhex(lit(WavHeaderHex)),
-              rpad(substring(coalesce(col("text"), lit("")), 1, 260), 260, " ")
-                .cast("binary")).as("payload"))
+              // byte-level pad/truncate (see ahashBands): 260 BYTES of
+              // PCM data whatever the text's encoding width
+              expr("rpad(substring(CAST(coalesce(text, '') AS BINARY), 1, 260), 260, X'20')"))
+              .as("payload"))
           .as[Multimodal.MediaRow](Encoders.product[Multimodal.MediaRow])
         Multimodal.audioFingerprints(media).toDF()
           .select(col("media_id"), col("fp"), col("n_samples"),
@@ -197,7 +201,7 @@ object MultimodalQueries {
       },
       Some("""WITH src AS (
           SELECT doc_id,
-            hex(encode(rpad(substr(coalesce(text, ''), 1, 260), 260, ' '))) AS hx
+            rpad(substr(hex(encode(coalesce(text, ''))), 1, 520), 520, '20') AS hx
           FROM documents),
         samp AS (SELECT doc_id, i,
             abs((CASE WHEN h >= 128 THEN h - 256 ELSE h END) * 256 + l) AS amp
@@ -216,7 +220,88 @@ object MultimodalQueries {
           FROM bits GROUP BY 1, 2)
         SELECT doc_id AS media_id, band, bv,
           CAST(130 AS BIGINT) AS n_samples, 1 AS decoded
-        FROM bands"""))
+        FROM bands""")),
+
+    // ---- video near-dup pairs (closes the multimodal family): chain
+    // v02's frame sampling → per-frame fingerprints → cross-video pairs,
+    // the frame-level dedup v02's fingerprint is the unit of. Candidates
+    // come from EXACT shared-frame buckets (the band-bucket pattern of
+    // v04/t08 with the frame fingerprint as the band) and are verified by
+    // the Jaccard overlap of the two videos' distinct-frame sets ≥ 0.5 —
+    // repeated intros/credits collapse on the fingerprint, so videos
+    // sharing most sampled frames pair up. Scale shape: a frame_fp whose
+    // document frequency exceeds the cap (boilerplate frames — all-space
+    // padding, shared headers) is EXCLUDED from candidate generation
+    // (df ≤ 20, the t06/t36 DF-cap discipline), so bucket fan-out is
+    // bounded and the join is never video×video; the Jaccard denominator
+    // still uses the FULL distinct-frame sets, so the cap only loses
+    // candidates that boilerplate alone would have suggested. The single
+    // IEEE division over exact integer counts is hash-stable
+    // cross-engine (the cosine trick). ----
+    Q("v06_video_neardup",
+      (s, dir) => {
+        val media = T(s, dir, "documents")
+          .select(col("doc_id").as("media_id"),
+            coalesce(col("text"), lit("")).cast("binary").as("payload"))
+          .withColumn("n", length(col("payload")).cast("long"))
+          .filter(col("n") > 0)
+        val frames = media
+          .select(col("media_id"), col("payload"), col("n"),
+            explode(expr("sequence(0, (n + 31) div 32 - 1, 4)")).as("frame_idx"))
+          .select(col("media_id"),
+            md5(upper(hex(expr(
+              "substring(payload, CAST(frame_idx*32 + 1 AS INT), 32)"))))
+              .as("frame_fp"))
+          .distinct()
+        val sizes = frames.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+        val rare = frames.groupBy(col("frame_fp"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= 20)
+          .select(col("frame_fp"))
+        val keyed = frames.join(rare, "frame_fp")
+        val shared = keyed.as("a").join(keyed.as("b"),
+            col("a.frame_fp") === col("b.frame_fp") &&
+              col("a.media_id") < col("b.media_id"))
+          .groupBy(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"))
+          .agg(count(lit(1)).as("shared"))
+        shared
+          .join(sizes.select(col("media_id").as("a_id"), col("nf").as("n_a")), "a_id")
+          .join(sizes.select(col("media_id").as("b_id"), col("nf").as("n_b")), "b_id")
+          .withColumn("jaccard", col("shared").cast("double") /
+            (col("n_a") + col("n_b") - col("shared")).cast("double"))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("a_id"), col("b_id"), col("shared"),
+            col("n_a"), col("n_b"), col("jaccard"))
+      },
+      Some("""WITH src AS (
+          SELECT doc_id, upper(hex(encode(coalesce(text, '')))) AS hx,
+            octet_length(encode(coalesce(text, ''))) AS n
+          FROM documents),
+        frames AS (
+          SELECT DISTINCT doc_id AS media_id,
+            md5(substr(hx, CAST(i*64 + 1 AS INTEGER),
+              CAST(least(32, n - i*32) * 2 AS INTEGER))) AS frame_fp
+          FROM (SELECT doc_id, n, hx,
+                  CAST(unnest(range(0, (n+31)//32, 4)) AS BIGINT) AS i
+                FROM src WHERE n > 0) u),
+        sizes AS (SELECT media_id, count(*) AS nf FROM frames GROUP BY 1),
+        rare AS (SELECT frame_fp FROM frames
+                 GROUP BY 1 HAVING count(*) BETWEEN 2 AND 20),
+        keyed AS (SELECT f.* FROM frames f JOIN rare USING (frame_fp)),
+        cand AS (
+          SELECT a.media_id AS a_id, b.media_id AS b_id, count(*) AS shared
+          FROM keyed a JOIN keyed b
+            ON a.frame_fp = b.frame_fp AND a.media_id < b.media_id
+          GROUP BY 1, 2)
+        SELECT c.a_id, c.b_id, CAST(c.shared AS BIGINT) AS shared,
+          CAST(sa.nf AS BIGINT) AS n_a, CAST(sb.nf AS BIGINT) AS n_b,
+          CAST(c.shared AS DOUBLE)/CAST(sa.nf + sb.nf - c.shared AS DOUBLE)
+            AS jaccard
+        FROM cand c
+        JOIN sizes sa ON sa.media_id = c.a_id
+        JOIN sizes sb ON sb.media_id = c.b_id
+        WHERE CAST(c.shared AS DOUBLE)/CAST(sa.nf + sb.nf - c.shared AS DOUBLE)
+          >= 0.5"""))
   )
 
   /** Canonical 44-byte PCM WAV header for exactly 260 data bytes, as hex:
@@ -236,10 +321,15 @@ object MultimodalQueries {
     * shift's sign extension when hash bit 63 is set). */
   private def ahashBands(s: org.apache.spark.sql.SparkSession,
                          dir: String): org.apache.spark.sql.DataFrame = {
+    // pad/truncate at the BYTE level (binary substring + binary rpad), not
+    // the char level: a char-based rpad(...,64) of multi-byte text encodes
+    // to >64 bytes, which would make thumbnailsRaw emit the all-zero
+    // fallback while the oracle hashes the first 64 encoded bytes — the
+    // two sides must construct identical 64-byte payloads for ANY text
     val media = T(s, dir, "documents")
       .select(col("doc_id").as("media_id"), lit("image/gray8").as("mime"),
-        rpad(substring(coalesce(col("text"), lit("")), 1, 64), 64, " ")
-          .cast("binary").as("payload"))
+        expr("rpad(substring(CAST(coalesce(text, '') AS BINARY), 1, 64), 64, X'20')")
+          .as("payload"))
       .as[Multimodal.MediaRow](Encoders.product[Multimodal.MediaRow])
     Multimodal.thumbnailsRaw(media, 8, 8).toDF()
       .select(col("media_id"), col("ahash"),
@@ -256,7 +346,7 @@ object MultimodalQueries {
   private def ahashBandsSql: String =
     """src AS (
           SELECT doc_id,
-            hex(encode(rpad(substr(coalesce(text, ''), 1, 64), 64, ' '))) AS hx
+            rpad(substr(hex(encode(coalesce(text, ''))), 1, 128), 128, '20') AS hx
           FROM documents),
         bytes AS (
           SELECT doc_id, CAST(i AS INT) AS i,

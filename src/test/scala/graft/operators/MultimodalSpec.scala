@@ -223,6 +223,35 @@ class MultimodalSpec extends SparkSpec {
     assert(bad(3L).ahash == 0L && bad(3L).gray.length == 64)
   }
 
+  test("gate payload construction is byte-exact for multi-byte text") {
+    // the v03/v04/v05 construction pads/truncates at the BYTE level
+    // (binary substring + binary rpad): a char-based rpad of multi-byte
+    // text encodes to MORE than the target bytes, which would make
+    // thumbnailsRaw emit its all-zero fallback while the oracle hashes
+    // the first N encoded bytes. Pin: any text — CJK, Cyrillic, accents,
+    // empty — yields exactly N payload bytes, matching what the hex
+    // oracle reconstructs.
+    import org.apache.spark.sql.functions._
+    val texts = Seq("这是一个测试文档" * 20, "привет мир " * 30,
+      "café naïve déjà-vu", "plain ascii", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (n <- Seq(64, 260)) {
+      val pay = df.select(expr(
+        s"rpad(substring(CAST(coalesce(text, '') AS BINARY), 1, $n), $n, X'20')")
+        .as("payload"))
+      assert(pay.filter(length(col("payload")) =!= n).count() == 0,
+        s"payload not exactly $n bytes for some text")
+      // the truncation boundary is a raw byte cut — identical to taking
+      // the first 2n hex chars, which is what the DuckDB oracle does
+      val zh = pay.select(upper(hex(col("payload"))).as("hx")).head().getString(0)
+      val fullHex = java.lang.String.format("%0" + (2 * n) + "X",
+        new java.math.BigInteger(1,
+          java.util.Arrays.copyOf(texts.head.getBytes("UTF-8"), n)))
+      assert(zh == fullHex, "byte-cut hex differs from oracle construction")
+    }
+  }
+
   test("media payloads stay distributed (no driver collect in the plan)") {
     // build media rows from the documents table's text bytes — the binary
     // column plumbing a real image/audio ingest would use
