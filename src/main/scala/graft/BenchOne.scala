@@ -69,9 +69,19 @@ object BenchOne {
       println(f"pass $i: $dt%.3f s  rows=$n")
     }
     if (sys.env.contains("SPARK_GRAFT_STAGES")) {
-      // the listener bus is async; give it a moment to drain (the public
-      // API hides listenerBus.waitUntilEmpty)
-      Thread.sleep(1000)
+      // the listener bus is async and the public API hides
+      // listenerBus.waitUntilEmpty — poll until the stage count is stable
+      // instead of a fixed sleep, so late-arriving stage-completed events
+      // on a loaded machine aren't silently dropped from the profile
+      // (this is the tool regressions get pinned with)
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        val n = stages.synchronized(stages.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
       println("stage profile (last pass, by wall time):")
       stages.sortBy(-_.wallMs).take(20).foreach { s =>
         println(f"  stage ${s.id}%4d ${s.wallMs}%7d ms wall ${s.taskMs}%8d ms task " +

@@ -70,16 +70,17 @@ object AnnIndex {
              newVectors: DataFrame, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     require(batchId > 0, s"batch id $batchId: build owns 0, appends are > 0")
-    LsmCompact.assertNotCompacting(spark, s"$path/vectors")
-    val cents = spark.read.parquet(s"$path/centroids")
-    val k = cents.agg(countDistinct(col("cluster"))).head().getLong(0).toInt
-    val assign = KMeans.assignTo(newVectors, idCol, vecCol, cents)
-    newVectors
-      .join(assign.select(col("id").as(idCol), col("cluster")), idCol)
-      .repartition(k, col("cluster"))
-      .write.partitionBy("cluster").mode("overwrite")
-      .parquet(vectorsPart(path, batchId))
-    assign.groupBy(col("cluster")).agg(count(lit(1)).as("n_appended"))
+    LsmCompact.withAppendLease(spark, s"$path/vectors") {
+      val cents = spark.read.parquet(s"$path/centroids")
+      val k = cents.agg(countDistinct(col("cluster"))).head().getLong(0).toInt
+      val assign = KMeans.assignTo(newVectors, idCol, vecCol, cents)
+      newVectors
+        .join(assign.select(col("id").as(idCol), col("cluster")), idCol)
+        .repartition(k, col("cluster"))
+        .write.partitionBy("cluster").mode("overwrite")
+        .parquet(vectorsPart(path, batchId))
+      assign.groupBy(col("cluster")).agg(count(lit(1)).as("n_appended"))
+    }
   }
 
   /** Fold every `ingest_batch` partition back into batch 0 — the LSM

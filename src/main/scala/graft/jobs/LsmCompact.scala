@@ -13,19 +13,24 @@ import org.apache.spark.sql.functions._
   *
   * Append-vs-compact contract: [[fold]] drops a `_compacting` marker file
   * at the table root before reading and lifts it only on SUCCESSFUL
-  * completion; every index append calls [[assertNotCompacting]] before
-  * writing, so an append issued while a compact is in-flight — or after
-  * one crashed — fails LOUDLY instead of landing a batch id the delete
-  * step then removes (batch counters may restart above 0 after compact)
-  * or double-counting against transient duplicate copies. The fence is
-  * check-then-act, not a mutex: an append that passed the check just
-  * before the marker appeared can still interleave, so the operational
-  * rule remains "run compact with ingest paused" — the marker converts
-  * the common mistake (appends issued after compact began, or resumed
-  * after a crashed compact) from silent corruption into an error. A
-  * leftover marker is healed by re-running compact (the heal path), or by
-  * build() (the full reset). Spark's scans ignore `_`-prefixed files, so
-  * the marker never pollutes reads. */
+  * completion; every index append runs inside [[withAppendLease]], which
+  * atomically creates a per-append `_append_<id>` lease (create with
+  * overwrite = false — the filesystem's atomic primitive) and RE-CHECKS
+  * the marker after the lease is visible. [[fold]], symmetrically, lists
+  * leases AFTER its marker is visible and stands down (deleting its
+  * marker) if any exist. Under a linearizable filesystem metadata layer
+  * (HDFS, local; S3 is read-after-write consistent since 2020) every
+  * interleaving now resolves safely: whichever side's artifact lands
+  * second sees the other's and aborts — an append can no longer slip
+  * between the compact's old check-then-act window (the round-10 fence's
+  * one acknowledged hole) and land a batch id the delete step then
+  * removes, or double-count against transient duplicate copies. A crash
+  * leaves the artifact on disk and fails the OTHER side loudly: a
+  * leftover marker is healed by re-running compact (the heal path) or by
+  * build(); a leftover lease (crashed append) is named in compact's
+  * error and cleared by build() (the full reset) or manual delete after
+  * confirming the append is dead. Spark's scans ignore `_`-prefixed
+  * files, so neither artifact pollutes reads. */
 private[jobs] object LsmCompact {
 
   private def marker(root: String) = new org.apache.hadoop.fs.Path(s"$root/_compacting")
@@ -41,6 +46,35 @@ private[jobs] object LsmCompact {
       s"$root holds a _compacting marker: a compact is in-flight or " +
         "crashed mid-fold. Re-run compact to heal and lift the fence " +
         "(or rebuild), then retry the append.")
+  }
+
+  private def leasePrefix = "_append_"
+
+  /** Run an append body under an atomic lease on `root` — the mutual-
+    * exclusion half of the append-vs-compact fence (object scaladoc).
+    * Protocol: fail fast if the compact marker exists; atomically create
+    * `_append_<uuid>` (create with overwrite = false); RE-CHECK the
+    * marker — a compact whose marker landed between our first check and
+    * our lease either sees the lease (and stands down) or made its
+    * marker visible before this re-check (and we stand down, lease
+    * released). The lease is held for the whole body — including any
+    * localCheckpoint that pins the returned frame — and always released,
+    * so a completed append leaves nothing behind; a crashed one leaves a
+    * lease that compact names in its error. */
+  def withAppendLease[A](spark: SparkSession, root: String)(body: => A): A = {
+    assertNotCompacting(spark, root)
+    val lease = new org.apache.hadoop.fs.Path(
+      s"$root/$leasePrefix${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val fs = fsOf(spark, lease)
+    fs.create(lease, false).close()
+    try {
+      val m = marker(root)
+      require(!fs.exists(m),
+        s"$root: a compact began while this append was acquiring its " +
+          "lease; the append stood down cleanly. Wait for the compact " +
+          "(or heal its crash), then retry.")
+      body
+    } finally fs.delete(lease, false)
   }
 
   /** Recursively delete `dir` through the path's OWN Hadoop filesystem —
@@ -60,7 +94,15 @@ private[jobs] object LsmCompact {
     * over a path that already holds appended batches starts clean instead
     * of silently mixing stale batch >= 1 state (assigned under the OLD
     * centroids / dictionary / histogram) into the fresh index. Listing
-    * goes through the same Hadoop filesystem as [[deleteDir]]. */
+    * goes through the same Hadoop filesystem as [[deleteDir]].
+    *
+    * CALLER CONTRACT: this runs EAGERLY at the top of build(), before the
+    * input DataFrame is materialized — so build()'s input must come from
+    * the SOURCE CORPUS, never lazily from the index path itself: a plan
+    * that reads `ingest_batch >= 1` data under `root` would silently lose
+    * it here before executing. An in-place "rebuild from the index" is
+    * expressed as compact() (fold, which materializes before deleting),
+    * not build(). */
   def clearAppendedBatches(spark: SparkSession, root: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -71,7 +113,12 @@ private[jobs] object LsmCompact {
             name.stripPrefix("ingest_batch=") != "0")
           fs.delete(st.getPath, true)
       }
-    // build is the full reset: a crashed compact's leftover fence lifts too
+    // build is the full reset: a crashed compact's leftover fence lifts,
+    // and crashed appends' leftover leases clear too
+    if (fs.exists(p))
+      fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.startsWith(leasePrefix))
+        .foreach(fs.delete(_, false))
     if (fs.exists(marker(root))) fs.delete(marker(root), false)
   }
 
@@ -84,8 +131,23 @@ private[jobs] object LsmCompact {
     val m = marker(root)
     val fs = fsOf(spark, m)
     // fence appends FIRST (overwrite ok: a compact re-run IS the heal
-    // path for a crashed predecessor's leftover marker)
+    // path for a crashed predecessor's leftover marker) ...
     fs.create(m, true).close()
+    // ... then stand down if any append lease is visible: the lease side
+    // re-checks our marker after creating its lease, so whichever
+    // artifact landed second aborts — no interleaving survives. A lease
+    // we see here is either a live append (let it finish, re-run compact)
+    // or a crashed one (named below; clear it via build() or manually).
+    val leases = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith(leasePrefix))
+    if (leases.nonEmpty) {
+      fs.delete(m, false)
+      throw new IllegalStateException(
+        s"$root has append leases in flight (or crashed): " +
+          leases.mkString(", ") + ". Compact stood down; let the appends " +
+          "finish and re-run, or clear stale leases via build()/manual " +
+          "delete after confirming the appends are dead.")
+    }
     val all = spark.read.parquet(root)
     val batches = all.select(col("ingest_batch").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted

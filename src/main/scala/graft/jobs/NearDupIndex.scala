@@ -79,20 +79,21 @@ object NearDupIndex {
   def append(spark: SparkSession, path: String, batchId: Long,
              newDocs: DataFrame): DataFrame = {
     require(batchId > 0, s"batch id $batchId: build owns 0, appends are > 0")
-    LsmCompact.assertNotCompacting(spark, s"$path/docsets")
-    val m = spark.read.parquet(s"$path/meta").head()
-    val (gramLen, tNum, tDen) =
-      (m.getAs[Int]("gram_len"), m.getAs[Int]("t_num"), m.getAs[Int]("t_den"))
-    val rare = spark.read.parquet(s"$path/dictionary")
-    val fresh = NearDup.normDocs(newDocs)
-    NearDup.docSetsAgainst(NearDup.charGramStream(fresh, gramLen), rare,
-        tNum, tDen)
-      .write.mode("overwrite").parquet(docsetsPart(path, batchId))
-    val upTo = spark.read.parquet(s"$path/docsets")
-      .filter(col("ingest_batch") <= batchId).drop("ingest_batch")
-    NearDup.incrementalPairsOver(upTo, fresh.select(col("doc_id")),
-        tNum, tDen)
-      .localCheckpoint() // pin the <= batchId snapshot against compact()
+    LsmCompact.withAppendLease(spark, s"$path/docsets") {
+      val m = spark.read.parquet(s"$path/meta").head()
+      val (gramLen, tNum, tDen) =
+        (m.getAs[Int]("gram_len"), m.getAs[Int]("t_num"), m.getAs[Int]("t_den"))
+      val rare = spark.read.parquet(s"$path/dictionary")
+      val fresh = NearDup.normDocs(newDocs)
+      NearDup.docSetsAgainst(NearDup.charGramStream(fresh, gramLen), rare,
+          tNum, tDen)
+        .write.mode("overwrite").parquet(docsetsPart(path, batchId))
+      val upTo = spark.read.parquet(s"$path/docsets")
+        .filter(col("ingest_batch") <= batchId).drop("ingest_batch")
+      NearDup.incrementalPairsOver(upTo, fresh.select(col("doc_id")),
+          tNum, tDen)
+        .localCheckpoint() // pin the <= batchId snapshot against compact()
+    }
   }
 
   /** Fold every docsets `ingest_batch` partition back into batch 0 — the

@@ -100,17 +100,18 @@ object SemDeDupIndex {
   def append(spark: SparkSession, path: String, batchId: Long,
              newVecs: DataFrame): DataFrame = {
     require(batchId > 0, s"batch id $batchId: build owns 0, appends are > 0")
-    LsmCompact.assertNotCompacting(spark, s"$path/members")
-    val cents = spark.read.parquet(s"$path/centroids")
-    val assign = KMeans.assignTo(newVecs, "vec_id", "embedding", cents)
-    SemDedup.members(newVecs, assign)
-      .write.mode("overwrite").parquet(membersPart(path, batchId))
-    val fresh = spark.read.parquet(membersPart(path, batchId))
-    val stored = allMembers(spark, path)
-      .filter(col("ingest_batch") < batchId).drop("ingest_batch")
-    SemDedup.removals(SemDedup.incrementalShadowPairs(stored, fresh))
-      .write.mode("overwrite").parquet(deltasPart(path, batchId))
-    removals(spark, path)
+    LsmCompact.withAppendLease(spark, s"$path/members") {
+      val cents = spark.read.parquet(s"$path/centroids")
+      val assign = KMeans.assignTo(newVecs, "vec_id", "embedding", cents)
+      SemDedup.members(newVecs, assign)
+        .write.mode("overwrite").parquet(membersPart(path, batchId))
+      val fresh = spark.read.parquet(membersPart(path, batchId))
+      val stored = allMembers(spark, path)
+        .filter(col("ingest_batch") < batchId).drop("ingest_batch")
+      SemDedup.removals(SemDedup.incrementalShadowPairs(stored, fresh))
+        .write.mode("overwrite").parquet(deltasPart(path, batchId))
+      removals(spark, path)
+    }
   }
 
   /** The current removals table: the monoid fold over all batch deltas

@@ -1452,9 +1452,15 @@ object RelationalQueries {
           AND l_shipdate <= o_orderdate + INTERVAL 2 MONTH
         GROUP BY o_orderpriority"""
 
+  // per-SESSION memo behind a WeakHashMap: a stopped SparkSession's entry
+  // (and the session object itself) becomes collectable instead of being
+  // strongly retained for the process lifetime, which a TrieMap keyed on
+  // the session would do. All access synchronizes on the map — the
+  // once-per-surface build inside the lock is deliberate (two threads
+  // racing the same surface must not both write the tables).
   private val q58Memo =
-    scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.sql.SparkSession, String), (String, String)]
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, (String, String)]]()
 
   /** One-time per (session, surface): write q25's two fact sides bucketed
     * on the join key (32 buckets, matching the session's reducer budget)
@@ -1465,9 +1471,23 @@ object RelationalQueries {
     * is gone — the in-memory catalog forgets tables across sessions, the
     * warehouse dir does not). */
   private def bucketedQ58Tables(s: org.apache.spark.sql.SparkSession,
-                                dir: String): (String, String) =
-    q58Memo.getOrElseUpdate((s, dir), {
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
+                                dir: String): (String, String) = q58Memo.synchronized {
+    val perSession = {
+      val existing = q58Memo.get(s)
+      if (existing != null) existing
+      else {
+        val m = scala.collection.mutable.Map.empty[String, (String, String)]
+        q58Memo.put(s, m)
+        m
+      }
+    }
+    perSession.getOrElseUpdate(dir, {
+      // collision-proof surface tag: md5 of the absolute path (a 32-bit
+      // hashCode hex can collide across sf dirs, silently re-pointing one
+      // surface's memoized tables at another surface's data)
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
       val (liT, osT) = (s"q58_lineitem_$tag", s"q58_orders_$tag")
       for (t <- Seq(liT, osT)) {
         s.sql(s"DROP TABLE IF EXISTS $t")
@@ -1502,4 +1522,5 @@ object RelationalQueries {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
       (liT, osT)
     })
+  }
 }

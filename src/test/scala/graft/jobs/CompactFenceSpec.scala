@@ -103,6 +103,63 @@ class CompactFenceSpec extends SparkSpec {
     SemDeDupIndex.append(spark, dir, 3L, vecs(15 until 18))
   }
 
+  test("compact stands down on a live append lease, leaving appends unfenced") {
+    // the round-10 fence's acknowledged hole was check-then-act; the
+    // lease closes it: whichever side's artifact lands second aborts.
+    // Here the append's lease is already visible when compact starts —
+    // compact must refuse, name the lease, AND lift its own marker so
+    // the in-flight append (and future ones) proceed.
+    val dir = Files.createTempDirectory("fence_lease").toString
+    SemDeDupIndex.build(vecs(0 until 9), dir, k = 3)
+    SemDeDupIndex.append(spark, dir, 1L, vecs(9 until 12))
+    val lease = new java.io.File(s"$dir/members", "_append_deadbeef")
+    assert(lease.createNewFile())
+    val e = intercept[IllegalStateException] {
+      SemDeDupIndex.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("_append_deadbeef"))
+    assert(!new java.io.File(s"$dir/members", "_compacting").exists(),
+      "stood-down compact left its marker, deadlocking appends")
+    SemDeDupIndex.append(spark, dir, 2L, vecs(12 until 15)) // unfenced
+    lease.delete()
+    assert(SemDeDupIndex.compact(spark, dir) == Seq(1L, 2L)) // now clean
+  }
+
+  test("withAppendLease holds the lease for the body and always releases it") {
+    val root = Files.createTempDirectory("fence_wal").toString
+    def leases() = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("_append_")).toSeq
+    LsmCompact.withAppendLease(spark, root) {
+      assert(leases().size == 1, "no lease visible during the append body")
+    }
+    assert(leases().isEmpty, "completed append left its lease")
+    intercept[RuntimeException] {
+      LsmCompact.withAppendLease(spark, root) { sys.error("append died") }
+    }
+    assert(leases().isEmpty, "failed append left its lease")
+    // the stand-down re-check: a marker that lands after the first check
+    // but before the body (simulated by pre-placing it AND bypassing the
+    // fast-fail via direct marker creation between calls is equivalent to
+    // the fast-fail itself here — both throw before the body runs)
+    dropMarker(root)
+    var ran = false
+    intercept[IllegalArgumentException] {
+      LsmCompact.withAppendLease(spark, root) { ran = true }
+    }
+    assert(!ran && leases().isEmpty)
+  }
+
+  test("build clears stale append leases (the full-reset path)") {
+    val dir = Files.createTempDirectory("fence_build_lease").toString
+    SemDeDupIndex.build(vecs(0 until 9), dir, k = 3)
+    assert(new java.io.File(s"$dir/members", "_append_stale").createNewFile())
+    SemDeDupIndex.build(vecs(0 until 9), dir, k = 3)
+    assert(!new java.io.File(s"$dir/members", "_append_stale").exists(),
+      "build left a stale lease, permanently blocking compact")
+    SemDeDupIndex.append(spark, dir, 1L, vecs(9 until 12))
+    assert(SemDeDupIndex.compact(spark, dir) == Seq(1L))
+  }
+
   test("build clears a leftover fence (the full-reset path)") {
     val dir = Files.createTempDirectory("fence_build").toString
     SemDeDupIndex.build(vecs(0 until 9), dir, k = 3)
