@@ -286,6 +286,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(a == b, "shuffle and broadcast branches diverged")
   }
 
+  test("s11 pair stage: block-split shuffled-hash join, never sort-merge") {
+    // the round-11 ceiling fix's plan shape: the within-cluster pair join
+    // must shuffle on (cluster, ib, jb) — k·B² populated reducer keys,
+    // not k — and must be a HASH join (static estimates on the Generate
+    // subtrees otherwise pick sort-merge, measured ~3.5× per pair on the
+    // buffered tiles). A regression to either the bare cluster key or
+    // SMJ silently reinstates the 197–220 s sf10 shape.
+    val df = SparkEntry.queries("s11_semdedup")(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"pair join is not a shuffled hash join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"sort-merge reappeared in the pair stage:\n$plan")
+    val shj = plan.split("ShuffledHashJoin").drop(1).head.take(120)
+    assert(shj.contains("ib") && shj.contains("jb"),
+      s"pair join keys lost the block split:\n$shj")
+  }
+
   test("s09 PQ ADC scan is join-free: LUT is a literal, codes-only read") {
     val df = SparkEntry.queries("s09_pq_adc")(spark, sfSmoke)
     // after the driver-side train/encode setup, the SCORING plan itself

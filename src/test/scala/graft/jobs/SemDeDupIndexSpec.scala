@@ -133,6 +133,25 @@ class SemDeDupIndexSpec extends SparkSpec {
       == batchRemovals(slices.head, all))
   }
 
+  test("block-split pair grid is an exact refinement: any blocks == blocks=1") {
+    // the round-11 s11 scale fix: sub-splitting each cluster's pair join
+    // into (cluster, iBlock, jBlock) tiles must reproduce the EXACT pair
+    // set (every a<b pair meets in precisely one tile) — on real
+    // embeddings, for several block factors, down to the cosine values.
+    val e = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val (assign, _) = KMeans.lloyd(e, "vec_id", "embedding", k = 8, iters = 2)
+    val m = SemDedup.members(e, assign)
+    def pairs(blocks: Int) =
+      SemDedup.shadowPairs(m, blocks).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+    val base = pairs(1)
+    assert(base.nonEmpty, "no shadow pairs on the smoke embeddings")
+    for (b <- Seq(2, 3, 4))
+      assert(pairs(b) == base, s"blocks=$b diverged from the unblocked pair set")
+  }
+
   test("members accumulate exactly the ingested vectors") {
     val dir = Files.createTempDirectory("semdedup_idx_members").toString
     SemDeDupIndex.build(df(all.take(10)), dir, k = 3)
