@@ -1,0 +1,103 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.FrameDedup
+
+/** Disk-backed video frame-level near-dup index with incremental append —
+  * the fifth member of the LSM index family (AnnIndex, NearDupIndex,
+  * BpeVocabIndex, SemDeDupIndex), giving the v06 gate's semantics an
+  * ingest face: each arriving batch of videos is flagged against the
+  * whole stored corpus WITHOUT rescanning stored payload bytes — only
+  * the stored FINGERPRINT SETS (a fixed few hundred bytes per video,
+  * whatever the payload size) are re-read.
+  *
+  * Layout under `path` (the family's shared crash/replay contract —
+  * batch partitioning, `_compacting` fence + `_append_*` leases,
+  * [[LsmCompact]] fold):
+  *  - `dictionary/` — (frame_fp): the candidate whitelist, FROZEN at
+  *    build with minDf = 1 (a build-time singleton must stay pairable
+  *    when its twin arrives later; only the boilerplate UPPER cap
+  *    freezes — a frame above it at build stays excluded even if the
+  *    corpus outgrows the cap's build-time meaning, the same
+  *    conservative drift contract as AnnIndex's frozen centroids and
+  *    NearDupIndex's frozen rarity ranks; rebuild() refreshes);
+  *  - `framesets/ingest_batch=<b>/` — (media_id, fps, n): one row per
+  *    video, its sorted distinct sampled-frame fingerprints + count.
+  *    [[build]] owns batch 0; each append overwrites ONLY its own
+  *    partition, so a re-delivered foreachBatch batch reproduces its
+  *    rows instead of duplicating them;
+  *  - `meta/` — build parameters, read back by append so the two sides
+  *    can never disagree on geometry or threshold.
+  *
+  * Scale shape: append fingerprints only the new payloads (scan ∝
+  * batch), candidates come from dictionary-capped shared-frame buckets
+  * with the fresh batch on one side (pair work ∝ batch × bucket
+  * occupancy, never video×video), and the Jaccard denominators ride the
+  * stored per-video counts — exact under ANY slicing of arrivals
+  * because a pair's verdict depends only on its two immutable frame
+  * sets, and the (stored ∪ fresh) × fresh ∪ fresh × stored scheme
+  * surfaces each fresh-touching pair exactly once
+  * (FrameIndexSpec proves both against a plain-Scala reference). */
+object FrameIndex {
+
+  private def framesetsPart(path: String, b: Long) =
+    s"$path/framesets/ingest_batch=$b"
+
+  /** Build the index from scratch over (media_id, payload) rows —
+    * ingest batch 0. The input must come from the source corpus, never
+    * lazily from `path` itself (LsmCompact.clearAppendedBatches runs
+    * eagerly first — see its caller contract). */
+  def build(media: DataFrame, path: String,
+            frameLen: Int = 32, stride: Int = 4, maxDf: Int = 20,
+            jNum: Int = 1, jDen: Int = 2): Unit = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    LsmCompact.clearAppendedBatches(spark, s"$path/framesets")
+    val frames = FrameDedup.frameFingerprints(media, frameLen, stride)
+    FrameDedup.frameDictionary(frames, minDf = 1, maxDf = maxDf)
+      .write.mode("overwrite").parquet(s"$path/dictionary")
+    FrameDedup.frameSets(frames)
+      .write.mode("overwrite").parquet(framesetsPart(path, 0L))
+    Seq((frameLen, stride, maxDf, jNum, jDen))
+      .toDF("frame_len", "stride", "max_df", "j_num", "j_den")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Flag arrival batch `batchId` (> 0, strictly increasing in arrival
+    * order) against the stored corpus and absorb it into the index.
+    * Returns (a_id, b_id, shared, n_a, n_b, jaccard) covering new×stored
+    * and new×new pairs under the FROZEN dictionary. The batch's frame
+    * sets are written FIRST and read back as the fresh side; the stored
+    * side filters `ingest_batch < batchId`, so neither a replay racing
+    * later batches nor lazy consumption can see batches that arrived
+    * afterwards — and the returned frame is MATERIALIZED
+    * (localCheckpoint) because that stored side is a lazy disk filter a
+    * later [[compact]] would otherwise fold future batches into. */
+  def append(spark: SparkSession, path: String, batchId: Long,
+             newMedia: DataFrame): DataFrame = {
+    require(batchId > 0, s"batch id $batchId: build owns 0, appends are > 0")
+    LsmCompact.withAppendLease(spark, s"$path/framesets") {
+      val m = spark.read.parquet(s"$path/meta").head()
+      val (frameLen, stride, jNum, jDen) = (m.getAs[Int]("frame_len"),
+        m.getAs[Int]("stride"), m.getAs[Int]("j_num"), m.getAs[Int]("j_den"))
+      val dict = spark.read.parquet(s"$path/dictionary")
+      FrameDedup.frameSets(
+          FrameDedup.frameFingerprints(newMedia, frameLen, stride))
+        .write.mode("overwrite").parquet(framesetsPart(path, batchId))
+      val fresh = spark.read.parquet(framesetsPart(path, batchId))
+      val stored = spark.read.parquet(s"$path/framesets")
+        .filter(col("ingest_batch") < batchId).drop("ingest_batch")
+      FrameDedup.incrementalPairs(stored, fresh, dict, jNum, jDen)
+        .localCheckpoint() // pin the < batchId snapshot against compact()
+    }
+  }
+
+  /** Fold every framesets `ingest_batch` partition back into batch 0 —
+    * the family's LSM compaction ([[AnnIndex.compact]] scaladoc carries
+    * the shared crash contract; run with ingest paused — the lease fence
+    * converts a violation into an error). Returns the folded batch ids. */
+  def compact(spark: SparkSession, path: String): Seq[Long] =
+    LsmCompact.fold(spark, s"$path/framesets", "media_id",
+      _.write.mode("overwrite").parquet(framesetsPart(path, 0L)))
+}

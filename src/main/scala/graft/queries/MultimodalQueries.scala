@@ -239,39 +239,23 @@ object MultimodalQueries {
     // IEEE division over exact integer counts is hash-stable
     // cross-engine (the cosine trick). ----
     Q("v06_video_neardup",
+      // engine body lives in operators/FrameDedup — ONE definition shared
+      // with jobs/FrameIndex (the incremental ingest face), so the index
+      // can never drift from the gated semantics. The integer-form
+      // Jaccard filter (shared·2 ≥ n_a+n_b−shared) is exactly the
+      // oracle's `>= 0.5` double compare: 0.5 is a power of two and the
+      // operands are exact integers, so the IEEE division can only cross
+      // the threshold with the true ratio (|2·shared − x| ≥ 1 keeps every
+      // ratio ≥ 2⁻⁵⁴ away from rounding onto 0.5 for any x < 2⁵³).
       (s, dir) => {
         val media = T(s, dir, "documents")
           .select(col("doc_id").as("media_id"),
             coalesce(col("text"), lit("")).cast("binary").as("payload"))
-          .withColumn("n", length(col("payload")).cast("long"))
-          .filter(col("n") > 0)
-        val frames = media
-          .select(col("media_id"), col("payload"), col("n"),
-            explode(expr("sequence(0, (n + 31) div 32 - 1, 4)")).as("frame_idx"))
-          .select(col("media_id"),
-            md5(upper(hex(expr(
-              "substring(payload, CAST(frame_idx*32 + 1 AS INT), 32)"))))
-              .as("frame_fp"))
-          .distinct()
-        val sizes = frames.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
-        val rare = frames.groupBy(col("frame_fp"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2 && col("df") <= 20)
-          .select(col("frame_fp"))
-        val keyed = frames.join(rare, "frame_fp")
-        val shared = keyed.as("a").join(keyed.as("b"),
-            col("a.frame_fp") === col("b.frame_fp") &&
-              col("a.media_id") < col("b.media_id"))
-          .groupBy(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"))
-          .agg(count(lit(1)).as("shared"))
-        shared
-          .join(sizes.select(col("media_id").as("a_id"), col("nf").as("n_a")), "a_id")
-          .join(sizes.select(col("media_id").as("b_id"), col("nf").as("n_b")), "b_id")
-          .withColumn("jaccard", col("shared").cast("double") /
-            (col("n_a") + col("n_b") - col("shared")).cast("double"))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("a_id"), col("b_id"), col("shared"),
-            col("n_a"), col("n_b"), col("jaccard"))
+        val fd = graft.operators.FrameDedup
+        val frames = fd.frameFingerprints(media)
+        fd.selfPairs(fd.frameSets(frames),
+          fd.frameDictionary(frames, minDf = 2, maxDf = 20),
+          jNum = 1, jDen = 2)
       },
       Some("""WITH src AS (
           SELECT doc_id, upper(hex(encode(coalesce(text, '')))) AS hx,
