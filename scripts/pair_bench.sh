@@ -14,7 +14,13 @@
 # Usage: scripts/pair_bench.sh [SF_DIR] [OUT_JSON]
 #   SF_DIR   parquet dir (default /root/testdata/sf0.1)
 #   OUT_JSON merged artifact (default PAIR_BENCH.json in the repo root);
-#            also printed to stdout. Append the band to PERF.md each round.
+#            also printed to stdout. The artifact is an ARRAY of windows —
+#            each invocation APPENDS its window, because two windows 2.5 h
+#            apart read as a tight band while a third same-day window can
+#            sit 0.13 higher (the round-11 judge measured 1.361x against a
+#            recorded 1.22-1.23x "band"). Run >=3 windows per round
+#            (start / mid / end); PAIR_RESET=1 starts a fresh round's
+#            array. Report the min-max across the array in PERF.md.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.1}
@@ -37,12 +43,12 @@ DUCK_JSON=$(DUCK_TIMEOUT_SEC=${DUCK_TIMEOUT_SEC:-120} \
   python3 scripts/bench_duckdb.py "$SF" "$ORACLE_DIR/oracle_sql.json" $NAMES)
 
 python3 - "$ENGINE_JSON" "$DUCK_JSON" "$SF" "$OUT" <<'EOF'
-import json, sys, datetime
+import json, os, sys, datetime
 eng, duck, sf, out = json.loads(sys.argv[1]), json.loads(sys.argv[2]), sys.argv[3], sys.argv[4]
 shared = sorted(set(eng["queries"]) & set(duck["queries"]))
 et = sum(eng["queries"][n] for n in shared)
 dt = sum(duck["queries"][n] for n in shared)
-merged = {
+window = {
     "window_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
     "sf": sf,
     "n_shared": len(shared),
@@ -55,10 +61,24 @@ merged = {
     "engine": eng["queries"],
     "duckdb": duck["queries"],
 }
+# append to the round's window array; a legacy single-object file becomes
+# the array's first element so no prior window is ever dropped silently
+runs = []
+if os.environ.get("PAIR_RESET") != "1" and os.path.exists(out):
+    try:
+        prior = json.load(open(out))
+        runs = prior if isinstance(prior, list) else [prior]
+    except Exception as e:
+        print(f"[pair] WARNING: could not parse existing {out}: {e}",
+              file=sys.stderr)
+runs.append(window)
 with open(out, "w") as f:
-    json.dump(merged, f, indent=1, sort_keys=False)
+    json.dump(runs, f, indent=1, sort_keys=False)
     f.write("\n")
-print(json.dumps({k: merged[k] for k in
+ratios = [r["ratio"] for r in runs if r.get("ratio") is not None]
+print(json.dumps({**{k: window[k] for k in
     ("window_utc", "sf", "n_shared", "engine_total_sec",
-     "duckdb_total_sec", "ratio")}))
+     "duckdb_total_sec", "ratio")},
+    "n_windows": len(runs),
+    "band": [min(ratios), max(ratios)] if ratios else None}))
 EOF

@@ -98,8 +98,14 @@ object Bench {
     // comparability) when a noisy co-tenant window would otherwise
     // dominate the deltas; the count is RECORDED in the output so an
     // artifact measured at a different N is never silently compared.
-    val passes = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    val passes = math.max(1, sys.env.get("SPARK_GRAFT_PASSES") match {
+      case None => 2
+      case Some(raw) => scala.util.Try(raw.trim.toInt).getOrElse(
+        // a malformed value must fail LOUDLY and name the knob — a bare
+        // .toInt aborts the whole run with an anonymous NumberFormatException
+        // before any query executes
+        sys.error(s"SPARK_GRAFT_PASSES must be an integer, got '$raw'"))
+    })
     val allPasses = (1 to passes).map(_ => names.map(n => n -> timeOnce(n)).toMap)
     val results = names
       .map(n => n -> allPasses.map(_(n)).min)

@@ -45,7 +45,12 @@ object SparkEntry {
     "e06_asof_native", "e07_asof_pushdown", "e09_attribution_outer",
     // round 9: the SemDeDup k∝n scale form rides every standing surface
     // so the "linear at sf10" claim is re-measured each round, not once
-    "s12_semdedup_scaled")
+    "s12_semdedup_scaled",
+    // round 12: the multimodal family joins the bench so v-regressions
+    // surface in BENCH_r{N} and the DuckDB pairing, not only in ad-hoc
+    // PERF.md decade probes (the round-11 process gap)
+    "v01_media_bytestats", "v02_frame_sample", "v03_image_ahash",
+    "v04_image_neardup", "v05_audio_fingerprint", "v06_video_neardup")
 
   /** Headline subset for the sf0.1 bench. */
   def benchNames: Seq[String] =

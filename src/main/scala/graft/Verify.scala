@@ -22,11 +22,24 @@ object Verify {
     // loud (non-fatal) schema-drift diagnosis before anything runs
     graft.core.Contract.warn(spark, sfDir)
     new java.io.File(outDir).mkdirs()
+    // standing zero-row vacuity audit (q08 went quietly vacuous for ten
+    // rounds before an ad-hoc sweep caught it): a gate whose output is
+    // empty passes the hash compare trivially, so every empty output is
+    // recorded in verify_report.json and warned loudly here. Counting the
+    // WRITTEN parquet is footer-metadata-only — no recompute.
+    val zeroRows = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        if (spark.read.parquet(s"$outDir/$name").count() == 0L) {
+          zeroRows += name
+          System.err.println(s"[verify] WARNING: $name wrote 0 rows — " +
+            "a vacuous gate passes any hash compare; check the predicate")
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -46,6 +59,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the audit artifact of record — the driver's compare doesn't read it,
+    // but the round's review does: zero_rows must stay empty
+    Files.writeString(Paths.get(s"$outDir/verify_report.json"),
+      zeroRows.toSeq.sorted.map(q).mkString("{\"zero_rows\": [", ",", "]}"))
     spark.stop()
   }
 }

@@ -86,8 +86,14 @@ object VectorExpressions {
     * (cluster-size)² times — while a members row is quantized exactly once
     * here and the O(pairs) inner loop degrades to [[PreQuantizedDot]]'s
     * pure int multiply-add. The integers are identical by construction, so
-    * every downstream cosine/hash is unchanged. Values fit int easily:
-    * unit-scale embedding elements quantize to ±O(10³). */
+    * every downstream cosine/hash is unchanged. Unit-scale embedding
+    * elements quantize to ±O(10³), far inside int — but the fit is
+    * ASSERTED, not assumed (Math.toIntExact in both eval paths): the fused
+    * expressions ([[QuantizedDot]]/[[QuantizedNorm2]]) quantize to LONG, so
+    * an element with |x| > ~2.1e6 would otherwise saturate here SILENTLY
+    * and diverge from the fused path, breaking the identical-integers
+    * parity contract SemDedup's split hot path is built on. Out-of-range
+    * data fails loudly instead (ArithmeticException). */
   case class QuantizeVec(child: Expression) extends UnaryExpression {
 
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -98,7 +104,8 @@ object VectorExpressions {
       val out = new Array[Int](n)
       var i = 0
       while (i < n) {
-        out(i) = math.floor(x.getFloat(i) * 1000.0 + 0.5).toInt
+        out(i) = java.lang.Math.toIntExact(
+          math.floor(x.getFloat(i) * 1000.0 + 0.5).toLong)
         i += 1
       }
       org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
@@ -113,7 +120,8 @@ object VectorExpressions {
           int $n = $a.numElements();
           int[] $arr = new int[$n];
           for (int $i = 0; $i < $n; $i++) {
-            $arr[$i] = (int) java.lang.Math.floor($a.getFloat($i) * 1000.0d + 0.5d);
+            $arr[$i] = java.lang.Math.toIntExact(
+              (long) java.lang.Math.floor($a.getFloat($i) * 1000.0d + 0.5d));
           }
           ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
         """

@@ -1482,11 +1482,15 @@ object RelationalQueries {
       }
     }
     perSession.getOrElseUpdate(dir, {
-      // collision-proof surface tag: md5 of the absolute path (a 32-bit
+      // collision-proof surface tag: md5 of the RAW dir string (a 32-bit
       // hashCode hex can collide across sf dirs, silently re-pointing one
-      // surface's memoized tables at another surface's data)
+      // surface's memoized tables at another surface's data). Deliberately
+      // NOT routed through java.io.File: File mangles URI-style surfaces
+      // (hdfs:// and s3a:// collapse their double slash) and makes relative
+      // dirs cwd-dependent, so one surface could yield two tags — the raw
+      // string is already collision-proof under md5.
       val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+        .digest(dir.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)
       val (liT, osT) = (s"q58_lineitem_$tag", s"q58_orders_$tag")
       for (t <- Seq(liT, osT)) {

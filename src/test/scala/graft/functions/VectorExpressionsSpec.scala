@@ -78,6 +78,34 @@ class VectorExpressionsSpec extends SparkSpec {
       1250L * 1250L + 2000L * 2000L)
   }
 
+  test("quantizeVec fails loudly when a quantized value overflows Int") {
+    // parity contract: the fused expressions quantize to LONG, so an
+    // element with |x| > ~2.1e6 must ERROR here (Math.toIntExact), never
+    // silently saturate and diverge from the fused path — both codegen
+    // and interpreted
+    VectorExpressions.register(spark)
+    val df = Seq(Tuple1(Array(3.0e6f))).toDF("a")
+    val thrown = intercept[Exception] {
+      df.select(VectorExpressions.quantizeVec(col("a"))).collect()
+    }
+    def rootCauses(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(rootCauses)
+    assert(rootCauses(thrown).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in cause chain, got $thrown")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val lit1 = Literal.create(Array(3.0e6f),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    intercept[ArithmeticException] {
+      VectorExpressions.QuantizeVec(lit1).eval(null)
+    }
+    // the boundary itself still fits: Int.MaxValue milli-units
+    val ok = Literal.create(Array(2147483.0f),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val arr = VectorExpressions.QuantizeVec(ok).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(arr.numElements() == 1)
+  }
+
   test("null input yields null, not a crash") {
     VectorExpressions.register(spark)
     val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
