@@ -44,11 +44,27 @@ object LangModel {
     * vocab×L-sized copy instead of re-scanning the corpus; the scoring
     * join side is then chosen from the dictionary's measured entry count
     * (the t24 pattern — static estimates cannot price a derived
-    * aggregate): a vocabulary-bounded dictionary broadcasts, and one that
-    * outgrows `maxBroadcastTypes` (corpus-scale natural text) degrades to
-    * a dictionary-side-build shuffle join under AQE. Scoring explodes
-    * each token occurrence × L classes (L is a constant) with a per-doc
-    * bounded argmax window; the confusion rollup is L²-bounded.
+    * aggregate), and the CHOICE now also picks the scoring SHAPE:
+    *
+    *  - bounded dictionary (≤ `maxBroadcastTypes`, the default regime):
+    *    SINGLE-PASS scoring. The dictionary is pivoted to one row per
+    *    token carrying all L quantized scores (unseen_q pre-filled per
+    *    class), so each token occurrence crosses the broadcast join ONCE
+    *    and the per-doc aggregate sums L columns — no ×L row explosion,
+    *    no per-doc argmax window (the argmax is an inline L-element
+    *    array_max with ties to the lexicographically first class, the
+    *    exact row_number ordering of the old form). Token rows through
+    *    the join/aggregate drop L-fold vs the exploded form.
+    *  - corpus-scale dictionary (the 100 TB natural-text regime):
+    *    the exploded token×L form with a dictionary-side-build
+    *    shuffle-hash join under AQE (a pivoted row would not change the
+    *    shuffle's key space, and the exploded form keeps per-row state
+    *    flat for AQE's skew split).
+    *
+    * Both shapes compute the identical exact integers — per-class score =
+    * prior_q + Σ_tokens (lp_q | unseen_q) — so the gate hash is
+    * branch-invariant (PlanAuditSpec pins both branches and their parity).
+    * The confusion rollup is L²-bounded.
     *
     * @return (true_lang, predicted, n_docs) */
   def nbLangConfusion(docs: DataFrame,
@@ -76,27 +92,66 @@ object LangModel {
       .select(col("lang").as("model_lang"), col("tok"),
         q((col("c") + lit(1L)).cast("double") /
           (col("t") + lit(vocab)).cast("double")).as("lp_q"))
-    val scored = toks.select(col("doc_id"), col("lang").as("true_lang"),
-        col("tok"))
-      .crossJoin(broadcast(priors))
-      .join(
-        // the t24 pattern: the physical side is chosen from the
-        // MATERIALIZED dictionary's row count (vocab×L), which static
-        // estimates cannot price — a bounded dictionary broadcasts, a
-        // corpus-scale one builds its own side of a shuffle-hash join
-        if (nEntries <= maxBroadcastTypes) broadcast(dict)
-        else dict.hint("shuffle_hash"),
-        Seq("model_lang", "tok"), "left")
-      .withColumn("qv", coalesce(col("lp_q"), col("unseen_q")))
-      .groupBy(col("doc_id"), col("true_lang"), col("model_lang"),
-        col("prior_q"))
-      .agg(sum(col("qv")).as("sum_q"))
-      .withColumn("score_q", col("prior_q") + col("sum_q"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score_q").desc, col("model_lang").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(col("true_lang"), col("model_lang").as("predicted"))
-      .agg(count(lit(1)).as("n_docs"))
+    // the class list is L driver rows (bounded like the vocab scalar) —
+    // collected only for the single-pass shape, which needs the classes as
+    // column positions
+    val classes: Array[(String, Long, Long)] =
+      if (nEntries <= maxBroadcastTypes)
+        priors.orderBy(col("model_lang"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      else Array.empty
+    if (classes.nonEmpty) {
+      // single-pass shape: pivot the dictionary to (tok, v0..v{L-1}) with
+      // each class's unseen_q as the per-element default, broadcast it,
+      // and sum L columns per doc — one joined row per token occurrence
+      val dictVec = dict
+        .groupBy(col("tok"))
+        .agg(map_from_entries(
+          collect_list(struct(col("model_lang"), col("lp_q")))).as("m"))
+        .select(col("tok") +: classes.zipWithIndex.map {
+          case ((l, _, u), i) =>
+            coalesce(element_at(col("m"), lit(l)), lit(u)).as(s"v$i") }: _*)
+      val aggs = classes.zipWithIndex.map { case ((_, _, u), i) =>
+        // a token absent from the WHOLE dictionary (never in this
+        // self-eval, but reachable when scoring fresh docs) is unseen in
+        // every class
+        sum(coalesce(col(s"v$i"), lit(u))).as(s"s$i") }
+      val sums = toks
+        .select(col("doc_id"), col("lang").as("true_lang"), col("tok"))
+        .join(broadcast(dictVec), Seq("tok"), "left")
+        .groupBy(col("doc_id"), col("true_lang"))
+        .agg(aggs.head, aggs.tail: _*)
+      // inline argmax: max over array<struct(score, -idx)> is max score
+      // with ties to the SMALLEST class index = lexicographically first
+      // class (classes are sorted asc) — the old window's exact ordering
+      val best = array_max(array(classes.zipWithIndex.map {
+        case ((_, p, _), i) =>
+          struct((lit(p) + col(s"s$i")).as("s"), lit(-i).as("ni")) }: _*))
+      val langsLit = typedlit(classes.map(_._1).toSeq)
+      sums
+        .select(col("true_lang"),
+          element_at(langsLit,
+            (-best.getField("ni")).cast("int") + 1).as("predicted"))
+        .groupBy(col("true_lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+    } else {
+      // exploded token×L shape (also the L=0 degenerate: empty in = empty
+      // out through the same plan)
+      val scored = toks.select(col("doc_id"), col("lang").as("true_lang"),
+          col("tok"))
+        .crossJoin(broadcast(priors))
+        .join(dict.hint("shuffle_hash"), Seq("model_lang", "tok"), "left")
+        .withColumn("qv", coalesce(col("lp_q"), col("unseen_q")))
+        .groupBy(col("doc_id"), col("true_lang"), col("model_lang"),
+          col("prior_q"))
+        .agg(sum(col("qv")).as("sum_q"))
+        .withColumn("score_q", col("prior_q") + col("sum_q"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_q").desc, col("model_lang").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("true_lang"), col("model_lang").as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+    }
   }
 
   /** Per-document bigram log-probability under the corpus's own MLE bigram

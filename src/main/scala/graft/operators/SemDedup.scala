@@ -60,20 +60,30 @@ object SemDedup {
     * the shuffle is cluster-partitioned and the pairwise work per cluster
     * is (size²)/2 — cluster count is THE scale lever (see s12).
     *
-    * `blocks` removes the OTHER ceiling: with few clusters (s11's fixed
+    * `blocksOf` removes the OTHER ceiling: with few clusters (s11's fixed
     * k=8) the cluster-keyed shuffle has at most k populated reducers, so
     * one stage owns ~n²/k comparisons at parallelism k (the round-10 pin:
     * 3.4 effective cores of 32 at sf10). Sub-splitting each cluster's
     * pair grid into (iBlock, jBlock) tiles — each member's home block is
-    * `id mod blocks`, side a replicated across every partner jBlock, side
+    * `id mod B`, side a replicated across every partner jBlock, side
     * b across every partner iBlock — is an EXACT refinement: a pair
     * (a, b) meets in precisely the task (cluster, blk(a), blk(b)), so the
     * pair set (and every downstream hash) is identical while the stage's
-    * task grid grows k → k·blocks². Comparison work is unchanged; the
-    * price is blocks× shuffle replication of the member rows, which is
-    * linear in n and irrelevant next to the quadratic compare. */
+    * task grid grows k → Σ_c B_c². Comparison work is unchanged; the
+    * price is B× shuffle replication of the member rows, which is
+    * linear in n and irrelevant next to the quadratic compare.
+    *
+    * B is a PER-ROW column over the cluster id (`blocksOf`), not one
+    * uniform constant: a uniform B makes the LARGEST cluster's tiles the
+    * stage's stragglers (round-11 pin: 17.6 of 32 effective cores at sf10
+    * came from the big cluster's tile finishing last). Deriving B_c from
+    * the measured per-cluster size (see VectorQueries.blocksBySize)
+    * equalizes tile side size_c/B_c across clusters — still the same
+    * exact one-tile-per-pair refinement, because both sides of a pair
+    * read the SAME cluster's B_c. */
   private def scoredPairs(a: DataFrame, b: DataFrame,
-                          blocks: Int = 1): DataFrame = {
+                          blocksOf: Option[Column] = None,
+                          hintShuffle: Boolean = true): DataFrame = {
     // quantize each member ONCE (linear) so the O(pairs) join condition is
     // PreQuantizedDot's bare int multiply-add — QuantizedDot re-floors both
     // float vectors on every pair, 128 double floors × (cluster-size)²
@@ -89,21 +99,27 @@ object SemDedup {
     val bq = b.withColumn("b_q", VectorExpressions.quantizeVec(col("b_emb")))
       .withColumn("b_s", sqrt(col("b_n2").cast("double")))
       .drop("b_emb", "b_n2")
-    val (ak, bk, keys) =
-      if (blocks <= 1) (aq, bq, Seq("cluster"))
-      else {
-        val grid = lit((0 until blocks).toArray)
-        (aq.withColumn("ib", pmod(col("a_id"), lit(blocks)).cast("int"))
-           .withColumn("jb", explode(grid)),
-         bq.withColumn("jb", pmod(col("b_id"), lit(blocks)).cast("int"))
-           .withColumn("ib", explode(grid)),
+    val (ak, bk, keys) = blocksOf match {
+      case None => (aq, bq, Seq("cluster"))
+      case Some(bCol) =>
+        val grid = explode(sequence(lit(0), bCol - 1))
+        (aq.withColumn("ib", pmod(col("a_id"), bCol).cast("int"))
+           .withColumn("jb", grid),
+         bq.withColumn("jb", pmod(col("b_id"), bCol).cast("int"))
+           .withColumn("ib", grid),
          Seq("cluster", "ib", "jb"))
-      }
-    // the pair stage must be a shuffled HASH join: static estimates on the
-    // Generate/aggregate subtrees otherwise pick sort-merge, whose
+    }
+    // the BATCH pair stage must be a shuffled HASH join: static estimates
+    // on the Generate/aggregate subtrees otherwise pick sort-merge, whose
     // buffered duplicate-key groups (a whole cluster tile per key) cost
-    // more per pair and spill on the big tiles
-    ak.join(bk.hint("shuffle_hash"), keys).filter(col("a_id") < col("b_id"))
+    // more per pair and spill on the big tiles (measured 3.5× at sf10).
+    // The INCREMENTAL/streaming form, whose fresh b-side is typically
+    // tiny, deliberately passes hintShuffle = false: Catalyst's broadcast
+    // choice is right there, and an unconditional shuffle_hash would make
+    // every microbatch pay a full shuffle of the stored members side
+    // (ADVICE r11).
+    val bkHinted = if (hintShuffle) bk.hint("shuffle_hash") else bk
+    ak.join(bkHinted, keys).filter(col("a_id") < col("b_id"))
       .withColumn("cos_sim",
         VectorExpressions.preQuantizedDot(col("a_q"), col("b_q"))
           .cast("double") / (col("a_s") * col("b_s")))
@@ -111,9 +127,24 @@ object SemDedup {
       .select(col("cluster"), col("a_id"), col("b_id"), col("cos_sim"))
   }
 
-  /** All shadow pairs of one members frame (the batch form). */
+  /** All shadow pairs of one members frame (the batch form), uniform
+    * block factor. */
   def shadowPairs(m: DataFrame, blocks: Int = 1): DataFrame =
-    scoredPairs(aSide(m), bSide(m), blocks)
+    scoredPairs(aSide(m), bSide(m),
+      if (blocks <= 1) None else Some(lit(blocks)))
+
+  /** Batch shadow pairs with a SIZE-AWARE per-cluster block factor: each
+    * cluster c splits its pair grid into B_c² tiles, so tile work
+    * (size_c/B_c)² equalizes across skewed cluster sizes instead of the
+    * largest cluster's tiles straggling the stage (see
+    * VectorQueries.blocksBySize for the derivation). Clusters absent from
+    * the map fall back to B=1. Exact refinement — pair set and hashes
+    * identical to the unblocked form for ANY map. */
+  def shadowPairsSized(m: DataFrame, byCluster: Map[Long, Int]): DataFrame =
+    scoredPairs(aSide(m), bSide(m),
+      if (byCluster.isEmpty || byCluster.values.forall(_ <= 1)) None
+      else Some(coalesce(
+        element_at(typedlit(byCluster), col("cluster")), lit(1))))
 
   /** Shadow pairs with AT LEAST ONE side in `fresh`, each exactly once:
     * (anything × fresh) ∪ (fresh × stored) under `a_id < b_id`. The two
@@ -123,8 +154,10 @@ object SemDedup {
     * member, flipping the old member's removed status — which the (min,
     * sum) merge in [[mergeRemovals]] absorbs exactly. */
   def incrementalShadowPairs(stored: DataFrame, fresh: DataFrame): DataFrame =
-    scoredPairs(aSide(stored.unionByName(fresh)), bSide(fresh))
-      .unionByName(scoredPairs(aSide(fresh), bSide(stored)))
+    scoredPairs(aSide(stored.unionByName(fresh)), bSide(fresh),
+        hintShuffle = false)
+      .unionByName(scoredPairs(aSide(fresh), bSide(stored),
+        hintShuffle = false))
 
   /** Aggregate shadow pairs to the removals table
     * `(removed_id, cluster, kept_by, n_shadows)`. */

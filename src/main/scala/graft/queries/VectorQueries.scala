@@ -45,22 +45,46 @@ object VectorQueries {
     val (assign, _) = graft.operators.KMeans.lloyd(
       e, "vec_id", "embedding", k = k, iters = 2)
     val sd = graft.operators.SemDedup
-    sd.removals(sd.shadowPairs(sd.members(e, assign), blocks = pairBlocks(k)))
+    val sizes = clusterSizes(assign)
+    val blocks = blocksBySize(sizes)
+    if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+      System.err.println(s"[semdedup] cluster sizes ${sizes.sortBy(-_._2)}" +
+        s" -> blocks ${blocks.toSeq.sortBy(_._1)}")
+    sd.removals(sd.shadowPairsSized(sd.members(e, assign), blocks))
   }
 
-  /** Block factor for the within-cluster pair join (SemDedup.scoredPairs):
-    * size the (cluster × iBlock × jBlock) task grid to ~128 tasks so a
-    * small-k run (s11's fixed k=8 — at most k populated reducers
-    * otherwise, the round-10 3.4-effective-core pin) still spreads the
-    * quadratic stage over the whole executor pool; large k (s12/s13's
-    * deployment shapes) already has enough cluster keys and degrades
-    * toward blocks = 1, paying ~zero replication. Exact refinement either
-    * way — the pair set and the gate hash never change. The target is
-    * deliberately modest: replication, shuffle, and hash-build costs grow
-    * with blocks, and the sf10 sweep (PERF.md round 11) measured B=4 (128
-    * tiles) fastest, with B=6/B=12 giving back 40–55% of the win. */
-  private def pairBlocks(k: Int, targetTasks: Int = 128): Int =
-    math.max(1, math.ceil(math.sqrt(targetTasks.toDouble / k)).toInt)
+  /** Per-cluster member counts `(cluster, n)` — a k-bounded driver pull
+    * (k rows; s12's largest standing k is n/2500) over the already-
+    * computed assignment, the same boundedness class as lloyd's centroid
+    * collect. */
+  private[graft] def clusterSizes(assign: DataFrame): Seq[(Long, Long)] =
+    assign.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+
+  /** SIZE-AWARE block factor for the within-cluster pair join
+    * (SemDedup.shadowPairsSized): pick one tile side T so the task grid
+    * totals ~`targetTasks` tiles — T = sqrt(Σ size_c² / target) — then
+    * give each cluster B_c = round(size_c / T) blocks, so every tile
+    * carries ~T² compare work REGARDLESS of cluster skew. A uniform B
+    * (round 11) fixed the reducer-count ceiling but left the largest
+    * cluster's tiles as the stage's stragglers (17.6 of 32 effective
+    * cores at sf10); equalizing tile work is the remaining lever. On
+    * EQUAL cluster sizes this reduces exactly to round-11's optimum
+    * (k=8 → B_c=4, 128 tiles — the measured sweet spot, with B=6/12
+    * giving back 40–55%); with k ≥ targetTasks clusters it degrades to
+    * B_c=1, paying zero replication (s12/s13's deployment shapes). The
+    * cap bounds one degenerate cluster's replication at 16×. Exact
+    * refinement for ANY map — pair set and gate hashes never change. */
+  private[graft] def blocksBySize(sizes: Seq[(Long, Long)],
+                                    targetTasks: Int = 128): Map[Long, Int] = {
+    val sumSq = sizes.map { case (_, n) => n.toDouble * n.toDouble }.sum
+    if (sumSq <= 0) Map.empty
+    else {
+      val tile = math.sqrt(sumSq / targetTasks)
+      sizes.map { case (c, n) =>
+        c -> math.min(16, math.max(1, math.round(n / tile).toInt)) }.toMap
+    }
+  }
 
   private def cosine(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
@@ -585,8 +609,8 @@ object VectorQueries {
         val assign = graft.operators.KMeans.assignTo(
           e, "vec_id", "embedding", cents)
         val sd = graft.operators.SemDedup
-        sd.removals(sd.shadowPairs(sd.members(e, assign),
-          blocks = pairBlocks(8)))
+        sd.removals(sd.shadowPairsSized(sd.members(e, assign),
+          blocksBySize(clusterSizes(assign))))
       },
       Some(semDedupUnrolledSql(trainPred = Some("vec_id % 2 = 0"))))
   )

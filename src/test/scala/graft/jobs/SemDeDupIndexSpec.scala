@@ -150,6 +150,30 @@ class SemDeDupIndexSpec extends SparkSpec {
     assert(base.nonEmpty, "no shadow pairs on the smoke embeddings")
     for (b <- Seq(2, 3, 4))
       assert(pairs(b) == base, s"blocks=$b diverged from the unblocked pair set")
+    // round 12: PER-CLUSTER block factors (the size-aware straggler fix)
+    // are the same exact refinement — a pair's two sides read the SAME
+    // cluster's B_c, so it still meets in exactly one tile. Deliberately
+    // adversarial maps: skewed, partial (missing clusters fall back to
+    // B=1), and B exceeding small cluster sizes.
+    def sizedPairs(m2: Map[Long, Int]) =
+      SemDedup.shadowPairsSized(m, m2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+    val clusters = assign.select("cluster").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val skewed = clusters.zipWithIndex
+      .map { case (c, i) => c -> (1 + (i % 5) * 3) }.toMap
+    val partial = skewed.filter { case (c, _) => c % 2 == 0 }
+    val oversized = clusters.map(_ -> 16).toMap
+    for ((tag, m2) <- Seq(("skewed", skewed), ("partial", partial),
+        ("oversized", oversized)))
+      assert(sizedPairs(m2) == base,
+        s"per-cluster map '$tag' diverged from the unblocked pair set")
+    // and the production derivation itself (sizes → B_c) is exact too
+    val derived = graft.queries.VectorQueries.blocksBySize(
+      graft.queries.VectorQueries.clusterSizes(assign))
+    assert(sizedPairs(derived) == base,
+      "blocksBySize-derived map diverged from the unblocked pair set")
   }
 
   test("members accumulate exactly the ingested vectors") {
