@@ -9,6 +9,15 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Second EMBEDDED JDBC engine for the dialect-portability specs
+// (JdbcSwapSpec / JdbcAggPushdownSpec run on Derby AND DuckDB): the jar is
+// already present in the machine's local artifact cache, so it is picked up
+// as an unmanaged TEST jar by glob — nothing is resolved or downloaded
+// (zero-egress holds), and it is not a library dependency of the engine.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").classpath
+}
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -18,6 +18,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Jdbc {
 
+  /** Idempotent registration of the engine-supplied dialects (currently
+    * [[DuckDbDialect]]; Derby/Postgres/MySQL/MSSQL ship inside Spark).
+    * Called by every wrapper below so a caller can never reach a
+    * graft-supported engine through Spark's NoopDialect fallback. */
+  private val dialectsRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  def ensureDialects(): Unit =
+    if (dialectsRegistered.compareAndSet(false, true))
+      org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DuckDbDialect)
+
   /** Register a JDBC database as a DataSource-V2 catalog with aggregate
     * pushdown enabled — S10's "optional" Spark 3.4+ path, now demonstrated
     * (round-9 verdict item 6). The V1 [[read]] path pushes filters and
@@ -34,6 +44,7 @@ object Jdbc {
     * result parity with the unpushed plan). */
   def registerPushdownCatalog(spark: SparkSession, name: String,
                               url: String): Unit = {
+    ensureDialects()
     spark.conf.set(s"spark.sql.catalog.$name",
       "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
     spark.conf.set(s"spark.sql.catalog.$name.url", url)
@@ -43,6 +54,7 @@ object Jdbc {
 
   def read(spark: SparkSession, url: String, table: String,
            props: Map[String, String] = Map.empty): DataFrame = {
+    ensureDialects()
     val r = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
@@ -52,7 +64,8 @@ object Jdbc {
   /** Range-partitioned parallel scan for big tables. */
   def readPartitioned(spark: SparkSession, url: String, table: String,
                       partitionColumn: String, lower: Long, upper: Long,
-                      numPartitions: Int): DataFrame =
+                      numPartitions: Int): DataFrame = {
+    ensureDialects()
     spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
@@ -61,27 +74,32 @@ object Jdbc {
       .option("upperBound", upper)
       .option("numPartitions", numPartitions)
       .load()
+  }
 
   /** Chunked append — the reference's `to_sql(chunksize=10000)`
     * (reference: jobs/raw_to_staging.py:204-205). */
   def append(df: DataFrame, url: String, table: String,
-             batchSize: Int = 10000): Unit =
+             batchSize: Int = 10000): Unit = {
+    ensureDialects()
     df.write.mode(SaveMode.Append)
       .format("jdbc")
       .option("url", url)
       .option("dbtable", table)
       .option("batchsize", batchSize)
       .save()
+  }
 
   /** TRUNCATE-preserving overwrite (S8: reference
     * Model/Factory_elect_simulator_update.py:129-142). */
-  def replaceAll(df: DataFrame, url: String, table: String): Unit =
+  def replaceAll(df: DataFrame, url: String, table: String): Unit = {
+    ensureDialects()
     df.write.mode(SaveMode.Overwrite)
       .format("jdbc")
       .option("url", url)
       .option("dbtable", table)
       .option("truncate", "true")
       .save()
+  }
 
   /** The S7 delete-then-append refresh. NOT atomic: the DELETE commits
     * before the append starts (executors hold their own connections), so a
@@ -93,6 +111,7 @@ object Jdbc {
     * visible switch transactional. */
   def deleteThenAppend(df: DataFrame, url: String, table: String,
                        deleteWhere: String, batchSize: Int = 10000): Unit = {
+    ensureDialects()
     val conn = DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false)
@@ -121,6 +140,7 @@ object Jdbc {
     * embedded Derby in JdbcSwapSpec, including the mid-swap-failure path. */
   def stagedSwapRefresh(df: DataFrame, url: String, table: String,
                         deleteWhere: String, batchSize: Int = 10000): Unit = {
+    ensureDialects()
     val stage = s"${table}_graft_stage"
     df.write.mode(SaveMode.Overwrite)
       .format("jdbc")

@@ -4,37 +4,50 @@ import java.sql.DriverManager
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** S10's DSv2 aggregate pushdown on a REAL database (embedded Derby):
-  * through [[Jdbc.registerPushdownCatalog]] a `GROUP BY` aggregate must
-  * land in the JDBC scan itself (`PushedAggregates` in the plan) — the
-  * remote engine computes the groups and only group rows cross the wire —
-  * and the pushed plan's result must equal the unpushed V1 plan's.
+/** S10's DSv2 aggregate pushdown on a REAL database, parameterized over
+  * BOTH embedded engines (Derby and DuckDB — the dialect-portability
+  * companion of JdbcSwapSpec): through [[Jdbc.registerPushdownCatalog]] a
+  * `GROUP BY` aggregate must land in the JDBC scan itself
+  * (`PushedAggregates` in the plan) — the remote engine computes the groups
+  * and only group rows cross the wire — and the pushed plan's result must
+  * equal the unpushed V1 plan's, whichever dialect compiles the SQL.
   *
-  * This is the JdbcSwapSpec companion the round-8 verdict asked for: the
-  * reference gets this effect by hand-writing aggregate SQL against its
+  * The reference gets this effect by hand-writing aggregate SQL against its
   * MySQL source (reference: jobs/renew_green_energy.py:205-214); the
-  * engine gets it from Catalyst's V2 pushdown with no SQL strings. */
-class JdbcAggPushdownSpec extends SparkSpec {
+  * engine gets it from Catalyst's V2 pushdown with no SQL strings — and
+  * adding an engine costs one dialect object, not a new set of strings. */
+abstract class JdbcAggPushdownBehavior extends SparkSpec {
 
-  private val url = "jdbc:derby:memory:aggdb;create=true"
+  def engine: String
+  def url: String
+  /** catalog name to register (unique per engine — the session is shared) */
+  def catalog: String
+  /** fully-qualified Spark table reference `<catalog>.<schema>.<table>` */
+  def tableRef: String
+  /** engines whose embedded instance closes with its last connection
+    * (DuckDB) pin one for the suite — see JdbcSwapBehavior.pin */
+  protected def pin: Option[java.sql.Connection] = None
 
   private def exec(sql: String): Unit = {
+    Jdbc.ensureDialects()
+    pin
     val c = DriverManager.getConnection(url)
     try c.createStatement().executeUpdate(sql) finally c.close()
   }
 
   private def fresh(): Unit = {
     try exec("DROP TABLE AGGT") catch { case _: Exception => () }
-    // unquoted DDL: Derby folds to uppercase — the catalog resolves the
-    // stored-case identifier APP.AGGT
+    // unquoted DDL: each engine applies its own identifier folding (Derby
+    // uppercases, DuckDB preserves) — the catalog must resolve the
+    // stored-case identifier either way
     exec("CREATE TABLE AGGT (K INT NOT NULL, V INT NOT NULL)")
     exec("INSERT INTO AGGT VALUES (1, 10), (1, 32), (2, 5), (3, 7), (3, 0)")
   }
 
-  test("GROUP BY sum/count/min/max compile into the JDBC scan") {
+  test(s"[$engine] GROUP BY sum/count/min/max compile into the JDBC scan") {
     fresh()
-    Jdbc.registerPushdownCatalog(spark, "aggcat", url)
-    val df = spark.table("aggcat.APP.AGGT")
+    Jdbc.registerPushdownCatalog(spark, catalog, url)
+    val df = spark.table(tableRef)
       .groupBy(col("K"))
       .agg(sum(col("V")).as("sv"), count(lit(1)).as("n"),
         min(col("V")).as("mn"), max(col("V")).as("mx"))
@@ -45,37 +58,65 @@ class JdbcAggPushdownSpec extends SparkSpec {
       plan.contains("MAX("), s"missing pushed functions:\n$plan")
     assert(plan.contains("PushedGroupByExpressions"),
       s"group-by did not push:\n$plan")
+    // type-agnostic accessors: engines differ in how their JDBC metadata
+    // sizes INT (DuckDB's driver reports widths Spark maps to bigint)
     val got = df.collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
-        r.getInt(3), r.getInt(4))).toSet
-    assert(got == Set((1, 42L, 2L, 10, 32), (2, 5L, 1L, 5, 5),
-      (3, 7L, 2L, 0, 7)))
+      .map(r => (0 to 4).map(i => r.getAs[Number](i).longValue)).toSet
+    assert(got == Set(Seq(1L, 42L, 2L, 10L, 32L), Seq(2L, 5L, 1L, 5L, 5L),
+      Seq(3L, 7L, 2L, 0L, 7L)))
   }
 
-  test("pushed plan equals the unpushed V1 read on the same table") {
+  test(s"[$engine] pushed plan equals the unpushed V1 read on the same table") {
     fresh()
-    Jdbc.registerPushdownCatalog(spark, "aggcat", url)
-    val pushed = spark.table("aggcat.APP.AGGT")
-      .groupBy(col("K")).agg(sum(col("V")).as("sv"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    Jdbc.registerPushdownCatalog(spark, catalog, url)
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue)).toSet
+    val pushed = pairs(spark.table(tableRef)
+      .groupBy(col("K")).agg(sum(col("V")).as("sv")).collect())
     // V1 path: full rows transfer, Spark aggregates locally
-    val v1 = Jdbc.read(spark, url, "AGGT")
-      .groupBy(col("K")).agg(sum(col("V")).as("sv"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val v1 = pairs(Jdbc.read(spark, url, "AGGT")
+      .groupBy(col("K")).agg(sum(col("V")).as("sv")).collect())
     assert(pushed == v1 && pushed.nonEmpty)
   }
 
-  test("filter composes with the pushed aggregate") {
+  test(s"[$engine] filter composes with the pushed aggregate") {
     fresh()
-    Jdbc.registerPushdownCatalog(spark, "aggcat", url)
-    val df = spark.table("aggcat.APP.AGGT")
+    Jdbc.registerPushdownCatalog(spark, catalog, url)
+    val df = spark.table(tableRef)
       .filter(col("V") > 0)
       .groupBy(col("K")).agg(sum(col("V")).as("sv"))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedAggregates"), s"no pushed agg:\n$plan")
     assert(plan.contains("PushedFilters: [V IS NOT NULL, V > 0]") ||
       plan.contains("V > 0"), s"filter not pushed alongside:\n$plan")
-    val got = df.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
-    assert(got == Set((1, 42L), (2, 5L), (3, 7L)))
+    val got = df.collect().map(r => (r.getAs[Number](0).longValue,
+      r.getAs[Number](1).longValue)).toSet
+    assert(got == Set((1L, 42L), (2L, 5L), (3L, 7L)))
+  }
+}
+
+/** Derby binding (dialect ships inside Spark; unquoted DDL folds to
+  * uppercase under the APP schema). */
+class JdbcAggPushdownSpec extends JdbcAggPushdownBehavior {
+  def engine = "derby"
+  val url = "jdbc:derby:memory:aggdb;create=true"
+  def catalog = "aggcat"
+  def tableRef = "aggcat.APP.AGGT"
+}
+
+/** DuckDB binding ([[DuckDbDialect]]; case-preserving identifiers under
+  * the main schema). File-backed for the same multi-connection reason as
+  * JdbcSwapDuckDbSpec. */
+class JdbcAggPushdownDuckDbSpec extends JdbcAggPushdownBehavior {
+  def engine = "duckdb"
+  val url = "jdbc:duckdb:" +
+    java.nio.file.Files.createTempDirectory("graft_agg_duck")
+      .resolve("agg.db").toString
+  def catalog = "duckcat"
+  def tableRef = "duckcat.main.AGGT"
+  override protected lazy val pin: Option[java.sql.Connection] = {
+    Jdbc.ensureDialects()
+    Some(DriverManager.getConnection(url))
   }
 }

@@ -4,8 +4,12 @@ import java.sql.DriverManager
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** The S7 refresh's atomicity contract on a REAL database — embedded Derby
-  * (on the Spark classpath), in-memory so each suite run starts clean.
+/** The S7 refresh's atomicity contract on a REAL database — parameterized
+  * over BOTH embedded engines on the test classpath (Derby and DuckDB), so
+  * the JDBC seam is proven dialect-PORTABLE, not Derby-shaped: the same
+  * wrapper code must deliver the same transactional contract through two
+  * unrelated SQL engines and two dialect objects (Spark's built-in Derby
+  * dialect; graft's [[DuckDbDialect]]).
   *
   * The reference's own refresh (`conn.execute(DELETE); to_sql(append)`,
   * reference: jobs/raw_to_staging.py:201-205) commits the DELETE before the
@@ -13,12 +17,25 @@ import org.apache.spark.sql.functions._
   * [[Jdbc.stagedSwapRefresh]] must never do that: the window flips inside
   * one transaction, and any failure before COMMIT leaves the old rows
   * visible. */
-class JdbcSwapSpec extends SparkSpec {
+abstract class JdbcSwapBehavior extends SparkSpec {
   import spark.implicits._
 
-  private val url = "jdbc:derby:memory:swapdb;create=true"
+  /** engine tag for test names */
+  def engine: String
+  /** JDBC url of a writable embedded database */
+  def url: String
+  /** A suite-lifetime connection pin for engines whose embedded instance
+    * SHUTS DOWN with its last connection (DuckDB): without it, every
+    * exec/queryRows open-close cycle restarts the database and replays the
+    * WAL — which the intentional mid-transaction rollbacks in this suite
+    * make non-trivial — between statements. A real server engine is never
+    * restarted per-statement, so the pin models the contract under test,
+    * not around it. Derby's in-memory db survives without one. */
+  protected def pin: Option[java.sql.Connection] = None
 
   private def exec(sql: String): Unit = {
+    Jdbc.ensureDialects()
+    pin // force the keep-alive before any other connection
     val c = DriverManager.getConnection(url)
     try c.createStatement().executeUpdate(sql) finally c.close()
   }
@@ -43,7 +60,7 @@ class JdbcSwapSpec extends SparkSpec {
     exec(s"INSERT INTO $name VALUES (1, '2024-01'), (2, '2024-01'), (9, '2024-02')")
   }
 
-  test("stagedSwapRefresh replaces exactly the deleted window") {
+  test(s"[$engine] stagedSwapRefresh replaces exactly the deleted window") {
     freshTable("t_ok")
     val fresh = Seq((10, "2024-01"), (11, "2024-01")).toDF("id", "mon")
     Jdbc.stagedSwapRefresh(fresh, url, "t_ok", "\"mon\" = '2024-01'")
@@ -51,7 +68,7 @@ class JdbcSwapSpec extends SparkSpec {
     assert(rows == Set((9, "2024-02"), (10, "2024-01"), (11, "2024-01")))
   }
 
-  test("a failure inside the swap transaction leaves the old window visible") {
+  test(s"[$engine] a failure inside the swap transaction leaves the old window visible") {
     freshTable("t_fail", withPk = true)
     // the refresh data violates the target's PRIMARY KEY (duplicate id),
     // so the INSERT..SELECT fails AFTER the DELETE ran in the same
@@ -65,7 +82,7 @@ class JdbcSwapSpec extends SparkSpec {
       s"mid-swap failure exposed a partial window: $rows")
   }
 
-  test("a failure during the bulk load never touches the target at all") {
+  test(s"[$engine] a failure during the bulk load never touches the target at all") {
     freshTable("t_load")
     // the load itself throws (a poisoned partition) before any swap SQL
     val poisoned = Seq(1, 2, 3).toDF("id")
@@ -82,7 +99,7 @@ class JdbcSwapSpec extends SparkSpec {
       s"failed bulk load modified the target: $rows")
   }
 
-  test("column order differences between frame and target are harmless") {
+  test(s"[$engine] column order differences between frame and target are harmless") {
     freshTable("t_cols")
     // frame columns reversed vs the target's (id, mon) order: the INSERT
     // names its columns, so by-name matching must hold
@@ -92,7 +109,7 @@ class JdbcSwapSpec extends SparkSpec {
     assert(rows == Set((42, "2024-01"), (9, "2024-02")))
   }
 
-  test("deleteThenAppend documents its gap honestly: mid-append failure loses the window") {
+  test(s"[$engine] deleteThenAppend documents its gap honestly: mid-append failure loses the window") {
     // the CONTRAST case — the reason stagedSwapRefresh exists. Not a
     // desired behavior, a pinned known limitation of the plain S7 shape.
     freshTable("t_gap", withPk = true)
@@ -106,5 +123,26 @@ class JdbcSwapSpec extends SparkSpec {
     // a state that is neither the old window nor the new one
     assert(!rows.contains((1, "2024-01")) && !rows.contains((2, "2024-01")),
       s"expected the plain delete-then-append to have lost the old window: $rows")
+  }
+}
+
+/** Derby binding (in-memory; the dialect ships inside Spark). */
+class JdbcSwapSpec extends JdbcSwapBehavior {
+  def engine = "derby"
+  val url = "jdbc:derby:memory:swapdb;create=true"
+}
+
+/** DuckDB binding ([[DuckDbDialect]]). FILE-backed, not `jdbc:duckdb:`
+  * in-memory: each in-memory connection is its OWN database, and the
+  * refresh's executors and driver must all see one store — exactly the
+  * multi-connection shape a server engine has. */
+class JdbcSwapDuckDbSpec extends JdbcSwapBehavior {
+  def engine = "duckdb"
+  val url = "jdbc:duckdb:" +
+    java.nio.file.Files.createTempDirectory("graft_swap_duck")
+      .resolve("swap.db").toString
+  override protected lazy val pin: Option[java.sql.Connection] = {
+    Jdbc.ensureDialects()
+    Some(DriverManager.getConnection(url))
   }
 }
