@@ -27,11 +27,19 @@ object SkewProbe {
     graft.functions.VectorExpressions.register(spark)
     val e = graft.queries.Q.T(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    // skewed assignment: vec_id % 10 ∈ {0..4} → cluster 0 (50%), else
-    // clusters 1..5 (10% each) — k=6 with a 5× biggest/smallest ratio
+    // skewed assignment: half the corpus in cluster 0, the rest spread
+    // over 60 small clusters — k=61 with a 60× biggest/smallest ratio.
+    // k MATTERS here: at small k the uniform rule's B = ceil(sqrt(128/k))
+    // is already large enough that the big cluster's B² tiles fill a
+    // whole executor wave, and sizing buys nothing (measured: k=6, 5×
+    // skew, 200k vectors — sized 254 s vs uniform 244 s, the extra
+    // replication costing ~4%). The straggler regime is LARGE k, where
+    // uniform B degrades to 1-2 and the big cluster becomes a handful of
+    // huge tiles over idle cores — the s12/s13 deployment shape (k ∝ n)
+    // meeting a natural skewed histogram.
     val assign = e.select(col("vec_id").as("id"),
-      when(pmod(col("vec_id"), lit(10)) < 5, lit(0L))
-        .otherwise(pmod(col("vec_id"), lit(10)) - 4).as("cluster"))
+      when(pmod(col("vec_id"), lit(120)) < 60, lit(0L))
+        .otherwise(pmod(col("vec_id"), lit(120)) - 59).as("cluster"))
     val sd = graft.operators.SemDedup
     val m = sd.members(e, assign).localCheckpoint()
     val sizes = graft.queries.VectorQueries.clusterSizes(assign)
@@ -44,15 +52,51 @@ object SkewProbe {
     println(s"uniform   B=$uniformB (${sizes.size * uniformB * uniformB} tiles)")
     println(s"sized     ${sized.toSeq.sortBy(_._1)} " +
       s"(${sized.values.map(b => b * b).sum} tiles)")
-    var nUni = -1L; var nSized = -1L
-    for ((tag, blocks) <- Seq(("uniform", uniform), ("sized", sized));
+    // SKEW_CONFIGS=uniform|sized restricts; SPARK_GRAFT_STAGES=1 dumps the
+    // last pass's stage profile + post-AQE plan (the BenchOne diagnostics)
+    val want = sys.env.get("SKEW_CONFIGS")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("uniform", "sized"))
+    final case class StageRow(id: Int, nm: String, wallMs: Long, taskMs: Long,
+                              nTasks: Int)
+    val stages = scala.collection.mutable.ArrayBuffer.empty[StageRow]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = e.stageInfo
+        val wall = (for {a <- i.completionTime; b <- i.submissionTime}
+          yield a - b).getOrElse(0L)
+        stages.synchronized {
+          stages += StageRow(i.stageId, i.name.takeWhile(_ != '\n').take(50),
+            wall, i.taskMetrics.executorRunTime, i.numTasks)
+        }
+      }
+    }
+    val profile = sys.env.contains("SPARK_GRAFT_STAGES")
+    if (profile) spark.sparkContext.addSparkListener(listener)
+    var counts = Map.empty[String, Long]
+    var lastDf: org.apache.spark.sql.DataFrame = null
+    for ((tag, blocks) <- Seq(("uniform", uniform), ("sized", sized))
+           if want(tag);
          p <- 1 to passes) {
       val t0 = System.nanoTime()
-      val n = sd.removals(sd.shadowPairsSized(m, blocks)).count()
+      lastDf = sd.removals(sd.shadowPairsSized(m, blocks))
+      val n = lastDf.count()
       println(f"$tag%-8s pass $p: ${(System.nanoTime() - t0) / 1e9}%.2f s  removals=$n")
-      if (tag == "uniform") nUni = n else nSized = n
+      counts += tag -> n
     }
-    require(nUni == nSized, s"pair sets diverged: $nUni vs $nSized")
+    require(counts.values.toSet.size == 1,
+      s"pair sets diverged across configs: $counts")
+    if (profile) {
+      Thread.sleep(2000)
+      println("stage profile (all passes, by wall time):")
+      stages.synchronized(stages.sortBy(-_.wallMs).take(12)).foreach { s =>
+        println(f"  stage ${s.id}%4d ${s.wallMs}%7d ms wall " +
+          f"${s.taskMs}%8d ms task  ${s.nTasks}%4d tasks  ${s.nm}")
+      }
+      println("final executed plan (post-AQE):")
+      println(lastDf.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }

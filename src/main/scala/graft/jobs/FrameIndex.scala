@@ -96,8 +96,48 @@ object FrameIndex {
   /** Fold every framesets `ingest_batch` partition back into batch 0 —
     * the family's LSM compaction ([[AnnIndex.compact]] scaladoc carries
     * the shared crash contract; run with ingest paused — the lease fence
-    * converts a violation into an error). Returns the folded batch ids. */
-  def compact(spark: SparkSession, path: String): Seq[Long] =
-    LsmCompact.fold(spark, s"$path/framesets", "media_id",
+    * converts a violation into an error). Returns the folded batch ids.
+    *
+    * `refreshDictionary = true` additionally recomputes the candidate
+    * dictionary from the FOLDED frame sets (minDf = 1, meta's maxDf) —
+    * the opt-in remedy for frozen-dictionary drift: a frame first seen
+    * AFTER build is invisible to the frozen whitelist, so pairs among
+    * post-build arrivals sharing only such frames are silently missed
+    * (recall decays as the corpus outgrows the build half — measured in
+    * PERF.md round 12 via graft.DriftProbe), and a build-time under-cap
+    * frame the corpus has since made boilerplate keeps generating
+    * candidates. The refresh restores from-scratch dictionary semantics
+    * at every compaction, bounding drift by the compaction cadence. It
+    * is OPT-IN because it changes which pairs LATER appends can emit —
+    * the default keeps the strict frozen contract (append results
+    * depend only on build-time state + the batch, the family's replay
+    * guarantee). Already-emitted pairs are never retracted; stored ×
+    * stored pairs that become eligible under the refreshed dictionary
+    * surface only through a from-scratch pair pass (FrameDedup.selfPairs
+    * over the folded sets), not retroactively. */
+  def compact(spark: SparkSession, path: String,
+              refreshDictionary: Boolean = false): Seq[Long] = {
+    val folded = LsmCompact.fold(spark, s"$path/framesets", "media_id",
       _.write.mode("overwrite").parquet(framesetsPart(path, 0L)))
+    if (refreshDictionary) {
+      val maxDf = spark.read.parquet(s"$path/meta").head().getAs[Int]("max_df")
+      // df per fingerprint = videos containing it; `fps` is distinct per
+      // video by construction, so exploding the stored sets IS the df
+      // count — no payload rescan
+      val frames = spark.read.parquet(s"$path/framesets")
+        .select(col("media_id"), explode(col("fps")).as("frame_fp"))
+      // write-then-swap: the dictionary read path must never observe a
+      // half-written parquet dir (appends may resume right after)
+      val tmp = s"$path/dictionary_refresh"
+      FrameDedup.frameDictionary(frames, minDf = 1, maxDf = maxDf)
+        .write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+      val dst = new org.apache.hadoop.fs.Path(s"$path/dictionary")
+      fs.delete(dst, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+        s"dictionary refresh rename failed for $path")
+    }
+    folded
+  }
 }

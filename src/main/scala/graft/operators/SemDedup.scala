@@ -83,7 +83,8 @@ object SemDedup {
     * read the SAME cluster's B_c. */
   private def scoredPairs(a: DataFrame, b: DataFrame,
                           blocksOf: Option[Column] = None,
-                          hintShuffle: Boolean = true): DataFrame = {
+                          hintShuffle: Boolean = true,
+                          tiles: Option[Int] = None): DataFrame = {
     // quantize each member ONCE (linear) so the O(pairs) join condition is
     // PreQuantizedDot's bare int multiply-add — QuantizedDot re-floors both
     // float vectors on every pair, 128 double floors × (cluster-size)²
@@ -118,8 +119,30 @@ object SemDedup {
     // choice is right there, and an unconditional shuffle_hash would make
     // every microbatch pay a full shuffle of the stored members side
     // (ADVICE r11).
-    val bkHinted = if (hintShuffle) bk.hint("shuffle_hash") else bk
-    ak.join(bkHinted, keys).filter(col("a_id") < col("b_id"))
+    // A tile is the smallest schedulable unit of pair work, so the
+    // EXCHANGE must not stack big tiles: with the session default (~one
+    // partition per core) the tile keys hash into ~cores bins, and
+    // balls-into-bins stacks 4–8 tiles in the worst bin — measured round
+    // 12 (SkewProbe, 181 tiles into 32 partitions: 1972 s of task time at
+    // 176 s wall, 11 effective cores of 32; round 11's 17.6/32 pin was
+    // the same mechanism). In the FEW-TILES regime (tiles < 8×cores,
+    // where one bin's excess is a whole straggler wave) both sides are
+    // explicitly repartitioned on the tile key into 4×tiles partitions —
+    // mostly one tile per partition, wall ≈ the largest tile — via
+    // REPARTITION_BY_NUM, which AQE never coalesces (byte-proportional
+    // coalescing is exactly wrong for a stage whose cost is quadratic in
+    // rows per partition). With many tiles the hash binning is already
+    // balanced and the default exchange stands.
+    val parallelism = a.sparkSession.sparkContext.defaultParallelism
+    val (akP, bkP) = tiles match {
+      case Some(t) if t < 8 * parallelism =>
+        val nParts = math.min(4096, 4 * t)
+        (ak.repartition(nParts, keys.map(col): _*),
+         bk.repartition(nParts, keys.map(col): _*))
+      case _ => (ak, bk)
+    }
+    val bkHinted = if (hintShuffle) bkP.hint("shuffle_hash") else bkP
+    akP.join(bkHinted, keys).filter(col("a_id") < col("b_id"))
       .withColumn("cos_sim",
         VectorExpressions.preQuantizedDot(col("a_q"), col("b_q"))
           .cast("double") / (col("a_s") * col("b_s")))
@@ -133,6 +156,14 @@ object SemDedup {
     scoredPairs(aSide(m), bSide(m),
       if (blocks <= 1) None else Some(lit(blocks)))
 
+  /** Tile count of a per-cluster block map: Σ B_c² — the blocked join's
+    * schedulable task-grid size, which [[scoredPairs]] sizes its exchange
+    * from. */
+  private def tileCount(byCluster: Map[Long, Int]): Int = {
+    val s = byCluster.values.foldLeft(0L)((acc, b) => acc + b.toLong * b)
+    math.min(s, Int.MaxValue.toLong).toInt
+  }
+
   /** Batch shadow pairs with a SIZE-AWARE per-cluster block factor: each
     * cluster c splits its pair grid into B_c² tiles, so tile work
     * (size_c/B_c)² equalizes across skewed cluster sizes instead of the
@@ -140,11 +171,22 @@ object SemDedup {
     * VectorQueries.blocksBySize for the derivation). Clusters absent from
     * the map fall back to B=1. Exact refinement — pair set and hashes
     * identical to the unblocked form for ANY map. */
-  def shadowPairsSized(m: DataFrame, byCluster: Map[Long, Int]): DataFrame =
+  /** `spreadTiles = false` keeps the session-default exchange: the
+    * one-partition-per-tile repartition pays ~4×tiles scheduled tasks,
+    * which costs more than it saves when the whole pair stage is
+    * sub-second — callers gate it on the measured pair work (see
+    * VectorQueries.semDedup: Σ size_c² ≥ 2.56e8 pair-evals ≈ a
+    * multi-second stage on 32 cores). */
+  def shadowPairsSized(m: DataFrame, byCluster: Map[Long, Int],
+                       spreadTiles: Boolean = true): DataFrame =
     scoredPairs(aSide(m), bSide(m),
       if (byCluster.isEmpty || byCluster.values.forall(_ <= 1)) None
       else Some(coalesce(
-        element_at(typedlit(byCluster), col("cluster")), lit(1))))
+        element_at(typedlit(byCluster), col("cluster")), lit(1))),
+      tiles =
+        if (!spreadTiles || byCluster.isEmpty ||
+            byCluster.values.forall(_ <= 1)) None
+        else Some(tileCount(byCluster)))
 
   /** Shadow pairs with AT LEAST ONE side in `fresh`, each exactly once:
     * (anything × fresh) ∪ (fresh × stored) under `a_id < b_id`. The two

@@ -42,16 +42,31 @@ object VectorQueries {
     * index ([[graft.jobs.SemDeDupIndex]]). */
   private[queries] def semDedup(s: SparkSession, e: DataFrame, k: Int): DataFrame = {
     VectorExpressions.register(s)
-    val (assign, _) = graft.operators.KMeans.lloyd(
+    val (assign0, _) = graft.operators.KMeans.lloyd(
       e, "vec_id", "embedding", k = k, iters = 2)
+    // materialize the assignment ONCE: both the size histogram and the
+    // members join read it, and recomputing it would re-run the nearest-
+    // centroid kernel over the corpus — the dominant linear stage in the
+    // k ∝ n regime (s12's k = n/2500). Rows are (id, cluster, dist):
+    // corpus-count × 24 bytes, block-cache-sized at any gate scale.
+    val assign = assign0.localCheckpoint()
     val sd = graft.operators.SemDedup
     val sizes = clusterSizes(assign)
     val blocks = blocksBySize(sizes)
     if (sys.env.contains("SPARK_GRAFT_DEBUG"))
       System.err.println(s"[semdedup] cluster sizes ${sizes.sortBy(-_._2)}" +
         s" -> blocks ${blocks.toSeq.sortBy(_._1)}")
-    sd.removals(sd.shadowPairsSized(sd.members(e, assign), blocks))
+    sd.removals(sd.shadowPairsSized(sd.members(e, assign), blocks,
+      spreadTiles = spreadTiles(sizes)))
   }
+
+  /** Engage the one-partition-per-tile exchange only when the pair stage
+    * is big enough for tile stacking to matter: Σ size_c² pair-evals ≥
+    * 2.56e8 (≈ a multi-second stage on 32 cores); below that the ~4×tiles
+    * scheduled tasks cost more than the stacking they prevent (measured
+    * round 12: s11 at sf0.1 — 2000 vectors — paid ~0.4 s for nothing). */
+  private[graft] def spreadTiles(sizes: Seq[(Long, Long)]): Boolean =
+    sizes.map { case (_, n) => n.toDouble * n.toDouble }.sum >= 2.56e8
 
   /** Per-cluster member counts `(cluster, n)` — a k-bounded driver pull
     * (k rows; s12's largest standing k is n/2500) over the already-
@@ -608,9 +623,11 @@ object VectorQueries {
           k = 8, iters = 2)
         val assign = graft.operators.KMeans.assignTo(
           e, "vec_id", "embedding", cents)
+          .localCheckpoint() // one materialization feeds sizes + members
         val sd = graft.operators.SemDedup
+        val sizes = clusterSizes(assign)
         sd.removals(sd.shadowPairsSized(sd.members(e, assign),
-          blocksBySize(clusterSizes(assign))))
+          blocksBySize(sizes), spreadTiles = spreadTiles(sizes)))
       },
       Some(semDedupUnrolledSql(trainPred = Some("vec_id % 2 = 0"))))
   )

@@ -119,6 +119,47 @@ class FrameIndexSpec extends SparkSpec {
       "post-compact append diverged from the reference")
   }
 
+  test("compact(refreshDictionary) restores from-scratch dictionary semantics") {
+    // the measured drift (PERF.md round 12, graft.DriftProbe): frames
+    // first seen AFTER build are invisible to the frozen whitelist, so
+    // two post-build arrivals sharing only such frames never pair. The
+    // opt-in compact-time refresh must recompute the dictionary from the
+    // folded sets and restore exactly the from-scratch pair set.
+    val path = Files.createTempDirectory("frame_index_drift").toString
+    // Q and R are unseen in the build corpus — under the frozen
+    // dictionary 300/301 (sharing {Q, R}, Jaccard 1/2) cannot pair
+    val late = Seq(300L -> video('Q', 'R', 'S'), 301L -> video('Q', 'R', 'T'))
+    FrameIndex.build(media(base), path, maxDf = 3)
+    got(FrameIndex.append(spark, path, 1L, media(b1)))
+    val p2 = got(FrameIndex.append(spark, path, 2L, media(late)))
+    assert(!p2((300L, 301L)),
+      "frozen dictionary unexpectedly knew a post-build frame")
+    val fd = graft.operators.FrameDedup
+    def dictSet() = spark.read.parquet(s"$path/dictionary")
+      .collect().map(_.getString(0)).toSet
+    // default compact: fold only, dictionary stays FROZEN (the family's
+    // strict replay contract)
+    val before = dictSet()
+    assert(FrameIndex.compact(spark, path) == Seq(1L, 2L))
+    assert(dictSet() == before, "plain compact touched the dictionary")
+    // opt-in refresh (nothing left to fold — refresh still runs)
+    assert(FrameIndex.compact(spark, path, refreshDictionary = true).isEmpty)
+    val all = base ++ b1 ++ late
+    val expected = fd.frameDictionary(
+        fd.frameFingerprints(media(all)), minDf = 1, maxDf = 3)
+      .collect().map(_.getString(0)).toSet
+    assert(dictSet() == expected,
+      "refreshed dictionary differs from the from-scratch dictionary")
+    // and the refreshed dictionary yields the from-scratch pair set over
+    // the folded frame sets — including the previously-missed late pair
+    val sets = spark.read.parquet(s"$path/framesets").drop("ingest_batch")
+    val pairs = got(fd.selfPairs(sets,
+      spark.read.parquet(s"$path/dictionary"), 1, 2))
+    assert(pairs((300L, 301L)), "refresh did not surface the drifted pair")
+    assert(pairs == ref(all, all, all, maxDf = 3),
+      "refreshed pair set diverged from the from-scratch reference")
+  }
+
   test("rebuild over a dirty path clears appended batches and re-freezes the dictionary") {
     val path = Files.createTempDirectory("frame_index_rb").toString
     FrameIndex.build(media(base), path, maxDf = 3)
