@@ -363,8 +363,59 @@ object Multimodal {
 
   /** First-channel |amplitude| series of a PCM16 little-endian WAV payload,
     * or null if the payload is not one (shared decode contract with
-    * [[WavDecoder]]). */
-  private def pcmAmplitudes(payload: Array[Byte]): Array[Int] =
+    * [[WavDecoder]]).
+    *
+    * Two tiers, same answer (equality spec-pinned in MultimodalSpec):
+    * the CANONICAL header layout (RIFF/WAVE, 16-byte fmt chunk, PCM16-LE,
+    * `data` immediately at offset 36 — what every minimal PCM writer
+    * emits) is parsed directly, a branch-few pure function; anything else
+    * falls back to the real javax.sound decoder. The split exists because
+    * `AudioSystem.getAudioInputStream` does a provider-SPI lookup and
+    * stream setup PER CALL (~150–200 µs/row measured, with cross-thread
+    * contention) — at sf10's 500 k rows that lookup alone was 75 s of the
+    * v05 stage, ~40× the arithmetic it guarded. */
+  private[operators] def pcmAmplitudes(payload: Array[Byte]): Array[Int] = {
+    val fast = pcmAmplitudesCanonical(payload)
+    if (fast != null) fast else pcmAmplitudesJavax(payload)
+  }
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], off: Int, s: String): Boolean =
+    b(off) == s.charAt(0).toByte && b(off + 1) == s.charAt(1).toByte &&
+      b(off + 2) == s.charAt(2).toByte && b(off + 3) == s.charAt(3).toByte
+
+  /** Canonical-layout parse, or null when the payload deviates in ANY way
+    * (wrong magic, non-PCM, non-16-bit, extra chunks before `data`,
+    * inconsistent block align) — deviation means the javax.sound tier
+    * decides, so this tier can never WIDEN what counts as decodable. */
+  private def pcmAmplitudesCanonical(payload: Array[Byte]): Array[Int] = {
+    if (payload == null || payload.length < 44) return null
+    if (!tag(payload, 0, "RIFF") || !tag(payload, 8, "WAVE") ||
+      !tag(payload, 12, "fmt ") || le32(payload, 16) != 16L ||
+      le16(payload, 20) != 1 || le16(payload, 34) != 16 ||
+      !tag(payload, 36, "data")) return null
+    val channels = le16(payload, 22)
+    val blockAlign = le16(payload, 32)
+    if (channels < 1 || blockAlign != channels * 2) return null
+    // the stream is bounded by BOTH the declared data length and the
+    // actual bytes present (javax.sound stops at EOF the same way)
+    val dataLen = math.min(le32(payload, 40), (payload.length - 44).toLong)
+    val nFrames = (dataLen / blockAlign).toInt
+    val out = new Array[Int](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val off = 44 + f * blockAlign
+      out(f) = math.abs((payload(off + 1) << 8) | (payload(off) & 0xff))
+      f += 1
+    }
+    out
+  }
+
+  private def pcmAmplitudesJavax(payload: Array[Byte]): Array[Int] =
     // NonFatal, not just the checked audio exceptions: a null payload or a
     // corrupt header with frameSize 0 must yield "not decodable", never a
     // task failure (the same hazard thumbnails() guards against)

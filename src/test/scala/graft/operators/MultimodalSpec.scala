@@ -104,6 +104,92 @@ class MultimodalSpec extends SparkSpec {
     assert(f2.n_bytes == 3L && approx(f2.mean_byte, 9.0))
   }
 
+  test("canonical PCM fast path equals the javax.sound decoder byte-for-byte") {
+    // pcmAmplitudes' canonical-header tier (the v05 hot path — the
+    // per-row AudioSystem SPI lookup was 150-200 µs/row at sf10) must be
+    // indistinguishable from the real decoder: same amplitudes on every
+    // canonical payload, and every deviation must FALL BACK, never widen
+    // decodability. The adversarial shapes: stereo, odd trailing byte,
+    // data length over-claiming the payload, v05's exact synthetic
+    // payload, and an AudioSystem-written file.
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    def canonical(channels: Int, dataBytes: Array[Byte],
+                  claimLen: Int): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      def le16(v: Int) = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def le32(v: Int) = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+      out.write("RIFF".getBytes); le32(36 + claimLen)
+      out.write("WAVE".getBytes); out.write("fmt ".getBytes); le32(16)
+      le16(1); le16(channels); le32(8000); le32(8000 * channels * 2)
+      le16(channels * 2); le16(16)
+      out.write("data".getBytes); le32(claimLen)
+      out.write(dataBytes)
+      out.toByteArray
+    }
+    val rnd = new scala.util.Random(7)
+    def noise(n: Int) = Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+    val cases = Seq(
+      canonical(1, noise(260), 260),              // v05's mono shape
+      canonical(2, noise(260), 260),              // stereo: first channel
+      canonical(1, noise(261), 261),              // odd trailing byte
+      canonical(1, noise(100), 260),              // truncated vs claim
+      canonical(1, Array.emptyByteArray, 0)) :+ { // AudioSystem-written
+      val samples = Array[Short](16384, -32768, 0, 733)
+      val pcm = new Array[Byte](8)
+      samples.zipWithIndex.foreach { case (s0, i) =>
+        pcm(2 * i) = (s0 & 0xff).toByte; pcm(2 * i + 1) = ((s0 >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val o = new ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(new ByteArrayInputStream(pcm),
+        fmt, 4L), AudioFileFormat.Type.WAVE, o)
+      o.toByteArray
+    }
+    // the javax tier is the oracle: reconstruct it via AudioSystem here
+    def viaJavax(payload: Array[Byte]): Array[Int] =
+      try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+          fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getFrameSize <= 0) null
+        else {
+          val buf = in.readAllBytes()
+          Array.tabulate(buf.length / fmt.getFrameSize) { f =>
+            val off = f * fmt.getFrameSize
+            math.abs(((buf(off + 1) << 8) | (buf(off) & 0xff)).toInt)
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => null }
+    cases.zipWithIndex.foreach { case (p, i) =>
+      val fast = Multimodal.pcmAmplitudes(p)
+      val slow = viaJavax(p)
+      assert((fast == null) == (slow == null) &&
+        (fast == null || fast.sameElements(slow)),
+        s"case $i: fast ${Option(fast).map(_.toSeq)} vs javax ${Option(slow).map(_.toSeq)}")
+    }
+    // non-canonical deviations still decode through the fallback or
+    // reject identically: junk, and a WAV with an extra chunk before data
+    val extraChunk = {
+      val base = canonical(1, noise(4), 4)
+      // splice a 4-byte "LIST" chunk between fmt and data
+      val pre = base.take(36)
+      val post = base.drop(36)
+      val o = new ByteArrayOutputStream()
+      o.write(pre); o.write("LIST".getBytes)
+      o.write(Array[Byte](4, 0, 0, 0)); o.write(Array[Byte](1, 2, 3, 4)); o.write(post)
+      val riffFix = o.toByteArray
+      riffFix
+    }
+    val fastE = Multimodal.pcmAmplitudes(extraChunk)
+    val slowE = viaJavax(extraChunk)
+    assert((fastE == null) == (slowE == null) &&
+      (fastE == null || fastE.sameElements(slowE)),
+      "non-canonical chunk layout diverged from the javax decoder")
+    assert(Multimodal.pcmAmplitudes(Array[Byte](1, 2, 3)) == null)
+  }
+
   test("FrameSampleDecoder samples every Nth frame of a real multi-frame TIFF") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
