@@ -122,20 +122,20 @@ object SemDedup {
     // A tile is the smallest schedulable unit of pair work, so the
     // EXCHANGE must not stack big tiles: with the session default (~one
     // partition per core) the tile keys hash into ~cores bins, and
-    // balls-into-bins stacks 4–8 tiles in the worst bin — measured round
-    // 12 (SkewProbe, 181 tiles into 32 partitions: 1972 s of task time at
-    // 176 s wall, 11 effective cores of 32; round 11's 17.6/32 pin was
-    // the same mechanism). In the FEW-TILES regime (tiles < 8×cores,
-    // where one bin's excess is a whole straggler wave) both sides are
-    // explicitly repartitioned on the tile key into 4×tiles partitions —
-    // mostly one tile per partition, wall ≈ the largest tile — via
-    // REPARTITION_BY_NUM, which AQE never coalesces (byte-proportional
-    // coalescing is exactly wrong for a stage whose cost is quadratic in
-    // rows per partition). With many tiles the hash binning is already
-    // balanced and the default exchange stands.
-    val parallelism = a.sparkSession.sparkContext.defaultParallelism
+    // balls-into-bins stacks several tiles in the worst bin — measured
+    // round 12 (SkewProbe, 181 tiles into 32 partitions: 1972 s of task
+    // time at 176 s wall, 11 effective cores of 32; round 11's 17.6/32
+    // pin was the same mechanism, and a 396-tile grid into 32 bins ran
+    // 3× the task TIME of the spread shape — stacked build tables blow
+    // the probe loop out of cache on top of the wall-clock imbalance).
+    // Whenever a big blocked grid is in play (`tiles` — callers gate it
+    // on measured pair work), both sides are explicitly repartitioned on
+    // the tile key into 4×tiles partitions — mostly one tile per
+    // partition, wall ≈ the largest tile — via REPARTITION_BY_NUM, which
+    // AQE never coalesces (byte-proportional coalescing is exactly wrong
+    // for a stage whose cost is quadratic in rows per partition).
     val (akP, bkP) = tiles match {
-      case Some(t) if t < 8 * parallelism =>
+      case Some(t) =>
         val nParts = math.min(4096, 4 * t)
         (ak.repartition(nParts, keys.map(col): _*),
          bk.repartition(nParts, keys.map(col): _*))

@@ -83,15 +83,14 @@ object VectorQueries {
     * carries ~T² compare work REGARDLESS of cluster skew. A uniform B
     * (round 11) fixed the reducer-count ceiling but left the largest
     * cluster's tiles as the stage's stragglers (17.6 of 32 effective
-    * cores at sf10); equalizing tile work is the remaining lever. On
-    * EQUAL cluster sizes this reduces exactly to round-11's optimum
-    * (k=8 → B_c=4, 128 tiles — the measured sweet spot, with B=6/12
-    * giving back 40–55%); with k ≥ targetTasks clusters it degrades to
+    * cores at sf10); equalizing tile work is one remaining lever, the
+    * one-partition-per-tile exchange (SemDedup.scoredPairs) the other.
+    * With k ≥ targetTasks clusters it degrades to
     * B_c=1, paying zero replication (s12/s13's deployment shapes). The
     * cap bounds one degenerate cluster's replication at 16×. Exact
     * refinement for ANY map — pair set and gate hashes never change. */
   private[graft] def blocksBySize(sizes: Seq[(Long, Long)],
-                                    targetTasks: Int = 128): Map[Long, Int] = {
+                                    targetTasks: Int = tileTarget): Map[Long, Int] = {
     val sumSq = sizes.map { case (_, n) => n.toDouble * n.toDouble }.sum
     if (sumSq <= 0) Map.empty
     else {
@@ -100,6 +99,19 @@ object VectorQueries {
         c -> math.min(16, math.max(1, math.round(n / tile).toInt)) }.toMap
     }
   }
+
+  /** Default pair-grid size; SPARK_GRAFT_SEMDEDUP_TILES overrides for
+    * sweeps (PERF.md records the measured optimum per round). 256 is the
+    * round-12 sf10 optimum under the one-partition-per-tile exchange:
+    * same-window sweep 128 → 23.8–25.3 s, 256 → 16.4–17.5 s, 384 →
+    * 18.6–19.9 s, 512 → 17.3–18.2 s (smaller tiles keep each build table
+    * near-L2 and the makespan granular; past ~256 replication shuffle
+    * gives the gain back). Round 11's "B=4/128 tiles optimal, B=6 gives
+    * back 40–55%" was measured under the STACKED exchange and is
+    * superseded — stacking, not tile size, was the regressor. */
+  private def tileTarget: Int =
+    sys.env.get("SPARK_GRAFT_SEMDEDUP_TILES")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(256)
 
   private def cosine(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
