@@ -142,15 +142,32 @@ object MultimodalQueries {
     // come from band-bucket joins whose fan-out is bounded by bucket
     // occupancy, and the wide payload column never reaches the join. ----
     Q("v04_image_neardup",
+      // Candidate dedup WITHOUT a shuffle: a pair sharing m bands meets in
+      // m of the band-join's buckets, and both full hashes ride every
+      // joined row — so "is THIS the pair's first matching band?" is a
+      // per-row expression, and keeping only first-match rows yields each
+      // pair exactly once. The previous .distinct() re-shuffled every
+      // candidate row (~4× the pair count on the dense surface, where
+      // twins share all four bands: 240 M rows at sf10) just to drop the
+      // copies this filter now never emits. Emitted pair set is identical,
+      // so the gate hash is unchanged.
       (s, dir) => {
         val bands = ahashBands(s, dir)
-        val cand = bands.as("a").join(bands.as("b"),
+        val firstMatch = expr(
+          """CASE
+               WHEN (a_hash & 65535) = (b_hash & 65535) THEN 0
+               WHEN (shiftright(a_hash, 16) & 65535) = (shiftright(b_hash, 16) & 65535) THEN 1
+               WHEN (shiftright(a_hash, 32) & 65535) = (shiftright(b_hash, 32) & 65535) THEN 2
+               ELSE 3
+             END""")
+        bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
               col("a.media_id") < col("b.media_id"))
           .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
-            col("a.ahash").as("a_hash"), col("b.ahash").as("b_hash"))
-          .distinct()
-        cand.withColumn("hamming", expr("CAST(bit_count(a_hash ^ b_hash) AS INT)"))
+            col("a.ahash").as("a_hash"), col("b.ahash").as("b_hash"),
+            col("a.band").as("band"))
+          .filter(col("band") === firstMatch)
+          .withColumn("hamming", expr("CAST(bit_count(a_hash ^ b_hash) AS INT)"))
           .filter(col("hamming") <= 6)
           .select(col("a_id"), col("b_id"), col("hamming"))
       },
