@@ -16,7 +16,14 @@ libraryDependencies ++= Seq(
 // (zero-egress holds), and it is not a library dependency of the engine.
 Test / unmanagedJars ++= {
   val cache = file(sys.props("user.home")) / ".cache" / "coursier"
-  (cache ** "duckdb_jdbc-*.jar").classpath
+  val jars = (cache ** "duckdb_jdbc-*.jar").get.sortBy(_.getName)
+  if (jars.isEmpty)
+    sys.error("duckdb_jdbc-*.jar not found in the local coursier cache " +
+      s"($cache) — the DuckDB dialect suites (JdbcSwapSpec, " +
+      "JdbcAggPushdownSpec) need it on the test classpath")
+  // Pin ONE jar (first by name) — multiple cached versions would land on
+  // the classpath in nondeterministic order.
+  Seq(Attributed.blank(jars.head))
 }
 Test / fork := true
 run / fork := true

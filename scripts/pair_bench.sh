@@ -75,10 +75,19 @@ runs.append(window)
 with open(out, "w") as f:
     json.dump(runs, f, indent=1, sort_keys=False)
     f.write("\n")
-ratios = [r["ratio"] for r in runs if r.get("ratio") is not None]
+# Band is computed ONLY over windows at this invocation's sf — windows
+# recorded against a different SF_DIR (or left over when PAIR_RESET was
+# forgotten across rounds) are incomparable and must not merge into one
+# band.
+ratios = [r["ratio"] for r in runs
+          if r.get("ratio") is not None and r.get("sf") == sf]
+other_sf = sorted({r.get("sf") for r in runs if r.get("sf") != sf})
+if other_sf:
+    print(f"[pair] WARNING: {out} mixes sf values {other_sf} with current "
+          f"sf={sf}; band covers only sf={sf} windows", file=sys.stderr)
 print(json.dumps({**{k: window[k] for k in
     ("window_utc", "sf", "n_shared", "engine_total_sec",
      "duckdb_total_sec", "ratio")},
-    "n_windows": len(runs),
+    "n_windows": len(runs), "n_windows_at_sf": len(ratios),
     "band": [min(ratios), max(ratios)] if ratios else None}))
 EOF

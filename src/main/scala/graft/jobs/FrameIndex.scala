@@ -81,7 +81,7 @@ object FrameIndex {
       val m = spark.read.parquet(s"$path/meta").head()
       val (frameLen, stride, jNum, jDen) = (m.getAs[Int]("frame_len"),
         m.getAs[Int]("stride"), m.getAs[Int]("j_num"), m.getAs[Int]("j_den"))
-      val dict = spark.read.parquet(s"$path/dictionary")
+      val dict = readDictionary(spark, path)
       FrameDedup.frameSets(
           FrameDedup.frameFingerprints(newMedia, frameLen, stride))
         .write.mode("overwrite").parquet(framesetsPart(path, batchId))
@@ -126,18 +126,47 @@ object FrameIndex {
       // count — no payload rescan
       val frames = spark.read.parquet(s"$path/framesets")
         .select(col("media_id"), explode(col("fps")).as("frame_fp"))
-      // write-then-swap: the dictionary read path must never observe a
-      // half-written parquet dir (appends may resume right after)
+      // write-then-swap, rename-ASIDE (not delete-first): a crash
+      // between a delete and the follow-up rename would leave the index
+      // with NO dictionary at all. The swap here keeps a complete
+      // dictionary readable at every instant: (1) write the refresh to
+      // dictionary_refresh, (2) move the live dir aside to
+      // dictionary_old, (3) promote the refresh, (4) drop the old copy.
+      // The only crash window with dictionary/ absent is between (2) and
+      // (3), where dictionary_refresh is complete — [[readDictionary]]
+      // falls back to it, so appends resumed after ANY crash point see a
+      // whole dictionary (old pre-(2), refresh in the gap, new post-(3)).
       val tmp = s"$path/dictionary_refresh"
       FrameDedup.frameDictionary(frames, minDf = 1, maxDf = maxDf)
         .write.mode("overwrite").parquet(tmp)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
       val dst = new org.apache.hadoop.fs.Path(s"$path/dictionary")
-      fs.delete(dst, true)
+      val old = new org.apache.hadoop.fs.Path(s"$path/dictionary_old")
+      fs.delete(old, true) // stale leftover from a crashed prior refresh
+      if (fs.exists(dst))  // absent if recovering from a (2)-(3) crash
+        require(fs.rename(dst, old),
+          s"dictionary refresh: move-aside rename failed for $path")
       require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-        s"dictionary refresh rename failed for $path")
+        s"dictionary refresh: promote rename failed for $path")
+      fs.delete(old, true)
     }
     folded
+  }
+
+  /** Read the candidate dictionary, falling back to a completed
+    * `dictionary_refresh` when `dictionary/` is absent — the state a
+    * crash inside [[compact]]'s swap window (between move-aside and
+    * promote) leaves behind. Either location holds a COMPLETE
+    * dictionary (refresh is fully written before any rename), so the
+    * fallback never observes a partial one. */
+  private[jobs] def readDictionary(spark: SparkSession,
+                                   path: String): DataFrame = {
+    val dst = s"$path/dictionary"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dst), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(dst)))
+      spark.read.parquet(dst)
+    else spark.read.parquet(s"$path/dictionary_refresh")
   }
 }

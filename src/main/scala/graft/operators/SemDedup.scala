@@ -136,7 +136,10 @@ object SemDedup {
     // for a stage whose cost is quadratic in rows per partition).
     val (akP, bkP) = tiles match {
       case Some(t) =>
-        val nParts = math.min(4096, 4 * t)
+        // Long arithmetic: t is capped at Int.MaxValue for huge grids,
+        // where 4 * t as Int wraps negative — exactly the regime the cap
+        // exists for.
+        val nParts = math.min(4096L, 4L * t).toInt
         (ak.repartition(nParts, keys.map(col): _*),
          bk.repartition(nParts, keys.map(col): _*))
       case _ => (ak, bk)

@@ -160,6 +160,37 @@ class FrameIndexSpec extends SparkSpec {
       "refreshed pair set diverged from the from-scratch reference")
   }
 
+  test("dictionary swap is crash-safe: the refresh-promote gap leaves a readable dictionary") {
+    // compact(refreshDictionary) swaps via rename-ASIDE: write refresh →
+    // move dictionary to dictionary_old → promote refresh → drop old.
+    // The one window with dictionary/ absent is between move-aside and
+    // promote, where dictionary_refresh is complete. Simulate a crash at
+    // exactly that point and assert (1) append still runs, reading the
+    // refresh via the fallback, and (2) re-running the refresh compact
+    // heals the layout back to a live dictionary/.
+    val path = Files.createTempDirectory("frame_index_crash").toString
+    FrameIndex.build(media(base), path, maxDf = 3)
+    val p1 = got(FrameIndex.append(spark, path, 1L, media(b1)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    // crash state: refresh fully written, live dir moved aside, promote
+    // never happened (dictionary_old holds the pre-refresh copy)
+    spark.read.parquet(s"$path/dictionary").write.parquet(s"$path/dictionary_refresh")
+    assert(fs.rename(p("dictionary"), p("dictionary_old")))
+    assert(!fs.exists(p("dictionary")))
+    // (1) appends resumed mid-gap read the complete refresh copy
+    val replay = got(FrameIndex.append(spark, path, 1L, media(b1)))
+    assert(replay == p1, "append under the crash window diverged")
+    // (2) a re-run refresh compact promotes and cleans both leftovers
+    FrameIndex.compact(spark, path, refreshDictionary = true)
+    assert(fs.exists(p("dictionary")), "heal did not restore dictionary/")
+    assert(!fs.exists(p("dictionary_old")) && !fs.exists(p("dictionary_refresh")),
+      "heal left swap leftovers behind")
+    assert(got(FrameIndex.append(spark, path, 2L, media(b1.map {
+      case (id, t) => (id + 900L, t) }))).nonEmpty)
+  }
+
   test("rebuild over a dirty path clears appended batches and re-freezes the dictionary") {
     val path = Files.createTempDirectory("frame_index_rb").toString
     FrameIndex.build(media(base), path, maxDf = 3)
