@@ -459,28 +459,125 @@ object Graph {
     * @param edges canonical undirected edges: first column < second
     *   column, distinct
     * @return (node, n_tri) for nodes in ≥ 1 triangle */
-  def triangleNodeCounts(edges: DataFrame): DataFrame = {
+  def triangleNodeCounts(edges: DataFrame,
+                         broadcastEdgeThreshold: Long = -1L): DataFrame = {
+    val spark = edges.sparkSession
+    val bcastEdgeCap =
+      if (broadcastEdgeThreshold >= 0L) broadcastEdgeThreshold
+      else derivedBroadcastEdgeCap(spark)
     val Array(ac, bc) = edges.columns.take(2)
+    // Materialize the canonical edge set ONCE: it feeds THREE consumers
+    // (degree counting, orientation, the closing-edge probe), and a lazy
+    // frame gets its whole upstream BUILD cloned into each — q56's
+    // co-purchase build (a 60M-row lineitem scan, a 20M-row (order, part)
+    // distinct, the per-order pair self-join, and the edge distinct at
+    // sf10) ran FOUR times in the unmaterialized plan, measured round 13
+    // as the plan's largest cost block. The count doubles as the
+    // broadcast-rung stat and replays the cache, not the build.
     val e = edges.select(col(ac).as("a"), col(bc).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nE = e.count()
+    val (counts, caches) = triangleCountsFrame(e, nE, bcastEdgeCap)
+    // materialize (|V|-bounded) before releasing the caches it reads from
+    val out = counts.localCheckpoint(true)
+    (e +: caches).foreach(_.unpersist())
+    out
+  }
+
+  /** The pre-checkpoint triangle-count plan over a PERSISTED canonical
+    * edge frame `e` (columns a, b) with its materialized count `nE` —
+    * split from [[triangleNodeCounts]] so PlanAuditSpec can pin the
+    * physical shape (the public method returns a checkpoint scan, which
+    * hides it). Returns the counts frame plus the intermediate caches the
+    * caller must unpersist after materializing the result. */
+  private[graft] def triangleCountsFrame(e: DataFrame, nE: Long,
+      bcastEdgeCap: Long): (DataFrame, Seq[DataFrame]) = {
+    val spark = e.sparkSession
     val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // The degree frame is |V|-sized while e is |E|-sized: below the node
+    // cap the two degree attaches are broadcast joins (e never shuffles
+    // for them); above it they fall back to shuffle joins — the same
+    // stats-driven fork as pageRankQ, which Catalyst cannot make itself
+    // (both sizes are derived, so plan-time estimates are unknown).
+    // |V| ≤ 2|E| always, so when that bound already clears the cap the
+    // exact count job (a per-run barrier) is skipped.
+    val nodeCap = derivedBroadcastNodeCap(spark)
+    val smallV = 2L * nE <= nodeCap || deg.count() <= nodeCap
+    def bV(df: DataFrame): DataFrame = if (smallV) broadcast(df) else df
     val withDeg = e
-      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .join(bV(deg.select(col("n").as("a"), col("deg").as("da"))), "a")
+      .join(bV(deg.select(col("n").as("b"), col("deg").as("db"))), "b")
     val oriented = withDeg.select(
         when(col("da") < col("db") ||
             (col("da") === col("db") && col("a") < col("b")),
           struct(col("a").as("src"), col("b").as("dst")))
           .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
       .select(col("o.src").as("src"), col("o.dst").as("dst"))
-    val wedges = oriented.as("u").join(oriented.as("v"),
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Wedge work per source is C(outdeg, 2) — deg²-skewed even though
+    // degree orientation caps outdeg at O(√|E|). With ~one partition per
+    // core, balls-into-bins stacks several heavy sources in the worst bin
+    // (the semdedup tile lesson); when the measured wedge volume is big
+    // enough that a stacked bin costs real wall, spread the self-join
+    // input over 4× the grid so wall ≈ the heaviest source, not the
+    // heaviest BIN. Below the gate the default exchange avoids the extra
+    // task-floor overhead. The volume stat is one |V|-row agg over the
+    // persisted oriented frame — itself a per-run barrier, so it only
+    // runs when the orientation bound (Σ C(od,2) ≤ |E|·√(2|E|)/2, od ≤
+    // √(2|E|)) says the gate is even reachable; small graphs skip it.
+    val wedgeBound = nE * math.sqrt(2.0 * nE) / 2.0
+    val wedgeWork =
+      if (wedgeBound < wedgeSpreadGate) 0L
+      else oriented.groupBy(col("src"))
+        .agg(count(lit(1)).as("od"))
+        .agg(sum(expr("od * (od - 1) div 2")))
+        .head().getLong(0)
+    val nP = spark.sparkContext.defaultParallelism
+    val orientedW =
+      if (wedgeWork >= wedgeSpreadGate)
+        oriented.repartition(math.min(4096L, 4L * nP).toInt, col("src"))
+      else oriented
+    val wedges = orientedW.as("u").join(orientedW.as("v").hint("shuffle_hash"),
         col("u.src") === col("v.src") && col("u.dst") < col("v.dst"))
       .select(col("u.src").as("s"), col("u.dst").as("p1"),
         col("v.dst").as("p2"))
-    val tri = wedges.join(e.as("w"),
-      col("p1") === col("w.a") && col("p2") === col("w.b"), "left_semi")
-    tri.select(explode(array(col("s"), col("p1"), col("p2"))).as("node"))
+    // Closing-edge probe: wedge volume is O(|E|^1.5) while the edge set
+    // is |E| — when e fits an executor broadcast, the probe is a
+    // BroadcastHashJoin and the wedge flow NEVER crosses an exchange
+    // (generated, probed, exploded, and partially aggregated inside one
+    // stage; only |V|-bounded partial counts shuffle). Above the cap the
+    // semi join must shuffle the wedges, but building a hash table of the
+    // |E| side beats sorting the |E|^1.5 side — hint shuffle_hash so
+    // plan-time size blindness doesn't pick the sort-merge default.
+    val cond = col("p1") === col("w.a") && col("p2") === col("w.b")
+    val tri =
+      if (nE <= bcastEdgeCap) wedges.join(broadcast(e.as("w")), cond, "left_semi")
+      else wedges.join(e.as("w").hint("shuffle_hash"), cond, "left_semi")
+    val counts = tri
+      .select(explode(array(col("s"), col("p1"), col("p2"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    (counts, Seq(deg, oriented))
+  }
+
+  /** Wedge volume (Σ C(outdeg, 2)) above which the wedge self-join input
+    * is spread over a 4×cores grid — the semdedup tile-spread gate shape:
+    * below it, per-bin stacking costs less than the extra task floor. 1e8
+    * probe evaluations ≈ a second of single-core work. */
+  private[operators] val wedgeSpreadGate = 100000000L
+
+  /** Broadcast cap for the closing-edge set: ~64 bytes/edge resident per
+    * executor JVM as a HashedRelation (two longs + row + table overhead),
+    * same executor-aware derivation as [[derivedBroadcastNodeCap]]. */
+  def derivedBroadcastEdgeCap(spark: org.apache.spark.sql.SparkSession): Long = {
+    val executorBytes = spark.sparkContext.getConf
+      .getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory())
+    derivedBroadcastNodeCap(
+      math.min(executorBytes, Runtime.getRuntime.maxMemory()),
+      bytesPerNode = 64L)
   }
 
   /** Open-addressing long→dense-int id assignment (linear probing, load

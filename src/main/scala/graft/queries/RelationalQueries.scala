@@ -1350,6 +1350,15 @@ object RelationalQueries {
     // bench total on both sides; PERF.md records that head-to-head). ----
     Q("q56_triangle_count",
       (s, dir) => {
+        // Edge build stays the items-distinct + per-order self-join form.
+        // The in-array alternative (collect_set per order → sorted array →
+        // index-ordered nested-transform pair explode) was measured round
+        // 13 at sf10 and REJECTED: it does save one 20M-row exchange
+        // round and the 2×20M SMJ sort, but the nested transform/slice
+        // pair generator runs interpreted (the NearDup HOF pitfall), and
+        // 40M interpreted struct constructions cost 160 s of task time vs
+        // the codegen'd join's 56 s — warm 9.3 → 13.9 s. The join form's
+        // 40M pair rows flow through whole-stage codegen end to end.
         val items = T(s, dir, "lineitem")
           .filter(pmod(col("l_orderkey"), lit(3)) === 0)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))

@@ -460,4 +460,39 @@ class PlanAuditSpec extends SparkSpec {
       assert(raw == buck, "bucketed output drifted from the raw plan")
     }
   }
+
+  test("q56 triangle plan: hash wedge join, broadcast closing probe, shuffle-hash fallback") {
+    // the round-13 q56 treatment, pinned on the pre-checkpoint frame
+    // (the public method returns a checkpoint scan that hides the shape):
+    // (1) the wedge self-join is a shuffled-hash join — sort-merge's
+    //     buffered per-key iteration measured 3× the task time on 41M
+    //     wedges at sf10 (96 → 32 s);
+    // (2) below the edge cap the closing probe is a BroadcastHashJoin
+    //     LeftSemi, so the O(|E|^1.5) wedge flow never crosses an
+    //     exchange — generated, probed, exploded, and partially
+    //     aggregated in one stage;
+    // (3) above the cap the probe degrades to shuffled-hash (build the
+    //     |E| side, never sort the wedge side) — still no sort-merge.
+    import spark.implicits._
+    val edges = (for { a <- 0L to 19L; b <- 0L to 19L if a < b }
+      yield (a, b)).toDF("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nE = edges.count()
+    val graph = graft.operators.Graph
+    val (bcastFrame, c1) = graph.triangleCountsFrame(edges, nE, Long.MaxValue)
+    val bplan = bcastFrame.queryExecution.executedPlan.toString
+    assert(bplan.contains("ShuffledHashJoin"),
+      s"wedge join is not shuffled-hash:\n$bplan")
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(bplan).isDefined,
+      s"closing probe is not a broadcast semi join:\n$bplan")
+    assert(!bplan.contains("SortMergeJoin"),
+      s"sort-merge reappeared in the triangle plan:\n$bplan")
+    val (shufFrame, c2) = graph.triangleCountsFrame(edges, nE, 0L)
+    val splan = shufFrame.queryExecution.executedPlan.toString
+    assert("ShuffledHashJoin.*LeftSemi".r.findFirstIn(splan).isDefined,
+      s"over-cap closing probe is not shuffled-hash:\n$splan")
+    assert(!splan.contains("SortMergeJoin"),
+      s"sort-merge reappeared in the over-cap plan:\n$splan")
+    (edges +: (c1 ++ c2)).foreach(_.unpersist())
+  }
 }

@@ -267,4 +267,22 @@ class GraphSpec extends SparkSpec {
     assert(randoms.exists(e => bruteTriangles(e).nonEmpty),
       "random fixtures produced no triangles — weak test")
   }
+
+  test("triangleNodeCounts shuffle fallback (edge set over the broadcast cap) is bit-equal") {
+    import spark.implicits._
+    // broadcastEdgeThreshold = 0 forces the big-graph rung: the closing
+    // probe becomes a shuffled-hash semi join instead of the broadcast
+    // probe. Same counts, both rungs — the size fork must never change
+    // the answer.
+    val r = new scala.util.Random(11)
+    val edges = (for { a <- 0L to 24L; b <- 0L to 24L
+      if a < b && r.nextDouble() < 0.3 } yield (a, b)).toSet
+    def run(cap: Long) =
+      Graph.triangleNodeCounts(edges.toSeq.toDF("a", "b"), cap)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val bcast = run(Long.MaxValue)
+    val shuffled = run(0L)
+    assert(bcast == bruteTriangles(edges), "broadcast rung diverged")
+    assert(shuffled == bcast, "shuffle rung diverged from broadcast rung")
+  }
 }
