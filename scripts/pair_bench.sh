@@ -58,6 +58,10 @@ window = {
     "engine_only": sorted(set(eng["queries"]) - set(duck["queries"])),
     "duckdb_errors": duck.get("errors", {}),
     "engine_passes": eng.get("passes"),
+    # per-pass arrays + the >1.5x-spread flags (round-12 verdict #6): a
+    # delta on a flagged query is ordering noise, not a plan change
+    "engine_pass_times": eng.get("pass_times"),
+    "engine_noisy": eng.get("noisy"),
     "engine": eng["queries"],
     "duckdb": duck["queries"],
 }

@@ -113,10 +113,23 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Per-pass times, not just the min: min-of-N under suite ordering can
+    // catch N cool passes and misread a cold window as a regression (q39
+    // at sf10 read 10.0 s while warm converged to 6.0 — round-12 verdict).
+    // `noisy` flags queries whose pass spread exceeds 1.5×, so a
+    // round-over-round delta on one of them is attributed to ordering
+    // noise by the artifact itself.
+    val passJson = results.map { case (n, _) =>
+      "\"" + n + "\":[" + allPasses.map(_(n)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val noisy = results.collect {
+      case (n, mn) if mn > 0 && allPasses.map(_(n)).max / mn > 1.5 => n
+    }
+    val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val skipJson = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"errors":$errJson,"skipped":$skipJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"pass_times":$passJson,"noisy":$noisyJson,"errors":$errJson,"skipped":$skipJson,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
