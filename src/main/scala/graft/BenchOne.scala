@@ -40,9 +40,20 @@ object BenchOne {
     spark.sparkContext.setLogLevel("ERROR")
 
     final case class StageRow(id: Int, nm: String, wallMs: Long,
-                              taskMs: Long, shufRead: Long, shufWrite: Long)
+                              taskMs: Long, maxTaskMs: Long, nTasks: Int,
+                              shufRead: Long, shufWrite: Long)
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageRow]
+    // per-stage MAX task runtime: the floor-vs-overhead discriminator for
+    // spread exchanges (wall ≈ max task ⇒ compute-floor; wall ≫ max task ⇒
+    // scheduling/replication overhead left) — the round-13 s11 question
+    val maxTask = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (e.taskMetrics != null)
+          maxTask.merge(e.stageId, e.taskMetrics.executorRunTime,
+            (a, b) => math.max(a, b))
+      }
       override def onStageCompleted(
           e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo
@@ -52,6 +63,7 @@ object BenchOne {
         stages.synchronized {
           stages += StageRow(i.stageId, i.name.takeWhile(_ != '\n').take(60),
             wall, m.executorRunTime,
+            maxTask.getOrDefault(i.stageId, 0L), i.numTasks,
             m.shuffleReadMetrics.totalBytesRead,
             m.shuffleWriteMetrics.bytesWritten)
         }
@@ -85,6 +97,7 @@ object BenchOne {
       println("stage profile (last pass, by wall time):")
       stages.sortBy(-_.wallMs).take(20).foreach { s =>
         println(f"  stage ${s.id}%4d ${s.wallMs}%7d ms wall ${s.taskMs}%8d ms task " +
+          f"max ${s.maxTaskMs}%6d ms/${s.nTasks}%4d t " +
           f"shufR ${s.shufRead / 1048576}%5d MB shufW ${s.shufWrite / 1048576}%5d MB  ${s.nm}")
       }
     }

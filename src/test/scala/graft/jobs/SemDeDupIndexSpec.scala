@@ -176,6 +176,38 @@ class SemDeDupIndexSpec extends SparkSpec {
       "blocksBySize-derived map diverged from the unblocked pair set")
   }
 
+  test("incremental pair joins broadcast a small fresh batch — no forced shuffle") {
+    // evidence for the ADVICE-r11 fix (incrementalShadowPairs passes
+    // hintShuffle = false): against a parquet-backed stored side, the
+    // executed plan must broadcast the tiny fresh batch in the pair
+    // joins — the unconditional shuffle_hash hint this replaces made
+    // every microbatch shuffle the FULL stored members side. AQE decides
+    // from actual runtime sizes, so the tiny side broadcasts regardless
+    // of static estimates; the pin asserts no sort-merge or shuffled-hash
+    // join survives anywhere in the final plan.
+    import spark.implicits._
+    val rows = (0L until 3000L)
+      .map(i => (i, vec((i % 3).toInt, 0.001f * (i % 7))))
+    val (_, cents) = KMeans.lloyd(df(rows), "vec_id", "embedding", 3, 2)
+    val m = SemDedup.members(df(rows),
+      KMeans.assignTo(df(rows), "vec_id", "embedding", cents))
+    val dir = Files.createTempDirectory("semdedup_bcast").toString
+    m.write.parquet(s"$dir/members")
+    val stored = spark.read.parquet(s"$dir/members")
+    val freshRows = (9000L until 9008L)
+      .map(i => (i, vec((i % 3).toInt, 0.002f)))
+    val fresh = SemDedup.members(df(freshRows),
+      KMeans.assignTo(df(freshRows), "vec_id", "embedding", cents))
+    val out = SemDedup.removals(
+      SemDedup.incrementalShadowPairs(stored, fresh))
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"fresh batch was not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"a shuffle join survived in the incremental pair plan:\n$plan")
+  }
+
   test("members accumulate exactly the ingested vectors") {
     val dir = Files.createTempDirectory("semdedup_idx_members").toString
     SemDeDupIndex.build(df(all.take(10)), dir, k = 3)
