@@ -25,8 +25,18 @@ object Jdbc {
   private val dialectsRegistered =
     new java.util.concurrent.atomic.AtomicBoolean(false)
   def ensureDialects(): Unit =
-    if (dialectsRegistered.compareAndSet(false, true))
+    if (dialectsRegistered.compareAndSet(false, true)) {
       org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DuckDbDialect)
+      // REPLACE (register + unregister the stock instance) Derby handling
+      // with the EXTRACT-guarded wrapper — see DerbyExtractGuardDialect:
+      // pushed EXTRACT is a runtime syntax error on Derby, and leaving
+      // both registered makes get() return an AggregatedDialect that
+      // bypasses the guard
+      org.apache.spark.sql.jdbc.JdbcDialects
+        .registerDialect(DerbyExtractGuardDialect)
+      org.apache.spark.sql.jdbc.JdbcDialects
+        .unregisterDialect(DerbyExtractGuardDialect.inner)
+    }
 
   /** Register a JDBC database as a DataSource-V2 catalog with aggregate
     * pushdown enabled — S10's "optional" Spark 3.4+ path, now demonstrated

@@ -44,6 +44,40 @@ abstract class JdbcAggPushdownBehavior extends SparkSpec {
     exec("INSERT INTO AGGT VALUES (1, 10), (1, 32), (2, 5), (3, 7), (3, 0)")
   }
 
+  private def freshDates(): Unit = {
+    try exec("DROP TABLE DATET") catch { case _: Exception => () }
+    exec("CREATE TABLE DATET (K INT NOT NULL, D DATE NOT NULL)")
+    exec("""INSERT INTO DATET VALUES
+      (1, '2023-06-05'), (2, '2023-06-28'), (3, '2023-07-02'),
+      (4, '2022-06-15'), (5, '2023-06-30')""")
+  }
+
+  /** whether this engine's dialect is expected to push EXTRACT-class date
+    * predicates into the remote scan (the reference's month-window
+    * predicate vocabulary — SURVEY §2.8 date family) */
+  def expectDatePushdown: Boolean
+
+  test(s"[$engine] month-window date predicate: pushdown per dialect, result exact") {
+    freshDates()
+    Jdbc.registerPushdownCatalog(spark, catalog, url)
+    val df = spark.table(tableRef.replace("AGGT", "DATET"))
+      .filter(year(col("D")) === 2023 && month(col("D")) === 6)
+      .groupBy(col("K")).agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    if (expectDatePushdown)
+      assert(plan.contains("EXTRACT"),
+        s"month-window predicate did not push as EXTRACT:\n$plan")
+    else
+      assert(!plan.contains("EXTRACT"),
+        s"dialect unexpectedly pushed EXTRACT (update the expectation " +
+          s"AND verify the remote engine accepts the spelling):\n$plan")
+    // result must be exact either way — pushdown is an optimization, not
+    // a semantics change
+    val got = df.collect().map(r => (r.getAs[Number](0).longValue,
+      r.getAs[Number](1).longValue)).toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (5L, 1L)), s"wrong rows: $got")
+  }
+
   test(s"[$engine] GROUP BY sum/count/min/max compile into the JDBC scan") {
     fresh()
     Jdbc.registerPushdownCatalog(spark, catalog, url)
@@ -100,6 +134,7 @@ abstract class JdbcAggPushdownBehavior extends SparkSpec {
   * uppercase under the APP schema). */
 class JdbcAggPushdownSpec extends JdbcAggPushdownBehavior {
   def engine = "derby"
+  def expectDatePushdown = false // EXTRACT is a Derby syntax error — guarded (DerbyExtractGuardDialect)
   val url = "jdbc:derby:memory:aggdb;create=true"
   def catalog = "aggcat"
   def tableRef = "aggcat.APP.AGGT"
@@ -110,6 +145,7 @@ class JdbcAggPushdownSpec extends JdbcAggPushdownBehavior {
   * JdbcSwapDuckDbSpec. */
 class JdbcAggPushdownDuckDbSpec extends JdbcAggPushdownBehavior {
   def engine = "duckdb"
+  def expectDatePushdown = true
   val url = "jdbc:duckdb:" +
     java.nio.file.Files.createTempDirectory("graft_agg_duck")
       .resolve("agg.db").toString
