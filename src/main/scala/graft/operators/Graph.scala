@@ -460,7 +460,9 @@ object Graph {
     *   column, distinct
     * @return (node, n_tri) for nodes in ≥ 1 triangle */
   def triangleNodeCounts(edges: DataFrame,
-                         broadcastEdgeThreshold: Long = -1L): DataFrame = {
+                         broadcastEdgeThreshold: Long = -1L,
+                         broadcastNodeThreshold: Long = -1L,
+                         spreadGate: Long = wedgeSpreadGate): DataFrame = {
     val spark = edges.sparkSession
     val bcastEdgeCap =
       if (broadcastEdgeThreshold >= 0L) broadcastEdgeThreshold
@@ -477,7 +479,9 @@ object Graph {
     val e = edges.select(col(ac).as("a"), col(bc).as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nE = e.count()
-    val (counts, caches) = triangleCountsFrame(e, nE, bcastEdgeCap)
+    val (counts, caches) =
+      triangleCountsFrame(e, nE, bcastEdgeCap, broadcastNodeThreshold,
+        spreadGate)
     // materialize (|V|-bounded) before releasing the caches it reads from
     val out = counts.localCheckpoint(true)
     (e +: caches).foreach(_.unpersist())
@@ -491,7 +495,8 @@ object Graph {
     * hides it). Returns the counts frame plus the intermediate caches the
     * caller must unpersist after materializing the result. */
   private[graft] def triangleCountsFrame(e: DataFrame, nE: Long,
-      bcastEdgeCap: Long): (DataFrame, Seq[DataFrame]) = {
+      bcastEdgeCap: Long, broadcastNodeThreshold: Long = -1L,
+      spreadGate: Long = wedgeSpreadGate): (DataFrame, Seq[DataFrame]) = {
     val spark = e.sparkSession
     val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -503,7 +508,9 @@ object Graph {
     // (both sizes are derived, so plan-time estimates are unknown).
     // |V| ≤ 2|E| always, so when that bound already clears the cap the
     // exact count job (a per-run barrier) is skipped.
-    val nodeCap = derivedBroadcastNodeCap(spark)
+    val nodeCap =
+      if (broadcastNodeThreshold >= 0L) broadcastNodeThreshold
+      else derivedBroadcastNodeCap(spark)
     val smallV = 2L * nE <= nodeCap || deg.count() <= nodeCap
     def bV(df: DataFrame): DataFrame = if (smallV) broadcast(df) else df
     val withDeg = e
@@ -529,14 +536,14 @@ object Graph {
     // √(2|E|)) says the gate is even reachable; small graphs skip it.
     val wedgeBound = nE * math.sqrt(2.0 * nE) / 2.0
     val wedgeWork =
-      if (wedgeBound < wedgeSpreadGate) 0L
+      if (wedgeBound < spreadGate) 0L
       else oriented.groupBy(col("src"))
         .agg(count(lit(1)).as("od"))
         .agg(sum(expr("od * (od - 1) div 2")))
         .head().getLong(0)
     val nP = spark.sparkContext.defaultParallelism
     val orientedW =
-      if (wedgeWork >= wedgeSpreadGate)
+      if (wedgeWork >= spreadGate)
         oriented.repartition(math.min(4096L, 4L * nP).toInt, col("src"))
       else oriented
     val wedges = orientedW.as("u").join(orientedW.as("v").hint("shuffle_hash"),

@@ -493,6 +493,16 @@ class PlanAuditSpec extends SparkSpec {
       s"over-cap closing probe is not shuffled-hash:\n$splan")
     assert(!splan.contains("SortMergeJoin"),
       s"sort-merge reappeared in the over-cap plan:\n$splan")
-    (edges +: (c1 ++ c2)).foreach(_.unpersist())
+    // (4) above the wedge-work gate the self-join input gets its own
+    //     REPARTITION_BY_NUM exchange on src (the semdedup tile-spread
+    //     shape AQE never coalesces) — forced here via spreadGate = 0,
+    //     unreachable at test scale under the real 1e8 gate
+    val (spreadFrame, c3) = graph.triangleCountsFrame(edges, nE,
+      Long.MaxValue, -1L, 0L)
+    val pplan = spreadFrame.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(src#\\d+L, \\d+\\), REPARTITION_BY_NUM"
+        .r.findFirstIn(pplan).isDefined,
+      s"forced spread did not add the src repartition exchange:\n$pplan")
+    (edges +: (c1 ++ c2 ++ c3)).foreach(_.unpersist())
   }
 }

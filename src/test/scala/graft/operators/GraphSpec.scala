@@ -268,21 +268,30 @@ class GraphSpec extends SparkSpec {
       "random fixtures produced no triangles — weak test")
   }
 
-  test("triangleNodeCounts shuffle fallback (edge set over the broadcast cap) is bit-equal") {
+  test("triangleNodeCounts big-graph rungs (shuffle probe, shuffle deg, forced spread) are bit-equal") {
     import spark.implicits._
-    // broadcastEdgeThreshold = 0 forces the big-graph rung: the closing
-    // probe becomes a shuffled-hash semi join instead of the broadcast
-    // probe. Same counts, both rungs — the size fork must never change
-    // the answer.
+    // Force every 100 TB-shape branch and assert the answer never moves:
+    //  - broadcastEdgeThreshold = 0: the closing probe degrades from the
+    //    broadcast semi join to shuffled-hash;
+    //  - broadcastNodeThreshold = 0: the degree attaches degrade from
+    //    broadcast to shuffle joins;
+    //  - spreadGate = 0: the wedge self-join input is spread over the
+    //    4×cores grid (never reachable at test scale otherwise — the
+    //    default 1e8 gate needs ~270k+ edges to even measure).
     val r = new scala.util.Random(11)
     val edges = (for { a <- 0L to 24L; b <- 0L to 24L
       if a < b && r.nextDouble() < 0.3 } yield (a, b)).toSet
-    def run(cap: Long) =
-      Graph.triangleNodeCounts(edges.toSeq.toDF("a", "b"), cap)
+    def run(edgeCap: Long, nodeCap: Long = -1L,
+            gate: Long = Graph.wedgeSpreadGate) =
+      Graph.triangleNodeCounts(edges.toSeq.toDF("a", "b"),
+          edgeCap, nodeCap, gate)
         .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     val bcast = run(Long.MaxValue)
-    val shuffled = run(0L)
     assert(bcast == bruteTriangles(edges), "broadcast rung diverged")
-    assert(shuffled == bcast, "shuffle rung diverged from broadcast rung")
+    assert(run(0L) == bcast, "shuffle-probe rung diverged")
+    assert(run(Long.MaxValue, nodeCap = 0L) == bcast,
+      "shuffle-deg rung diverged")
+    assert(run(0L, nodeCap = 0L, gate = 0L) == bcast,
+      "fully-degraded (shuffle probe + shuffle deg + spread) rung diverged")
   }
 }
