@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Times [[graft.operators.Graph.triangleNodeCounts]] on the FULL
+  * (unsampled) co-purchase graph of a surface — the standing head-to-head
+  * datum behind q56's 1-in-3 gate sample (PERF.md: the full sf0.1 graph
+  * is 1.2M edges over 20k parts, mean degree 120, ~40M oriented wedges).
+  * The gated query samples to keep the BENCH total honest; this probe is
+  * where the full-density number gets re-measured after operator changes.
+  *
+  * Usage: GraphProbe [sfDir] [passes]   (defaults /root/testdata/sf0.1, 3)
+  */
+object GraphProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val passes = if (args.length > 1) args(1).toInt else 3
+    val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    for (p <- 1 to passes) {
+      val t0 = System.nanoTime()
+      val items = graft.queries.Q.T(spark, sfDir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = items.as("x")
+        .join(items.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      val top = graft.operators.Graph.triangleNodeCounts(edges)
+        .orderBy(col("n_tri").desc, col("node").asc).limit(10)
+        .collect()
+      println(f"pass $p: ${(System.nanoTime() - t0) / 1e9}%.2f s  " +
+        s"top=${top.take(3).map(r => (r.get(0), r.get(1))).mkString(",")}")
+    }
+    spark.stop()
+  }
+}

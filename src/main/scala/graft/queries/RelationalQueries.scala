@@ -1345,9 +1345,10 @@ object RelationalQueries {
     // documents. Top-10 parts by triangle participation, ties to the
     // lower part id (deterministic cut). The 1-in-3 order sample keeps
     // the gate's graph at bench-able density (the FULL sf0.1 graph —
-    // 1.2M edges over 20k parts, mean degree 120 — was measured at
-    // engine 18 s vs DuckDB 15–22 s: parity, but it would double the
-    // bench total on both sides; PERF.md records that head-to-head). ----
+    // 1.2M edges over 20k parts, mean degree 120 — measured round 13 at
+    // engine 6.6–7.9 s vs DuckDB 7.8–8.4 s same-window, a win, but it
+    // would still multiply the bench total on both sides; PERF.md
+    // records the head-to-head, graft.GraphProbe re-measures it). ----
     Q("q56_triangle_count",
       (s, dir) => {
         // Edge build stays the items-distinct + per-order self-join form.
