@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * The gated query samples to keep the BENCH total honest; this probe is
   * where the full-density number gets re-measured after operator changes.
   *
-  * Usage: GraphProbe [sfDir] [passes]   (defaults /root/testdata/sf0.1, 3)
+  * Usage: GraphProbe [sfDir] [passes] [spreadGate]
+  *   (defaults /root/testdata/sf0.1, 3, the operator's 1e8 gate —
+  *    pass 0 to force the wedge-spread exchange for A/B timing)
   */
 object GraphProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val passes = if (args.length > 1) args(1).toInt else 3
+    val gate = if (args.length > 2) args(2).toLong
+      else graft.operators.Graph.wedgeSpreadGate
     val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     for (p <- 1 to passes) {
       val t0 = System.nanoTime()
@@ -25,7 +29,8 @@ object GraphProbe {
         .join(items.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-      val top = graft.operators.Graph.triangleNodeCounts(edges)
+      val top = graft.operators.Graph
+        .triangleNodeCounts(edges, spreadGate = gate)
         .orderBy(col("n_tri").desc, col("node").asc).limit(10)
         .collect()
       println(f"pass $p: ${(System.nanoTime() - t0) / 1e9}%.2f s  " +

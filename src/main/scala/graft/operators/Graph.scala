@@ -572,7 +572,7 @@ object Graph {
     * is spread over a 4×cores grid — the semdedup tile-spread gate shape:
     * below it, per-bin stacking costs less than the extra task floor. 1e8
     * probe evaluations ≈ a second of single-core work. */
-  private[operators] val wedgeSpreadGate = 100000000L
+  private[graft] val wedgeSpreadGate = 100000000L
 
   /** Broadcast cap for the closing-edge set: ~64 bytes/edge resident per
     * executor JVM as a HashedRelation (two longs + row + table overhead),
