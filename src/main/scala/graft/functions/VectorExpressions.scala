@@ -152,6 +152,12 @@ object VectorExpressions {
       acc
     }
 
+    // The simple single-accumulator loop stays — a 4-way independent-
+    // accumulator unroll was tried round 13 and measured SLOWER (0.80×
+    // in an interleaved single-threaded microbench, 128-dim int dot):
+    // HotSpot's C2 auto-vectorizes the canonical `acc += (long)a*b`
+    // reduction, and the hand-unrolled four-chain form defeats that
+    // vectorizer. Keep the shape the JIT recognizes.
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val i = ctx.freshName("i")
