@@ -16,14 +16,23 @@ libraryDependencies ++= Seq(
 // (zero-egress holds), and it is not a library dependency of the engine.
 Test / unmanagedJars ++= {
   val cache = file(sys.props("user.home")) / ".cache" / "coursier"
-  val jars = (cache ** "duckdb_jdbc-*.jar").get.sortBy(_.getName)
+  // Pin ONE jar: the NEWEST by parsed numeric version (a lexicographic
+  // name sort ranks 0.10.x above 1.x), so multiple cached versions
+  // neither land together nor pin a stale driver.
+  def ver(f: File): (Int, Int, Int, Int) = {
+    val ns = "\\d+".r.findAllIn(f.getName.stripPrefix("duckdb_jdbc-"))
+      .map(_.toInt).toList.padTo(4, 0)
+    (ns(0), ns(1), ns(2), ns(3))
+  }
+  val jars = (cache ** "duckdb_jdbc-*.jar").get.sortBy(ver).reverse
   if (jars.isEmpty)
-    sys.error("duckdb_jdbc-*.jar not found in the local coursier cache " +
-      s"($cache) — the DuckDB dialect suites (JdbcSwapSpec, " +
-      "JdbcAggPushdownSpec) need it on the test classpath")
-  // Pin ONE jar (first by name) — multiple cached versions would land on
-  // the classpath in nondeterministic order.
-  Seq(Attributed.blank(jars.head))
+    // warn, don't fail: a hard sys.error here breaks EVERY test-classpath
+    // evaluation; only the DuckDB dialect suites need the jar, and they
+    // fail with their own clear message when the driver class is absent.
+    sLog.value.warn("duckdb_jdbc-*.jar not found in the local coursier " +
+      s"cache ($cache) — the DuckDB dialect suites (JdbcSwapSpec, " +
+      "JdbcAggPushdownSpec) will fail without it")
+  jars.headOption.map(Attributed.blank(_)).toSeq
 }
 Test / fork := true
 run / fork := true

@@ -33,6 +33,13 @@ trap 'rm -rf "$ORACLE_DIR"' EXIT
 scripts/run_verify.sh /root/testdata/sf0.001 "$ORACLE_DIR" graft.Verify \
   q01_groupby_sum >/dev/null 2>&1
 
+# Ambient load at window START — captured BEFORE any engine work, so the
+# 1-min figure is pure co-tenant signal (the end-of-window capture is
+# self-polluted by the bench's own 32 threads and kept for context only).
+# Round-13 verdict #3: the 1.60x window's "in-VM load spike" was narrative;
+# this makes band-width attribution mechanical.
+LOAD_START=$(cut -d' ' -f1,2 /proc/loadavg)
+
 echo "[pair] engine bench on $SF ..." >&2
 ENGINE_JSON=$(SPARK_GRAFT_SF_DIR="$SF" scripts/run_verify.sh x x graft.Bench \
   2>/dev/null | tail -1)
@@ -42,9 +49,16 @@ NAMES=$(python3 -c "import json,sys; print(' '.join(sorted(json.loads(sys.argv[1
 DUCK_JSON=$(DUCK_TIMEOUT_SEC=${DUCK_TIMEOUT_SEC:-120} \
   python3 scripts/bench_duckdb.py "$SF" "$ORACLE_DIR/oracle_sql.json" $NAMES)
 
-python3 - "$ENGINE_JSON" "$DUCK_JSON" "$SF" "$OUT" <<'EOF'
+LOAD_END=$(cut -d' ' -f1,2 /proc/loadavg)
+
+python3 - "$ENGINE_JSON" "$DUCK_JSON" "$SF" "$OUT" "$LOAD_START" "$LOAD_END" <<'EOF'
 import json, os, sys, datetime
 eng, duck, sf, out = json.loads(sys.argv[1]), json.loads(sys.argv[2]), sys.argv[3], sys.argv[4]
+load_start = [float(x) for x in sys.argv[5].split()]
+load_end = [float(x) for x in sys.argv[6].split()]
+# a window is load-flagged when AMBIENT (pre-run) 1-min load exceeds the
+# threshold — deltas measured in it are co-tenant noise, not engine drift
+load_flag_at = float(os.environ.get("PAIR_LOAD_FLAG", "4.0"))
 shared = sorted(set(eng["queries"]) & set(duck["queries"]))
 et = sum(eng["queries"][n] for n in shared)
 dt = sum(duck["queries"][n] for n in shared)
@@ -55,6 +69,9 @@ window = {
     "engine_total_sec": round(et, 3),
     "duckdb_total_sec": round(dt, 3),
     "ratio": round(et / dt, 3) if dt else None,
+    "loadavg_start_1m_5m": load_start,
+    "loadavg_end_1m_5m": load_end,
+    "load_flagged": load_start[0] > load_flag_at,
     "engine_only": sorted(set(eng["queries"]) - set(duck["queries"])),
     "duckdb_errors": duck.get("errors", {}),
     "engine_passes": eng.get("passes"),
@@ -83,15 +100,20 @@ with open(out, "w") as f:
 # recorded against a different SF_DIR (or left over when PAIR_RESET was
 # forgotten across rounds) are incomparable and must not merge into one
 # band.
-ratios = [r["ratio"] for r in runs
-          if r.get("ratio") is not None and r.get("sf") == sf]
+at_sf = [r for r in runs if r.get("ratio") is not None and r.get("sf") == sf]
+ratios = [r["ratio"] for r in at_sf]
+# quiet band = windows not load-flagged (legacy windows without the field
+# count as quiet — they predate the capture and were hand-attributed)
+quiet = [r["ratio"] for r in at_sf if not r.get("load_flagged", False)]
 other_sf = sorted({r.get("sf") for r in runs if r.get("sf") != sf})
 if other_sf:
     print(f"[pair] WARNING: {out} mixes sf values {other_sf} with current "
           f"sf={sf}; band covers only sf={sf} windows", file=sys.stderr)
 print(json.dumps({**{k: window[k] for k in
     ("window_utc", "sf", "n_shared", "engine_total_sec",
-     "duckdb_total_sec", "ratio")},
+     "duckdb_total_sec", "ratio", "loadavg_start_1m_5m", "load_flagged")},
     "n_windows": len(runs), "n_windows_at_sf": len(ratios),
-    "band": [min(ratios), max(ratios)] if ratios else None}))
+    "band": [min(ratios), max(ratios)] if ratios else None,
+    "band_quiet": [min(quiet), max(quiet)] if quiet else None,
+    "n_flagged": len(ratios) - len(quiet)}))
 EOF

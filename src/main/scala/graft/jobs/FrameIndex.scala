@@ -137,21 +137,43 @@ object FrameIndex {
       // falls back to it, so appends resumed after ANY crash point see a
       // whole dictionary (old pre-(2), refresh in the gap, new post-(3)).
       val tmp = s"$path/dictionary_refresh"
-      FrameDedup.frameDictionary(frames, minDf = 1, maxDf = maxDf)
-        .write.mode("overwrite").parquet(tmp)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
       val dst = new org.apache.hadoop.fs.Path(s"$path/dictionary")
+      val tmpP = new org.apache.hadoop.fs.Path(tmp)
+      healDictionary(fs, path)
+      FrameDedup.frameDictionary(frames, minDf = 1, maxDf = maxDf)
+        .write.mode("overwrite").parquet(tmp)
       val old = new org.apache.hadoop.fs.Path(s"$path/dictionary_old")
       fs.delete(old, true) // stale leftover from a crashed prior refresh
-      if (fs.exists(dst))  // absent if recovering from a (2)-(3) crash
+      if (fs.exists(dst))  // absent only if the heal above ALSO crashed
         require(fs.rename(dst, old),
           s"dictionary refresh: move-aside rename failed for $path")
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      require(fs.rename(tmpP, dst),
         s"dictionary refresh: promote rename failed for $path")
       fs.delete(old, true)
     }
     folded
+  }
+
+  /** Heal BEFORE recomputing a refresh: after a move-aside/promote crash,
+    * `dictionary/` is absent and `dictionary_refresh` holds the ONLY
+    * complete copy (the state [[readDictionary]]'s fallback serves).
+    * Overwriting that copy in place would reopen a no-dictionary window
+    * if the recovery run ALSO crashes mid-write — promote it first, so
+    * the refresh recompute only ever overwrites a copy that
+    * `dictionary/` still duplicates. Completeness check = the parquet
+    * commit's `_SUCCESS` marker (absent while a write is in flight or
+    * after a mid-write crash — a partial refresh is left for the
+    * recompute to overwrite). */
+  private[jobs] def healDictionary(fs: org.apache.hadoop.fs.FileSystem,
+                                   path: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(s"$path/dictionary")
+    val tmpP = new org.apache.hadoop.fs.Path(s"$path/dictionary_refresh")
+    if (!fs.exists(dst) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS")))
+      require(fs.rename(tmpP, dst),
+        s"dictionary refresh: heal-promote rename failed for $path")
   }
 
   /** Read the candidate dictionary, falling back to a completed

@@ -539,7 +539,9 @@ object Graph {
       if (wedgeBound < spreadGate) 0L
       else oriented.groupBy(col("src"))
         .agg(count(lit(1)).as("od"))
-        .agg(sum(expr("od * (od - 1) div 2")))
+        // coalesce: sum() over zero groups is NULL (empty edge frame
+        // with the gate forced reachable, e.g. spreadGate = 0 in probes)
+        .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)))
         .head().getLong(0)
     val nP = spark.sparkContext.defaultParallelism
     val orientedW =

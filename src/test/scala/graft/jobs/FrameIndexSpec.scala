@@ -191,6 +191,41 @@ class FrameIndexSpec extends SparkSpec {
       case (id, t) => (id + 900L, t) }))).nonEmpty)
   }
 
+  test("refresh compact heals a promote-gap state BEFORE recomputing (double-crash hole)") {
+    // The round-13 hole: from the gap state (dictionary/ absent,
+    // dictionary_refresh the only complete copy) the healing compact used
+    // to overwrite dictionary_refresh IN PLACE — a second crash mid-write
+    // would leave no complete dictionary anywhere readDictionary looks.
+    // The fix promotes the complete refresh to dictionary/ first; pin the
+    // helper's two contracts directly.
+    val path = Files.createTempDirectory("frame_index_heal").toString
+    FrameIndex.build(media(base), path, maxDf = 3)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    // (1) gap state with a COMPLETE refresh (parquet write → _SUCCESS):
+    // heal promotes it by rename, so the recompute can no longer destroy
+    // the only copy
+    spark.read.parquet(s"$path/dictionary").write.parquet(s"$path/dictionary_refresh")
+    assert(fs.rename(p("dictionary"), p("dictionary_old")))
+    FrameIndex.healDictionary(fs, path)
+    assert(fs.exists(p("dictionary")), "heal did not promote the complete refresh")
+    assert(!fs.exists(p("dictionary_refresh")), "heal copied instead of renaming")
+    // (2) a PARTIAL refresh (no _SUCCESS — a crashed mid-write leftover)
+    // must NOT be promoted: it is garbage for the recompute to overwrite
+    fs.delete(p("dictionary_old"), true)
+    assert(fs.rename(p("dictionary"), p("dictionary_old")))
+    fs.mkdirs(p("dictionary_refresh"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/dictionary_refresh/part-0.parquet")).close()
+    FrameIndex.healDictionary(fs, path)
+    assert(!fs.exists(p("dictionary")), "heal promoted a partial refresh")
+    // and the full compact from this inherited-broken state still recovers
+    fs.delete(p("dictionary_old"), true)
+    FrameIndex.compact(spark, path, refreshDictionary = true)
+    assert(fs.exists(p("dictionary")) && !fs.exists(p("dictionary_refresh")),
+      "refresh compact did not recover from the partial-refresh state")
+  }
+
   test("rebuild over a dirty path clears appended batches and re-freezes the dictionary") {
     val path = Files.createTempDirectory("frame_index_rb").toString
     FrameIndex.build(media(base), path, maxDf = 3)

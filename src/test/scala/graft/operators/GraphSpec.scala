@@ -294,4 +294,13 @@ class GraphSpec extends SparkSpec {
     assert(run(0L, nodeCap = 0L, gate = 0L) == bcast,
       "fully-degraded (shuffle probe + shuffle deg + spread) rung diverged")
   }
+
+  test("triangleNodeCounts on an empty edge frame with the spread gate forced") {
+    import spark.implicits._
+    // sum() over zero groups is NULL: the wedge-volume agg must coalesce
+    // it, not NPE, when the gate branch is forced on an empty frame
+    // (spreadGate = 0 is exactly how GraphProbe drives the branch).
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graph.triangleNodeCounts(empty, spreadGate = 0L).count() == 0L)
+  }
 }
