@@ -62,5 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "intersection size of two sorted duplicate-free array<int>"),
       (exprs: Seq[Expression]) =>
         TextExpressions.SortedIntersectSize(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_unordered_pairs"),
+      info("graft_unordered_pairs",
+        "all unordered pairs of a distinct array<bigint> as struct(a=min, b=max)"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.GraphExpressions.UnorderedPairs(exprs(0))))
   }
 }

@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * The gated query samples to keep the BENCH total honest; this probe is
   * where the full-density number gets re-measured after operator changes.
   *
-  * Usage: GraphProbe [sfDir] [passes] [spreadGate]
+  * Usage: GraphProbe [sfDir] [passes] [spreadGate] [form]
   *   (defaults /root/testdata/sf0.1, 3, the operator's 1e8 gate —
-  *    pass 0 to force the wedge-spread exchange for A/B timing)
+  *    pass 0 to force the wedge-spread exchange for A/B timing;
+  *    form ∈ {pairs (default, Graph.coOccurrenceEdges), selfjoin,
+  *    edges_pairs, edges_selfjoin} — the edges_* variants time ONLY the
+  *    edge build's count, the standing A/B behind the round-14 kernel)
   */
 object GraphProbe {
   def main(args: Array[String]): Unit = {
@@ -19,22 +22,33 @@ object GraphProbe {
     val passes = if (args.length > 1) args(1).toInt else 3
     val gate = if (args.length > 2) args(2).toLong
       else graft.operators.Graph.wedgeSpreadGate
+    val form = if (args.length > 3) args(3) else "pairs"
     val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     for (p <- 1 to passes) {
       val t0 = System.nanoTime()
       val items = graft.queries.Q.T(spark, sfDir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = items.as("x")
-        .join(items.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-      val top = graft.operators.Graph
-        .triangleNodeCounts(edges, spreadGate = gate)
-        .orderBy(col("n_tri").desc, col("node").asc).limit(10)
-        .collect()
-      println(f"pass $p: ${(System.nanoTime() - t0) / 1e9}%.2f s  " +
-        s"top=${top.take(3).map(r => (r.get(0), r.get(1))).mkString(",")}")
+      def selfJoinEdges = {
+        val d = items.distinct()
+        d.as("x").join(d.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      }
+      val edges =
+        if (form.endsWith("selfjoin")) selfJoinEdges
+        else graft.operators.Graph.coOccurrenceEdges(items, "o", "p")
+      if (form.startsWith("edges_")) {
+        val n = edges.count()
+        println(f"pass $p: ${(System.nanoTime() - t0) / 1e9}%.2f s  " +
+          s"edges=$n ($form)")
+      } else {
+        val top = graft.operators.Graph
+          .triangleNodeCounts(edges, spreadGate = gate)
+          .orderBy(col("n_tri").desc, col("node").asc).limit(10)
+          .collect()
+        println(f"pass $p: ${(System.nanoTime() - t0) / 1e9}%.2f s  " +
+          s"top=${top.take(3).map(r => (r.get(0), r.get(1))).mkString(",")}")
+      }
     }
     spark.stop()
   }

@@ -488,6 +488,34 @@ object Graph {
     out
   }
 
+  /** Canonical co-occurrence edges: ids sharing a group value become an
+    * edge (a < b, distinct) — the build feeding q56/GraphProbe's
+    * co-purchase graph. Group-then-explode with the compiled
+    * [[graft.functions.GraphExpressions.UnorderedPairs]] kernel: ONE
+    * exchange (the collect_set agg, map-side-combined per group) before
+    * the edge distinct, versus the self-join form's distinct-items
+    * exchange PLUS a re-shuffle on the group key and two sort-merge sorts
+    * — and no pre-distinct needed, collect_set dedups in the partial agg.
+    * This is the round-13-rejected collect_set plan made viable: the
+    * rejection measured the INTERPRETED transform/slice pair generator
+    * (160 s of task time for 40 M pairs at sf10), not the plan shape;
+    * the native kernel emits the same pairs inside the generated stage.
+    * Scale contract: pair volume is quadratic in group size, so the group
+    * key must be small-cardinality-per-group (TPC-H orders: ≤ 7 items at
+    * every SF); the quadratic explode happens BEFORE the edge-distinct
+    * exchange, so skew cost is bounded by max-group-size², not by any
+    * all-pairs blowup. */
+  def coOccurrenceEdges(items: DataFrame, group: String,
+                        id: String): DataFrame = {
+    graft.functions.GraphExpressions.register(items.sparkSession)
+    items.groupBy(col(group))
+      .agg(collect_set(col(id)).as("ids"))
+      .select(explode(
+        graft.functions.GraphExpressions.unorderedPairs(col("ids"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .distinct()
+  }
+
   /** The pre-checkpoint triangle-count plan over a PERSISTED canonical
     * edge frame `e` (columns a, b) with its materialized count `nE` —
     * split from [[triangleNodeCounts]] so PlanAuditSpec can pin the

@@ -1351,23 +1351,20 @@ object RelationalQueries {
     // records the head-to-head, graft.GraphProbe re-measures it). ----
     Q("q56_triangle_count",
       (s, dir) => {
-        // Edge build stays the items-distinct + per-order self-join form.
-        // The in-array alternative (collect_set per order → sorted array →
-        // index-ordered nested-transform pair explode) was measured round
-        // 13 at sf10 and REJECTED: it does save one 20M-row exchange
-        // round and the 2×20M SMJ sort, but the nested transform/slice
-        // pair generator runs interpreted (the NearDup HOF pitfall), and
-        // 40M interpreted struct constructions cost 160 s of task time vs
-        // the codegen'd join's 56 s — warm 9.3 → 13.9 s. The join form's
-        // 40M pair rows flow through whole-stage codegen end to end.
+        // Edge build: group-then-explode via the COMPILED pair kernel
+        // (Graph.coOccurrenceEdges / GraphExpressions.UnorderedPairs).
+        // The collect_set form was rejected round 13 because its pair
+        // generator (nested transform/slice HOFs) ran interpreted — 40M
+        // interpreted struct constructions cost 160 s of task time at
+        // sf10 vs the codegen'd self-join's 56 s. The round-14 native
+        // kernel removes that cost while keeping the form's structural
+        // wins: no items pre-distinct (collect_set dedups map-side), one
+        // exchange on o instead of distinct + join re-shuffle, zero SMJ
+        // sorts. Same canonical edge set, hash-identical result.
         val items = T(s, dir, "lineitem")
           .filter(pmod(col("l_orderkey"), lit(3)) === 0)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val edges = items.as("x")
-          .join(items.as("y"),
-            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        val edges = graft.operators.Graph.coOccurrenceEdges(items, "o", "p")
         graft.operators.Graph.triangleNodeCounts(edges)
           .orderBy(col("n_tri").desc, col("node").asc).limit(10)
           .select(col("node").as("part"), col("n_tri"))
