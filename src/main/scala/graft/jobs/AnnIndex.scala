@@ -103,10 +103,10 @@ object AnnIndex {
               idCol: String = "vec_id"): Seq[Long] = {
     val k = spark.read.parquet(s"$path/centroids")
       .agg(countDistinct(col("cluster"))).head().getLong(0).toInt
-    LsmCompact.fold(spark, s"$path/vectors", idCol, folded =>
+    LsmCompact.fold(spark, s"$path/vectors", idCol, (folded, target) =>
       folded.repartition(k, col("cluster"))
         .write.partitionBy("cluster").mode("overwrite")
-        .parquet(vectorsPart(path, 0L)))
+        .parquet(target))
   }
 
   /** Exact integer squared distance of a quantized query to each stored

@@ -118,7 +118,7 @@ object FrameIndex {
   def compact(spark: SparkSession, path: String,
               refreshDictionary: Boolean = false): Seq[Long] = {
     val folded = LsmCompact.fold(spark, s"$path/framesets", "media_id",
-      _.write.mode("overwrite").parquet(framesetsPart(path, 0L)))
+      (folded, target) => folded.write.mode("overwrite").parquet(target))
     if (refreshDictionary) {
       val maxDf = spark.read.parquet(s"$path/meta").head().getAs[Int]("max_df")
       // df per fingerprint = videos containing it; `fps` is distinct per

@@ -29,8 +29,17 @@ import org.apache.spark.sql.functions._
   * leftover marker is healed by re-running compact (the heal path) or by
   * build(); a leftover lease (crashed append) is named in compact's
   * error and cleared by build() (the full reset) or manual delete after
-  * confirming the append is dead. Spark's scans ignore `_`-prefixed
-  * files, so neither artifact pollutes reads. */
+  * confirming the append is dead — and after clearing it, REPLAY that
+  * append (idempotent partition overwrite) BEFORE any compact runs: a
+  * fold cannot tell a dead append's half-ingested partition from a
+  * completed one, so compact-before-replay folds the partial batch into
+  * batch 0 and the replay then double-ingests it — harmless where state
+  * is key-deduped rows (the next fold heals), but permanently inflating
+  * for delta AGGREGATES (SemDeDupIndex n_shadows; caught by
+  * CrashDrillSpec's randomized kills, round 14). Replay-first is also
+  * the natural restart order: a streaming foreachBatch redelivers the
+  * failed batch before any maintenance window compacts. Spark's scans
+  * ignore `_`-prefixed files, so neither artifact pollutes reads. */
 private[jobs] object LsmCompact {
 
   private def marker(root: String) = new org.apache.hadoop.fs.Path(s"$root/_compacting")
@@ -114,20 +123,44 @@ private[jobs] object LsmCompact {
           fs.delete(st.getPath, true)
       }
     // build is the full reset: a crashed compact's leftover fence lifts,
-    // and crashed appends' leftover leases clear too
+    // crashed appends' leftover leases clear, and a crashed fold's
+    // staging / move-aside dirs drop (build rewrites batch 0 itself)
     if (fs.exists(p))
       fs.listStatus(p).map(_.getPath)
         .filter(_.getName.startsWith(leasePrefix))
         .foreach(fs.delete(_, false))
+    deleteDir(spark, s"$root/_fold_staging")
+    deleteDir(spark, s"$root/_fold_old")
     if (fs.exists(marker(root))) fs.delete(marker(root), false)
   }
 
   /** Fold `root`'s ingest_batch partitions into batch 0. `write` lands
-    * the folded frame at `<root>/ingest_batch=0` (caller chooses
-    * partitioning/layout within it). Returns the folded-away batch ids
-    * (empty = already compact, nothing written). */
+    * the folded frame at the TARGET PATH it is handed (caller chooses
+    * partitioning/layout within it — never hardcode the batch-0 path:
+    * fold stages the rewrite). Returns the folded-away batch ids
+    * (empty = already compact, nothing written).
+    *
+    * Batch-0 rewrite protocol (round 14): the folded frame is written to
+    * `_fold_staging` and SWAPPED in by rename — never overwritten in
+    * place. The old in-place overwrite had an unhealable window: Spark's
+    * overwrite deletes batch 0 before committing the new copy, so a
+    * crash mid-write destroyed every batch-0-unique row (the index CORE
+    * — appends hold only increments) with the sole surviving copy in the
+    * dead JVM's localCheckpoint; "re-run heals" was false there. Now:
+    * (1) write staging (underscore prefix → invisible to reads), (2)
+    * move batch 0 aside to `_fold_old`, (3) promote staging, (4) drop
+    * the old copy and the higher batches, (5) lift the fence. A complete
+    * batch 0 exists at every instant except between (2) and (3) — two
+    * metadata renames — and the heal step at the next fold's start
+    * restores the move-aside copy from exactly that window. Crashes
+    * anywhere else leave either pristine state + a stale staging
+    * (overwritten next run) or the folded batch 0 + stale `_fold_old` /
+    * higher batches (dropped / re-deduped next run). Randomized
+    * validation: CrashDrillSpec kills the flow at arbitrary filesystem
+    * write boundaries and re-runs until heal, asserting no state loses
+    * rows. */
   def fold(spark: SparkSession, root: String, keyCol: String,
-           write: DataFrame => Unit): Seq[Long] = {
+           write: (DataFrame, String) => Unit): Seq[Long] = {
     val m = marker(root)
     val fs = fsOf(spark, m)
     // fence appends FIRST (overwrite ok: a compact re-run IS the heal
@@ -148,14 +181,34 @@ private[jobs] object LsmCompact {
           "finish and re-run, or clear stale leases via build()/manual " +
           "delete after confirming the appends are dead.")
     }
+    val b0 = new org.apache.hadoop.fs.Path(s"$root/ingest_batch=0")
+    val old = new org.apache.hadoop.fs.Path(s"$root/_fold_old")
+    val staging = s"$root/_fold_staging"
+    // heal a predecessor crashed in its (2)-(3) swap window: batch 0
+    // absent, the move-aside copy complete — restore it before reading,
+    // or the fold below would silently lose every batch-0-unique row
+    if (fs.exists(old)) {
+      if (!fs.exists(b0))
+        require(fs.rename(old, b0), s"fold heal: restore rename failed for $root")
+      else fs.delete(old, true) // promote completed; the aside copy is stale
+    }
     val all = spark.read.parquet(root)
     val batches = all.select(col("ingest_batch").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    if (batches.length <= 1) { fs.delete(m, false); return Seq.empty }
+    if (batches.length <= 1) {
+      deleteDir(spark, staging) // stale leftover from a crashed write
+      fs.delete(m, false); return Seq.empty
+    }
     val folded = all.drop("ingest_batch")
       .dropDuplicates(keyCol) // heals a crashed prior compact's leftovers
-      .localCheckpoint() // materialize BEFORE overwriting what we read
-    write(folded)
+      .localCheckpoint() // materialize BEFORE swapping out what we read
+    write(folded, staging)
+    // swap: batch 0 aside, staging promoted — the only instant without a
+    // live batch 0 is between these two renames, covered by the heal
+    require(fs.rename(b0, old), s"fold: move-aside rename failed for $root")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), b0),
+      s"fold: promote rename failed for $root")
+    fs.delete(old, true)
     val gone = batches.filter(_ > 0L)
     gone.foreach(b => deleteDir(spark, s"$root/ingest_batch=$b"))
     // lift the fence only after the fold fully completed — a crash

@@ -104,5 +104,5 @@ object NearDupIndex {
     * ingest paused). Returns the folded batch ids. */
   def compact(spark: SparkSession, path: String): Seq[Long] =
     LsmCompact.fold(spark, s"$path/docsets", "doc_id",
-      _.write.mode("overwrite").parquet(docsetsPart(path, 0L)))
+      (folded, target) => folded.write.mode("overwrite").parquet(target))
 }

@@ -141,5 +141,5 @@ object SemDeDupIndex {
     * paused; the re-run heals exactly. Returns the folded batch ids. */
   def compact(spark: SparkSession, path: String): Seq[Long] =
     LsmCompact.fold(spark, s"$path/members", "vec_id",
-      _.write.mode("overwrite").parquet(membersPart(path, 0L)))
+      (folded, target) => folded.write.mode("overwrite").parquet(target))
 }
