@@ -28,7 +28,17 @@ abstract class JdbcAggPushdownBehavior extends SparkSpec {
     * (DuckDB) pin one for the suite — see JdbcSwapBehavior.pin */
   protected def pin: Option[java.sql.Connection] = None
 
+  /** Live bindings override to gate on configuration: when false, every
+    * test CANCELS (skipped, never failed) — see [[JdbcAggPushdownLiveSpec]]. */
+  protected def available: Boolean = true
+
+  /** the DATET table's Spark reference; live engines override for their
+    * identifier folding */
+  def dateTableRef: String = tableRef.replace("AGGT", "DATET")
+
   private def exec(sql: String): Unit = {
+    assume(available, s"[$engine] no live database configured " +
+      "(set GRAFT_LIVE_JDBC_URL to run)")
     Jdbc.ensureDialects()
     pin
     val c = DriverManager.getConnection(url)
@@ -60,7 +70,7 @@ abstract class JdbcAggPushdownBehavior extends SparkSpec {
   test(s"[$engine] month-window date predicate: pushdown per dialect, result exact") {
     freshDates()
     Jdbc.registerPushdownCatalog(spark, catalog, url)
-    val df = spark.table(tableRef.replace("AGGT", "DATET"))
+    val df = spark.table(dateTableRef)
       .filter(year(col("D")) === 2023 && month(col("D")) === 6)
       .groupBy(col("K")).agg(count(lit(1)).as("n"))
     val plan = df.queryExecution.executedPlan.toString
@@ -155,4 +165,25 @@ class JdbcAggPushdownDuckDbSpec extends JdbcAggPushdownBehavior {
     Jdbc.ensureDialects()
     Some(DriverManager.getConnection(url))
   }
+}
+
+/** LIVE-endpoint binding (round-14 verdict ask #7): the same
+  * pushdown-contract suite against a real server database when
+  * `GRAFT_LIVE_JDBC_URL` is set; offline every test cancels. Defaults
+  * assume Postgres identifier folding (unquoted DDL → lowercase under
+  * schema `public`; override with GRAFT_LIVE_JDBC_SCHEMA). EXTRACT
+  * pushdown is asserted only when GRAFT_LIVE_EXPECT_EXTRACT=1 — whether
+  * the dialect compiles date parts remotely is engine-specific, and the
+  * suite's exact-result assertions hold either way. */
+class JdbcAggPushdownLiveSpec extends JdbcAggPushdownBehavior {
+  def engine = "live"
+  override protected def available: Boolean =
+    sys.env.get("GRAFT_LIVE_JDBC_URL").exists(_.nonEmpty)
+  lazy val url: String =
+    sys.env.getOrElse("GRAFT_LIVE_JDBC_URL", "jdbc:unset:live")
+  def expectDatePushdown = sys.env.get("GRAFT_LIVE_EXPECT_EXTRACT").contains("1")
+  def catalog = "livecat"
+  private def schema = sys.env.getOrElse("GRAFT_LIVE_JDBC_SCHEMA", "public")
+  def tableRef = s"livecat.$schema.aggt"
+  override def dateTableRef = s"livecat.$schema.datet"
 }

