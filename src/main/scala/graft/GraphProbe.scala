@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * Usage: GraphProbe [sfDir] [passes] [spreadGate] [form]
   *   (defaults /root/testdata/sf0.1, 3, the operator's 1e8 gate —
   *    pass 0 to force the wedge-spread exchange for A/B timing;
-  *    form ∈ {pairs (default, Graph.coOccurrenceEdges), selfjoin,
-  *    edges_pairs, edges_selfjoin} — the edges_* variants time ONLY the
-  *    edge build's count, the standing A/B behind the round-14 kernel)
+  *    form ∈ {sortedrun (default, Graph.coOccurrenceEdges), selfjoin,
+  *    selfjoin_shj, coloc, collectset; prefix edges_ to time ONLY the
+  *    edge build's count} — the standing A/B ladder behind the round-14
+  *    edge-build decision, measurements pinned in coOccurrenceEdges)
   */
 object GraphProbe {
   def main(args: Array[String]): Unit = {
@@ -34,8 +35,40 @@ object GraphProbe {
             col("x.o") === col("y.o") && col("x.p") < col("y.p"))
           .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
       }
+      // self-join with SHJ hint: deletes the SMJ sorts, but per-partition
+      // hash-building the 20M side measured WORSE than sorting (rejected)
+      def selfJoinShjEdges = {
+        val d = items.distinct()
+        d.as("x").join(d.as("y").hint("shuffle_hash"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      }
+      // collect_set + compiled UnorderedPairs kernel — the round-14
+      // runner-up (object sort-agg churn loses to the sorted-run form
+      // in-suite and at sf100d; kept as the standing A/B rung)
+      def collectSetEdges = {
+        graft.functions.GraphExpressions.register(spark)
+        items.groupBy(col("o"))
+          .agg(collect_set(col("p")).as("ids"))
+          .select(explode(
+            graft.functions.GraphExpressions.unorderedPairs(col("ids"))).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b")).distinct()
+      }
+      // colocated candidate: ONE exchange on o satisfies both the (o,p)
+      // dedup (ClusteredDistribution subset rule) and the self-join's
+      // clustering — all-codegen, but the double dedup-agg + SHJ build
+      // measured worst of the ladder (rejected)
+      def colocEdges = {
+        val d = items.repartition(col("o")).dropDuplicates("o", "p")
+        d.as("x").join(d.as("y").hint("shuffle_hash"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      }
       val edges =
         if (form.endsWith("selfjoin")) selfJoinEdges
+        else if (form.endsWith("selfjoin_shj")) selfJoinShjEdges
+        else if (form.endsWith("coloc")) colocEdges
+        else if (form.endsWith("collectset")) collectSetEdges
         else graft.operators.Graph.coOccurrenceEdges(items, "o", "p")
       if (form.startsWith("edges_")) {
         val n = edges.count()

@@ -490,31 +490,88 @@ object Graph {
 
   /** Canonical co-occurrence edges: ids sharing a group value become an
     * edge (a < b, distinct) — the build feeding q56/GraphProbe's
-    * co-purchase graph. Group-then-explode with the compiled
-    * [[graft.functions.GraphExpressions.UnorderedPairs]] kernel: ONE
-    * exchange (the collect_set agg, map-side-combined per group) before
-    * the edge distinct, versus the self-join form's distinct-items
-    * exchange PLUS a re-shuffle on the group key and two sort-merge sorts
-    * — and no pre-distinct needed, collect_set dedups in the partial agg.
-    * This is the round-13-rejected collect_set plan made viable: the
-    * rejection measured the INTERPRETED transform/slice pair generator
-    * (160 s of task time for 40 M pairs at sf10), not the plan shape;
-    * the native kernel emits the same pairs inside the generated stage.
-    * Scale contract: pair volume is quadratic in group size, so the group
-    * key must be small-cardinality-per-group (TPC-H orders: ≤ 7 items at
-    * every SF); the quadratic explode happens BEFORE the edge-distinct
-    * exchange, so skew cost is bounded by max-group-size², not by any
-    * all-pairs blowup. */
+    * co-purchase graph. ONE exchange on the group key, a Tungsten
+    * sortWithinPartitions, then a streaming run iterator that emits each
+    * group's pairs with ZERO per-group allocation (one reused buffer per
+    * partition; sorted runs make pairs canonical and dedup consecutive
+    * ids for free) — then the edge distinct.
+    *
+    * Why this form (round-14 A/B ladder, all same-window, GraphProbe
+    * `edges_*` forms on the full sf10 graph / sf100d): the round-13
+    * self-join baseline pays a distinct exchange PLUS a group re-shuffle
+    * and two SMJ sorts (warm 9.7–11.7 s sf10); collect_set + the
+    * compiled UnorderedPairs kernel takes the one-exchange shape (8.6 —
+    * 9.1 s sf10, 35 s whole-query sf100d) but its ObjectHashAggregate
+    * always falls to SORT-BASED mode here (>128 groups/partition;
+    * hash mode OOMs outright at 8 g) and its per-group object churn
+    * degrades ~1.4× inside a worked JVM (in-suite 16.4 s vs the
+    * self-join's 12.5 s same-day — long-lived executors are the
+    * production case, so that loss matters); forcing SHJ on the
+    * self-join (17–19 s) and a colocated repartition+dedup join
+    * (16.5 s) both lose to everything. The sorted-run form keeps the
+    * one-exchange plan and replaces the object agg with the sort the
+    * fallback was doing anyway, minus the 6.7 M transient set buffers:
+    * same-window it beats the kernel form by ~15% at sf10 (9.8–11.3 vs
+    * 11.6–13.0) and ~31% at sf100d full graph (78.9 vs 114 s).
+    * `mapPartitions` is deliberate here — the run iteration over a
+    * sorted partition has no Expression-shaped equivalent, and the
+    * tuple encoder's churn measured cheaper than every agg/join form.
+    *
+    * Scale contract: pair volume is quadratic in GROUP size, so the
+    * group key must be small-cardinality-per-group (TPC-H orders: ≤ 7
+    * items at every SF); quadratic emission happens before the
+    * edge-distinct exchange, so skew cost is bounded by
+    * max-group-size², not any all-pairs blowup. A single hot group key
+    * lands one partition — same exposure as any groupBy on the key. */
   def coOccurrenceEdges(items: DataFrame, group: String,
                         id: String): DataFrame = {
-    graft.functions.GraphExpressions.register(items.sparkSession)
-    items.groupBy(col(group))
-      .agg(collect_set(col(id)).as("ids"))
-      .select(explode(
-        graft.functions.GraphExpressions.unorderedPairs(col("ids"))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-      .distinct()
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.select(col(group).cast("long"), col(id).cast("long"))
+      .repartition(col(group)).sortWithinPartitions(group, id)
+      .as[(Long, Long)]
+      .mapPartitions(sortedRunPairs)
+      .toDF("a", "b").distinct()
   }
+
+  /** Streaming pair emission over (group, id) rows SORTED by (group, id):
+    * buffers one group's distinct ids (consecutive duplicates skipped),
+    * yields its C(k,2) ascending pairs, reuses the buffer. Package-
+    * private for direct unit testing (GraphSpec). */
+  private[graft] def sortedRunPairs(
+      rows: Iterator[(Long, Long)]): Iterator[(Long, Long)] =
+    new Iterator[(Long, Long)] {
+      private val buf = new scala.collection.mutable.ArrayBuffer[Long](8)
+      private var i = 0
+      private var j = 0
+      private var pending: (Long, Long) = null
+      private var active = false
+      /** load the next group with >= 2 distinct ids into buf */
+      private def loadGroup(): Boolean = {
+        while (pending != null || rows.hasNext) {
+          buf.clear()
+          var g = 0L
+          if (pending != null) { g = pending._1; buf += pending._2; pending = null }
+          else { val r = rows.next(); g = r._1; buf += r._2 }
+          var boundary = false
+          while (!boundary && rows.hasNext) {
+            val r = rows.next()
+            if (r._1 == g) { if (buf(buf.length - 1) != r._2) buf += r._2 }
+            else { pending = r; boundary = true }
+          }
+          if (buf.length >= 2) { i = 0; j = 1; return true }
+        }
+        false
+      }
+      def hasNext: Boolean = { if (!active) active = loadGroup(); active }
+      def next(): (Long, Long) = {
+        if (!hasNext) throw new NoSuchElementException("sortedRunPairs")
+        val r = (buf(i), buf(j))
+        j += 1
+        if (j >= buf.length) { i += 1; j = i + 1; if (j >= buf.length) active = false }
+        r
+      }
+    }
 
   /** The pre-checkpoint triangle-count plan over a PERSISTED canonical
     * edge frame `e` (columns a, b) with its materialized count `nE` —

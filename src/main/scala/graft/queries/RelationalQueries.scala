@@ -1351,16 +1351,15 @@ object RelationalQueries {
     // records the head-to-head, graft.GraphProbe re-measures it). ----
     Q("q56_triangle_count",
       (s, dir) => {
-        // Edge build: group-then-explode via the COMPILED pair kernel
-        // (Graph.coOccurrenceEdges / GraphExpressions.UnorderedPairs).
-        // The collect_set form was rejected round 13 because its pair
-        // generator (nested transform/slice HOFs) ran interpreted — 40M
-        // interpreted struct constructions cost 160 s of task time at
-        // sf10 vs the codegen'd self-join's 56 s. The round-14 native
-        // kernel removes that cost while keeping the form's structural
-        // wins: no items pre-distinct (collect_set dedups map-side), one
-        // exchange on o instead of distinct + join re-shuffle, zero SMJ
-        // sorts. Same canonical edge set, hash-identical result.
+        // Edge build: Graph.coOccurrenceEdges — one exchange on o,
+        // Tungsten sort, streaming run-pair emission. Chosen over the
+        // round-13 self-join form AND the collect_set + compiled-kernel
+        // form by the round-14 five-way A/B ladder (same-window
+        // GraphProbe edges_* runs; full measurements pinned in the
+        // coOccurrenceEdges scaladoc — the kernel form won standalone
+        // but its object sort-agg churn lost in-suite, the sorted-run
+        // form wins everywhere incl. 31% at sf100d). Same canonical
+        // edge set, hash-identical result.
         val items = T(s, dir, "lineitem")
           .filter(pmod(col("l_orderkey"), lit(3)) === 0)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))

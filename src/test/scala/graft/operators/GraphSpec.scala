@@ -295,6 +295,20 @@ class GraphSpec extends SparkSpec {
       "fully-degraded (shuffle probe + shuffle deg + spread) rung diverged")
   }
 
+  test("sortedRunPairs: group boundaries, consecutive duplicates, singletons, trailing group") {
+    def run(rows: (Long, Long)*): Seq[(Long, Long)] =
+      Graph.sortedRunPairs(rows.iterator).toSeq
+    // two groups with a singleton between; dup ids collapse
+    assert(run((1L,1L),(1L,2L),(1L,2L),(1L,3L),(2L,9L),(3L,4L),(3L,7L)) ==
+      Seq((1L,2L),(1L,3L),(2L,3L),(4L,7L)))
+    // empty input, all-singleton input
+    assert(run() == Seq.empty)
+    assert(run((5L,1L),(6L,2L),(7L,3L)) == Seq.empty)
+    // single big trailing group emits every ascending pair
+    assert(run((9L,1L),(9L,2L),(9L,3L),(9L,4L)).toSet ==
+      Set((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)))
+  }
+
   test("triangleNodeCounts on an empty edge frame with the spread gate forced") {
     import spark.implicits._
     // sum() over zero groups is NULL: the wedge-volume agg must coalesce
