@@ -60,9 +60,13 @@ class CrashFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   * family's crash/replay contract, proven at hand-chosen crash points by
   * CompactFenceSpec / FrameIndexSpec / the half-compact heal specs, is
   * here hammered at RANDOM write boundaries: for each of ≥ 20 random op
-  * budgets across AnnIndex + SemDeDupIndex + FrameIndex, the
-  * build→append→append→compact→append→compact flow is killed wherever
-  * the budget lands, then recovered by the documented operator runbook —
+  * budgets across ALL FIVE disk indexes (AnnIndex, SemDeDupIndex,
+  * FrameIndex, NearDupIndex, BpeVocabIndex — the full family the
+  * batch-partitioned crash/replay contract is claimed for), the
+  * build→append→append→compact→append→compact flow (BpeVocabIndex:
+  * build→refresh×3 — a SUM statistic has no compact, per its scaladoc)
+  * is killed wherever the budget lands, then recovered by the
+  * documented operator runbook —
   * (1) delete leases of confirmed-dead appends, (2) re-run compact (heals
   * a leftover fence, restores a mid-swap batch 0, no-op otherwise),
   * (3) replay from the failed step (idempotent by batch id) — and the
@@ -150,6 +154,58 @@ class CrashDrillSpec extends SparkSpec {
       sets ++ dict
     })
 
+  // near-dup family: three base sentences give cross-batch near-dup
+  // families; capNum=capDen=1 keeps every gram under the tiny corpus's
+  // DF cap so the frozen dictionary is non-trivial
+  private def doc(i: Int): (Long, String) = {
+    val bases = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "how vexingly quick daft zebras jump")
+    (i.toLong, bases(i % 3) + " variant " + (i / 3))
+  }
+  private def ddf(ids: Range): DataFrame =
+    ids.map(doc).toDF("doc_id", "text")
+
+  private val nearDupDrill = Drill("neardup", p => s"$p/docsets",
+    Seq(
+      p => { NearDupIndex.build(ddf(0 until 12), p, capNum = 1, capDen = 1); () },
+      p => { NearDupIndex.append(spark, p, 1L, ddf(12 until 16)).count(); () },
+      p => { NearDupIndex.append(spark, p, 2L, ddf(16 until 20)).count(); () },
+      p => { NearDupIndex.compact(spark, p); () },
+      p => { NearDupIndex.append(spark, p, 3L, ddf(20 until 24)).count(); () },
+      p => { NearDupIndex.compact(spark, p); () }),
+    p => {
+      // prefix is derived from (gs, n) — digesting it too would only
+      // re-assert the slice expression
+      val sets = spark.read.parquet(s"$p/docsets")
+        .select(col("doc_id"), col("gs"), col("n"))
+        .collect().map(r => Seq[Any]("s", r.getLong(0),
+          r.getSeq[Int](1).mkString(","), r.getInt(2))).toSet
+      val dict = spark.read.parquet(s"$p/dictionary")
+        .collect().map(r => Seq[Any]("d", r.getString(0), r.getInt(1))).toSet
+      sets ++ dict
+    })
+
+  // tokenizer family: word histograms fold additively; merges/ is DERIVED
+  // state retrained on every refresh, so the digest covers both the fold
+  // and the trained table
+  private val bpeDrill = Drill("bpe", p => s"$p/word_counts",
+    Seq(
+      p => { BpeVocabIndex.build(ddf(0 until 12), p, rounds = 4); () },
+      p => { BpeVocabIndex.refresh(spark, p, 1L, ddf(12 until 16)).count(); () },
+      p => { BpeVocabIndex.refresh(spark, p, 2L, ddf(16 until 20)).count(); () },
+      p => { BpeVocabIndex.refresh(spark, p, 3L, ddf(20 until 24)).count(); () }),
+    p => {
+      val cnts = BpeVocabIndex.counts(spark, p)
+        .collect().map(r => Seq[Any]("c", r.getString(0), r.getLong(1))).toSet
+      val merges = spark.read.parquet(s"$p/merges")
+        .select(col("round"), col("lhs"), col("rhs"), col("merged"))
+        .collect().map(r => Seq[Any]("m", r.getLong(0), r.getString(1),
+          r.getString(2), r.getString(3))).toSet
+      cnts ++ merges
+    })
+
   private def runFlow(d: Drill, path: String): Unit =
     d.steps.foreach(_(path))
 
@@ -175,11 +231,11 @@ class CrashDrillSpec extends SparkSpec {
     conf.set("fs.crashfs.impl", classOf[CrashFileSystem].getName)
   }
 
-  test("random-write-boundary kills across append/compact/refresh heal to the reference state on all three indexes") {
+  test("random-write-boundary kills across append/compact/refresh heal to the reference state on all five indexes") {
     registerCrashFs()
     var totalPoints = 0
     val rnd = new scala.util.Random(14)
-    for (d <- Seq(annDrill, semDrill, frameDrill)) {
+    for (d <- Seq(annDrill, semDrill, frameDrill, nearDupDrill, bpeDrill)) {
       // reference (never crashed) on a plain local path
       val refPath = Files.createTempDirectory(s"drill_ref_${d.name}").toString
       CrashFsBudget.disarm()
@@ -197,10 +253,10 @@ class CrashDrillSpec extends SparkSpec {
       assert(d.digest(countPath) == want,
         s"${d.name}: crashfs-clean run diverged from the file:// reference")
 
-      // ≥ 7 random budgets per family; build (step 0) runs disarmed —
-      // its contract is "re-run build", not replay — so budgets start
-      // after it
-      val budgets = Seq.fill(7)(rnd.between(1L, total + 1L))
+      // ≥ 5 random budgets per family (5 families × 5 ≥ the ask's 20
+      // points); build (step 0) runs disarmed — its contract is "re-run
+      // build", not replay — so budgets start after it
+      val budgets = Seq.fill(5)(rnd.between(1L, total + 1L))
       for (b <- budgets) {
         totalPoints += 1
         val dir = Files.createTempDirectory(s"drill_${d.name}_$b").toString
