@@ -40,10 +40,26 @@ object Bench {
     spark
   }
 
+  /** Ambient load (1m, 5m) from /proc/loadavg; empty on non-Linux or any
+    * read failure — best-effort context, never a reason to fail a bench. */
+  private def loadavg(): Seq[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+").take(2).toSeq.map(_.toDouble)
+      finally src.close()
+    } catch { case _: Exception => Seq.empty }
+
   /** Warmup + N measured passes (SPARK_GRAFT_PASSES, default 2) over the
     * bench set against `sfDir`; returns the one-line JSON report with the
     * per-query minimum and the pass count. */
   def run(spark: SparkSession, sfDir: String): String = {
+    // Ambient load BEFORE any engine work — the 1-min figure is pure
+    // co-tenant signal, the same capture pair_bench.sh records (verdict
+    // r13 #3); with it in the SCALE artifacts too, a "quiet window"
+    // claim on a BENCH_SF* re-cut is mechanical, not narrative. The
+    // end capture is self-polluted by our own 32 threads, kept for
+    // context only.
+    val loadStart = loadavg()
     // loud (non-fatal) schema-drift diagnosis before anything runs
     graft.core.Contract.warn(spark, sfDir)
 
@@ -129,7 +145,9 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val skipJson = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"pass_times":$passJson,"noisy":$noisyJson,"errors":$errJson,"skipped":$skipJson,"sf":"$sfDir"}"""
+    val loadEnd = loadavg()
+    def loadJson(l: Seq[Double]) = l.mkString("[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"pass_times":$passJson,"noisy":$noisyJson,"errors":$errJson,"skipped":$skipJson,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
