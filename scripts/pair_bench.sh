@@ -40,6 +40,21 @@ scripts/run_verify.sh /root/testdata/sf0.001 "$ORACLE_DIR" graft.Verify \
 # this makes band-width attribution mechanical.
 LOAD_START=$(cut -d' ' -f1,2 /proc/loadavg)
 
+# Effective CPU speed at window START: a fixed single-thread spin, timed.
+# Round-14 measured the host running the SAME spin at 0.79 s in the
+# morning and 1.23 s in the afternoon WITH LOADAVG 0.08 — hypervisor
+# frequency/cap changes are invisible to loadavg, and standalone bench
+# totals moved 36 -> 73 s on identical code in exactly those windows. The
+# spin is the mechanical detector loadavg cannot be. Within one window
+# the ratio stays honest (both engines share the slowdown); the spin
+# explains RAW-total drift across windows.
+cpu_spin() { python3 -c "
+import time
+t0=time.perf_counter(); x=0
+for i in range(10_000_000): x+=i*i
+print(round(time.perf_counter()-t0, 3))"; }
+SPIN_START=$(cpu_spin)
+
 echo "[pair] engine bench on $SF ..." >&2
 ENGINE_JSON=$(SPARK_GRAFT_SF_DIR="$SF" scripts/run_verify.sh x x graft.Bench \
   2>/dev/null | tail -1)
@@ -50,12 +65,14 @@ DUCK_JSON=$(DUCK_TIMEOUT_SEC=${DUCK_TIMEOUT_SEC:-120} \
   python3 scripts/bench_duckdb.py "$SF" "$ORACLE_DIR/oracle_sql.json" $NAMES)
 
 LOAD_END=$(cut -d' ' -f1,2 /proc/loadavg)
+SPIN_END=$(cpu_spin)
 
-python3 - "$ENGINE_JSON" "$DUCK_JSON" "$SF" "$OUT" "$LOAD_START" "$LOAD_END" <<'EOF'
+python3 - "$ENGINE_JSON" "$DUCK_JSON" "$SF" "$OUT" "$LOAD_START" "$LOAD_END" "$SPIN_START" "$SPIN_END" <<'EOF'
 import json, os, sys, datetime
 eng, duck, sf, out = json.loads(sys.argv[1]), json.loads(sys.argv[2]), sys.argv[3], sys.argv[4]
 load_start = [float(x) for x in sys.argv[5].split()]
 load_end = [float(x) for x in sys.argv[6].split()]
+spin_start, spin_end = float(sys.argv[7]), float(sys.argv[8])
 # a window is load-flagged when AMBIENT (pre-run) 1-min load exceeds the
 # threshold — deltas measured in it are co-tenant noise, not engine drift
 load_flag_at = float(os.environ.get("PAIR_LOAD_FLAG", "4.0"))
@@ -71,6 +88,13 @@ window = {
     "ratio": round(et / dt, 3) if dt else None,
     "loadavg_start_1m_5m": load_start,
     "loadavg_end_1m_5m": load_end,
+    # fixed single-thread spin (10M-iter int loop), seconds: the effective-
+    # CPU-speed index. ~0.79 s on this box at full speed; PAIR_SPIN_FLAG
+    # (default 1.0) marks windows where the host itself was slow — a raw-
+    # total delta vs such a window is host speed, not engine drift.
+    "cpu_spin_start_sec": spin_start,
+    "cpu_spin_end_sec": spin_end,
+    "cpu_flagged": spin_start > float(os.environ.get("PAIR_SPIN_FLAG", "1.0")),
     "load_flagged": load_start[0] > load_flag_at,
     "engine_only": sorted(set(eng["queries"]) - set(duck["queries"])),
     "duckdb_errors": duck.get("errors", {}),
@@ -102,16 +126,21 @@ with open(out, "w") as f:
 # band.
 at_sf = [r for r in runs if r.get("ratio") is not None and r.get("sf") == sf]
 ratios = [r["ratio"] for r in at_sf]
-# quiet band = windows not load-flagged (legacy windows without the field
-# count as quiet — they predate the capture and were hand-attributed)
-quiet = [r["ratio"] for r in at_sf if not r.get("load_flagged", False)]
+# quiet band = windows neither load- nor cpu-flagged (legacy windows
+# without the fields count as quiet — they predate the captures and were
+# hand-attributed). Note the RATIO inside a cpu-flagged window is still
+# honest (both engines share the slow host); the flag exists so RAW
+# totals are never compared across unlike windows.
+quiet = [r["ratio"] for r in at_sf
+         if not r.get("load_flagged", False) and not r.get("cpu_flagged", False)]
 other_sf = sorted({r.get("sf") for r in runs if r.get("sf") != sf})
 if other_sf:
     print(f"[pair] WARNING: {out} mixes sf values {other_sf} with current "
           f"sf={sf}; band covers only sf={sf} windows", file=sys.stderr)
 print(json.dumps({**{k: window[k] for k in
     ("window_utc", "sf", "n_shared", "engine_total_sec",
-     "duckdb_total_sec", "ratio", "loadavg_start_1m_5m", "load_flagged")},
+     "duckdb_total_sec", "ratio", "loadavg_start_1m_5m", "load_flagged",
+     "cpu_spin_start_sec", "cpu_flagged")},
     "n_windows": len(runs), "n_windows_at_sf": len(ratios),
     "band": [min(ratios), max(ratios)] if ratios else None,
     "band_quiet": [min(quiet), max(quiet)] if quiet else None,
