@@ -49,6 +49,52 @@ object Bench {
       finally src.close()
     } catch { case _: Exception => Seq.empty }
 
+  /** Effective-host-speed indexes, each a fixed single-thread workload
+    * timed after one unrecorded JIT-warmup pass. Two probes with disjoint
+    * blind spots, prompted by a round-14 window where bench totals on
+    * identical code moved 32 → 73 s while loadavg read 0.08 (loadavg sees
+    * co-tenant RUNNABLE threads, not hypervisor caps or cache/memory
+    * pressure): in that window a python interpreter spin ran 1.6–2.3×
+    * its same-morning time while the ALU loop below still read ~0.3 s —
+    * whatever the mode was, a single probe can misread it as "host fine".
+    * The ALU loop tracks frequency caps; the dependent-load walk tracks
+    * memory latency (it read 152–160 ns/load in the degraded window).
+    * Recording both at start/end of every artifact makes raw-total drift
+    * across windows attributable mechanically, with quiet-window baselines
+    * accumulating in the artifacts themselves (pair_bench.sh carries a
+    * python spin with the same role). */
+  private def spinSeconds(body: () => Long): Double = {
+    val sink = body() // JIT-warmup pass; result observable so the loop can't DCE
+    val t0 = System.nanoTime()
+    val x = body()
+    val t = (System.nanoTime() - t0) / 1e9
+    if (sink + x == 42L) System.err.println("[bench] (unreachable)")
+    t
+  }
+  /** ALU-bound: 400M long mult-adds in registers — tracks frequency caps. */
+  private def cpuSpinReg(): Double = spinSeconds { () =>
+    var x = 0L; var i = 0L
+    while (i < 400000000L) { x += i * i; i += 1 }
+    x
+  }
+  /** Latency-bound: 10M dependent loads on a pseudo-random 128 MB cycle —
+    * tracks memory pressure (the array is rebuilt per call; ~1 s quiet). */
+  private def cpuSpinMem(): Double = {
+    val n = 16000000
+    val next = new Array[Int](n)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      val j = ((idx + 2654435761L) % n).toInt
+      next(i) = j; idx = j; i += 1
+    }
+    spinSeconds { () =>
+      var p = 0; var k = 0
+      while (k < 10000000) { p = next(p); k += 1 }
+      p.toLong
+    }
+  }
+
   /** Warmup + N measured passes (SPARK_GRAFT_PASSES, default 2) over the
     * bench set against `sfDir`; returns the one-line JSON report with the
     * per-query minimum and the pass count. */
@@ -60,6 +106,8 @@ object Bench {
     // end capture is self-polluted by our own 32 threads, kept for
     // context only.
     val loadStart = loadavg()
+    val spinRegStart = cpuSpinReg()
+    val spinMemStart = cpuSpinMem()
     // loud (non-fatal) schema-drift diagnosis before anything runs
     graft.core.Contract.warn(spark, sfDir)
 
@@ -146,8 +194,10 @@ object Bench {
       .mkString("{", ",", "}")
     val skipJson = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadEnd = loadavg()
+    val spinRegEnd = cpuSpinReg()
+    val spinMemEnd = cpuSpinMem()
     def loadJson(l: Seq[Double]) = l.mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"pass_times":$passJson,"noisy":$noisyJson,"errors":$errJson,"skipped":$skipJson,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"pass_times":$passJson,"noisy":$noisyJson,"errors":$errJson,"skipped":$skipJson,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"spin_reg_start_sec":$spinRegStart,"spin_reg_end_sec":$spinRegEnd,"spin_mem_start_sec":$spinMemStart,"spin_mem_end_sec":$spinMemEnd,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
