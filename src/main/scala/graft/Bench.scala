@@ -72,14 +72,14 @@ object Bench {
     t
   }
   /** ALU-bound: 400M long mult-adds in registers — tracks frequency caps. */
-  private def cpuSpinReg(): Double = spinSeconds { () =>
+  private[graft] def cpuSpinReg(): Double = spinSeconds { () =>
     var x = 0L; var i = 0L
     while (i < 400000000L) { x += i * i; i += 1 }
     x
   }
   /** Latency-bound: 10M dependent loads on a pseudo-random 128 MB cycle —
     * tracks memory pressure (the array is rebuilt per call; ~1 s quiet). */
-  private def cpuSpinMem(): Double = {
+  private[graft] def cpuSpinMem(): Double = {
     val n = 16000000
     val next = new Array[Int](n)
     var idx = 0

@@ -70,6 +70,12 @@ object BenchOne {
       }
     }
 
+    // host-speed probes (Bench records the same pair in its artifacts):
+    // per-query numbers measured here get quoted in PERF.md, so they need
+    // the same window attribution as the full-set artifacts
+    println(f"host probes: spin_reg=${Bench.cpuSpinReg()}%.3f s  " +
+      f"spin_mem=${Bench.cpuSpinMem()}%.3f s")
+
     var last: org.apache.spark.sql.DataFrame = null
     (1 to passes).foreach { i =>
       val profile = sys.env.contains("SPARK_GRAFT_STAGES") && i == passes
