@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Paths}
 
 /** Standing 10× regression surface: run the full bench set against a
   * ScaleUp-derived sf1 directory and record per-query times to a JSON file,
@@ -27,7 +26,10 @@ object BenchScale {
     val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val json = Bench.run(spark, scaled)
     println(json)
-    Files.writeString(Paths.get(jsonOut), json + "\n")
+    // record-gate aware: under SPARK_GRAFT_RECORD=1 a probe-flagged run is
+    // diverted to jsonOut.flagged so BENCH_SF*.json only ever holds quiet
+    // cuts (r14: the 71.4 s BENCH_SF1 was a degraded-window artifact)
+    Bench.writeArtifact(json, jsonOut)
     spark.stop()
   }
 }

@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * The gated query samples to keep the BENCH total honest; this probe is
   * where the full-density number gets re-measured after operator changes.
   *
-  * Usage: GraphProbe [sfDir] [passes] [spreadGate] [form]
+  * Usage: GraphProbe [sfDir] [passes] [spreadGate] [form] [localCap]
   *   (defaults /root/testdata/sf0.1, 3, the operator's 1e8 gate —
   *    pass 0 to force the wedge-spread exchange for A/B timing;
   *    form ∈ {sortedrun (default, Graph.coOccurrenceEdges), selfjoin,
   *    selfjoin_shj, coloc, collectset; prefix edges_ to time ONLY the
   *    edge build's count} — the standing A/B ladder behind the round-14
-  *    edge-build decision, measurements pinned in coOccurrenceEdges)
+  *    edge-build decision, measurements pinned in coOccurrenceEdges;
+  *    localCap ∈ {-1 = auto heap-derived (r15 local compact-forward
+  *    rung — at sf0.1's 1.2M edges this IS the production path), 0 =
+  *    force the distributed wedge plan (the pre-r15 A/B baseline)})
   */
 object GraphProbe {
   def main(args: Array[String]): Unit = {
@@ -24,6 +27,7 @@ object GraphProbe {
     val gate = if (args.length > 2) args(2).toLong
       else graft.operators.Graph.wedgeSpreadGate
     val form = if (args.length > 3) args(3) else "pairs"
+    val localCap = if (args.length > 4) args(4).toLong else -1L
     val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     for (p <- 1 to passes) {
       val t0 = System.nanoTime()
@@ -76,7 +80,8 @@ object GraphProbe {
           s"edges=$n ($form)")
       } else {
         val top = graft.operators.Graph
-          .triangleNodeCounts(edges, spreadGate = gate)
+          .triangleNodeCounts(edges, spreadGate = gate,
+            localEdgeThreshold = localCap)
           .orderBy(col("n_tri").desc, col("node").asc).limit(10)
           .collect()
         println(f"pass $p: ${(System.nanoTime() - t0) / 1e9}%.2f s  " +

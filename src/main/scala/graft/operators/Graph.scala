@@ -456,17 +456,31 @@ object Graph {
     * up quadratically on exactly those hubs. All joins are equi-joins on
     * node keys; nothing global.
     *
+    * Size ladder (r15, the connectedComponents precedent): long-keyed
+    * edge sets under the driver-heap-derived `localEdgeThreshold`
+    * (default [[derivedLocalEdgeCap]]) are collected and counted by the
+    * primitive [[localTriangleCounts]] kernel — the distributed plan's
+    * ~25 stages are pure scheduler floor at that size (q56's sampled
+    * sf0.1 graph: 4.2 s distributed vs sub-second local, same hash).
+    * The kernel's own O(|E|)-computed merge-work gate falls back to the
+    * distributed wedge plan on dense-but-small graphs, so neither rung
+    * is ever pathological.
+    *
     * @param edges canonical undirected edges: first column < second
     *   column, distinct
     * @return (node, n_tri) for nodes in ≥ 1 triangle */
   def triangleNodeCounts(edges: DataFrame,
                          broadcastEdgeThreshold: Long = -1L,
                          broadcastNodeThreshold: Long = -1L,
-                         spreadGate: Long = wedgeSpreadGate): DataFrame = {
+                         spreadGate: Long = wedgeSpreadGate,
+                         localEdgeThreshold: Long = -1L): DataFrame = {
     val spark = edges.sparkSession
     val bcastEdgeCap =
       if (broadcastEdgeThreshold >= 0L) broadcastEdgeThreshold
       else derivedBroadcastEdgeCap(spark)
+    val localCap =
+      if (localEdgeThreshold >= 0L) localEdgeThreshold
+      else derivedLocalEdgeCap()
     val Array(ac, bc) = edges.columns.take(2)
     // Materialize the canonical edge set ONCE: it feeds THREE consumers
     // (degree counting, orientation, the closing-edge probe), and a lazy
@@ -479,6 +493,25 @@ object Graph {
     val e = edges.select(col(ac).as("a"), col(bc).as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nE = e.count()
+    // Local rung of the size ladder (same shape as connectedComponents'
+    // union-find rung): under the driver-heap-derived edge cap, collect
+    // the canonical edge set and count with the primitive compact-forward
+    // kernel — the distributed plan below is ~25 stages of 30–700 ms
+    // each on a graph this size (r15 BenchOne stage profile: wall ≈
+    // scheduler floor, e.g. 381 ms wall for 8.0 s of task time over 32
+    // tasks moving 3 MB), i.e. pure task/stage overhead, while the local
+    // kernel does the same O(Σ od(u)+od(v)) merge work in one process.
+    // Long keys only (q56's part ids; the distributed path handles any
+    // type); the kernel's own work gate bails back here on the rare
+    // under-cap-but-dense graph.
+    val longKeys = e.schema.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longKeys && nE <= localCap) {
+      localTriangleCounts(e) match {
+        case Some(out) => e.unpersist(); return out
+        case None => () // null keys or wedge-work gate: distributed path
+      }
+    }
     val (counts, caches) =
       triangleCountsFrame(e, nE, bcastEdgeCap, broadcastNodeThreshold,
         spreadGate)
@@ -579,6 +612,109 @@ object Graph {
     * physical shape (the public method returns a checkpoint scan, which
     * hides it). Returns the counts frame plus the intermediate caches the
     * caller must unpersist after materializing the result. */
+  /** Single-process compact-forward triangle counting over a collected
+    * canonical edge set (a < b, distinct, both columns LongType) — the
+    * local rung of [[triangleNodeCounts]]'s size ladder. Orientation by
+    * (degree, id) bounds out-degree at O(√|E|); per oriented edge (u→v)
+    * a two-pointer merge of the SORTED N⁺(u)/N⁺(v) closes each triangle
+    * exactly once (its orientation-lowest corner owns it) and increments
+    * all three corners. Total merge work is Σ_{u→v}(od(u)+od(v)) ≤
+    * O(|E|^1.5) worst-case; the gate computes the ACTUAL sum in O(|E|)
+    * before the loop and returns None above [[localWedgeWorkGate]]
+    * (caller falls back to the distributed plan), so a dense under-cap
+    * graph can never wedge the driver. The collect is bounded by the
+    * caller's heap-derived edge cap — same budget as the union-find rung.
+    * Returns None (never a wrong answer) on null keys: the distributed
+    * path keeps null as a joinable key and this kernel cannot. */
+  private[graft] def localTriangleCounts(
+      e: DataFrame, workGate: Long = localWedgeWorkGate): Option[DataFrame] = {
+    val internal = e.queryExecution.executedPlan.executeCollect()
+    val m = internal.length
+    var i = 0
+    while (i < m) {
+      if (internal(i).isNullAt(0) || internal(i).isNullAt(1)) return None
+      i += 1
+    }
+    val idMap = new LongIdMap(2 * m)
+    val ea = new Array[Int](m); val eb = new Array[Int](m)
+    i = 0
+    while (i < m) {
+      ea(i) = idMap.getOrAdd(internal(i).getLong(0))
+      eb(i) = idMap.getOrAdd(internal(i).getLong(1))
+      i += 1
+    }
+    val nV = idMap.order.length
+    val deg = new Array[Int](nV)
+    i = 0; while (i < m) { deg(ea(i)) += 1; deg(eb(i)) += 1; i += 1 }
+    // low (deg, original id) endpoint owns the oriented edge
+    def ahead(u: Int, v: Int): Boolean =
+      deg(u) < deg(v) ||
+        (deg(u) == deg(v) && idMap.order(u) < idMap.order(v))
+    val od = new Array[Int](nV)
+    i = 0
+    while (i < m) {
+      if (ahead(ea(i), eb(i))) od(ea(i)) += 1 else od(eb(i)) += 1
+      i += 1
+    }
+    val off = new Array[Int](nV + 1)
+    i = 0; while (i < nV) { off(i + 1) = off(i) + od(i); i += 1 }
+    val adj = new Array[Int](m)
+    val fill = java.util.Arrays.copyOf(off, nV)
+    i = 0
+    while (i < m) {
+      if (ahead(ea(i), eb(i))) { adj(fill(ea(i))) = eb(i); fill(ea(i)) += 1 }
+      else { adj(fill(eb(i))) = ea(i); fill(eb(i)) += 1 }
+      i += 1
+    }
+    var u = 0
+    while (u < nV) { java.util.Arrays.sort(adj, off(u), off(u + 1)); u += 1 }
+    var work = 0L
+    u = 0
+    while (u < nV) {
+      var j = off(u)
+      while (j < off(u + 1)) { work += od(u).toLong + od(adj(j)).toLong; j += 1 }
+      u += 1
+    }
+    if (work > workGate) return None
+    val tri = new Array[Long](nV)
+    u = 0
+    while (u < nV) {
+      var j = off(u)
+      while (j < off(u + 1)) {
+        val v = adj(j)
+        var p = off(u); var q = off(v)
+        while (p < off(u + 1) && q < off(v + 1)) {
+          val x = adj(p); val y = adj(q)
+          if (x == y) { tri(u) += 1; tri(v) += 1; tri(x) += 1; p += 1; q += 1 }
+          else if (x < y) p += 1
+          else q += 1
+        }
+        j += 1
+      }
+      u += 1
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    u = 0
+    while (u < nV) {
+      if (tri(u) > 0L)
+        rows.add(org.apache.spark.sql.Row(idMap.order(u), tri(u)))
+      u += 1
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tri",
+        org.apache.spark.sql.types.LongType)))
+    Some(e.sparkSession.createDataFrame(rows, schema))
+  }
+
+  /** Merge-work ceiling for [[localTriangleCounts]] — ~2e9 int-compares
+    * is a few seconds of single-core work on this kernel (measured
+    * ~10⁹ compare-steps/s on primitive sorted runs); an under-edge-cap
+    * graph dense enough to exceed it gets the distributed wedge plan,
+    * whose spread gate is built for exactly that shape. */
+  private[graft] val localWedgeWorkGate = 2000000000L
+
   private[graft] def triangleCountsFrame(e: DataFrame, nE: Long,
       bcastEdgeCap: Long, broadcastNodeThreshold: Long = -1L,
       spreadGate: Long = wedgeSpreadGate): (DataFrame, Seq[DataFrame]) = {

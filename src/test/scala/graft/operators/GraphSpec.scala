@@ -256,10 +256,17 @@ class GraphSpec extends SparkSpec {
         yield (a, b)).toSet
     }
     for (edges <- Seq(k4, star) ++ randoms) {
+      // default args: the LOCAL compact-forward kernel (all fixtures are
+      // far under the heap-derived cap); localEdgeThreshold = 0 forces
+      // the distributed wedge plan — both rungs must equal brute force
       val got = Graph.triangleNodeCounts(edges.toSeq.toDF("a", "b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Graph.triangleNodeCounts(edges.toSeq.toDF("a", "b"),
+          localEdgeThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val want = bruteTriangles(edges)
-      assert(got == want, s"edges=${edges.size}: got $got want $want")
+      assert(got == want, s"local rung, edges=${edges.size}: got $got want $want")
+      assert(dist == want, s"distributed rung, edges=${edges.size}: got $dist want $want")
     }
     // fixture sanity: the references themselves behave as expected
     assert(bruteTriangles(k4) == (0L to 3L).map(_ -> 3L).toMap)
@@ -283,8 +290,10 @@ class GraphSpec extends SparkSpec {
       if a < b && r.nextDouble() < 0.3 } yield (a, b)).toSet
     def run(edgeCap: Long, nodeCap: Long = -1L,
             gate: Long = Graph.wedgeSpreadGate) =
+      // localEdgeThreshold = 0: these are the DISTRIBUTED rungs — the
+      // r15 local kernel would otherwise swallow every test-sized graph
       Graph.triangleNodeCounts(edges.toSeq.toDF("a", "b"),
-          edgeCap, nodeCap, gate)
+          edgeCap, nodeCap, gate, localEdgeThreshold = 0L)
         .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     val bcast = run(Long.MaxValue)
     assert(bcast == bruteTriangles(edges), "broadcast rung diverged")
@@ -315,6 +324,37 @@ class GraphSpec extends SparkSpec {
     // it, not NPE, when the gate branch is forced on an empty frame
     // (spreadGate = 0 is exactly how GraphProbe drives the branch).
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
-    assert(Graph.triangleNodeCounts(empty, spreadGate = 0L).count() == 0L)
+    assert(Graph.triangleNodeCounts(empty, spreadGate = 0L,
+      localEdgeThreshold = 0L).count() == 0L)
+    // and the local rung's empty case (default path at size 0)
+    assert(Graph.triangleNodeCounts(empty).count() == 0L)
+  }
+
+  test("localTriangleCounts: work gate and null keys fall back (None), never a wrong answer") {
+    import spark.implicits._
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)).toSeq
+    // workGate = 0 refuses any graph with >= 1 oriented edge of work
+    assert(Graph.localTriangleCounts(k4.toDF("a", "b"), workGate = 0L).isEmpty)
+    // a null endpoint is representable distributed (null is a groupBy/join
+    // key there) but not in the primitive kernel — must decline, and the
+    // public ladder must still answer via the distributed rung
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, 2L),
+        org.apache.spark.sql.Row(null, 3L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    assert(Graph.localTriangleCounts(withNull).isEmpty)
+    assert(Graph.triangleNodeCounts(withNull).count() == 0L)
+    // gate arithmetic: K4's compact-forward work is exactly
+    // sum over oriented edges of od(u)+od(v); each node has od in
+    // {0,1,2,3} with sum 6 (6 edges) — the gate admits it at >= its
+    // true work and the kernel then matches brute force
+    val local = Graph.localTriangleCounts(k4.toDF("a", "b")).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == (0L to 3L).map(_ -> 3L).toMap)
   }
 }
