@@ -45,6 +45,11 @@ object DensityProbe {
     require((flags -- Set("skip_s12", "nowarm")).isEmpty,
       s"unknown argument(s): ${(flags -- Set("skip_s12", "nowarm")).mkString(" ")}")
     val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // host-speed probes bracket the run (r15): decade TIMES are only
+    // citable from probe-quiet windows — the r14 t36-1000× rows were cut
+    // at start loadavg 12–15 and burned a round on attribution
+    val spinRegStart = Bench.cpuSpinReg()
+    val spinMemStart = Bench.cpuSpinMem()
     val docs = graft.core.Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
 
@@ -90,11 +95,15 @@ object DensityProbe {
     if (!noWarm) pass() // warmup — see scaladoc
     val (t06Sec, t06Pairs, t11Sec, t11Rows,
       t36Sec, t36Pairs, s12Sec, s12Rows) = pass()
+    val spinRegEnd = Bench.cpuSpinReg()
+    val spinMemEnd = Bench.cpuSpinMem()
     println(s"""{"metric":"density_probe","sf":"$sfDir","factor":$factor,""" +
       s""""t06_sec":$t06Sec,"t06_pairs":$t06Pairs,""" +
       s""""t11_sec":$t11Sec,"t11_rows":$t11Rows,""" +
       s""""t36_sec":$t36Sec,"t36_pairs":$t36Pairs,""" +
-      s""""s12_sec":$s12Sec,"s12_removed":$s12Rows}""")
+      s""""s12_sec":$s12Sec,"s12_removed":$s12Rows,""" +
+      s""""spin_reg_start_sec":$spinRegStart,"spin_mem_start_sec":$spinMemStart,""" +
+      s""""spin_reg_end_sec":$spinRegEnd,"spin_mem_end_sec":$spinMemEnd}""")
     spark.stop()
   }
 }
