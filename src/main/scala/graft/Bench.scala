@@ -151,8 +151,21 @@ object Bench {
     * probe_quiet field on any artifact. */
   private[graft] def writeArtifact(json: String, path: String): Unit = {
     val flaggedRun = json.contains("\"probe_quiet\":false")
+    // A proven-quiet record is protected even OUTSIDE record mode: a casual
+    // (non-record) degraded-window run must not clobber a quiet cut at the
+    // record path — that is exactly how the r14 "latest" snapshot went bad.
+    // A flagged run may still replace a flagged/unproven one (freshness on a
+    // host whose degraded mode lasts whole days beats staleness).
+    val existingQuiet = {
+      val f = new java.io.File(path)
+      f.isFile && {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.mkString.contains("\"probe_quiet\":true") finally src.close()
+      }
+    }
     val target =
-      if (flaggedRun && sys.env.contains("SPARK_GRAFT_RECORD")) path + ".flagged"
+      if (flaggedRun && (sys.env.contains("SPARK_GRAFT_RECORD") || existingQuiet))
+        path + ".flagged"
       else path
     val out = new java.io.File(target)
     Option(out.getParentFile).foreach(_.mkdirs())
