@@ -1,0 +1,72 @@
+#!/usr/bin/env bash
+# Wait for a probe-quiet host window (graft.HostProbe), then land the
+# outstanding artifact-of-record cuts in value order:
+#   1. scripts/pair_bench.sh            — a probe-quiet pairing window; its
+#      engine leg also refreshes rounds/BENCH_full_latest_sf0.1.json with a
+#      quiet cut (writeArtifact then protects it from flagged overwrites)
+#   2. BENCH_SF1.json                   — record-mode BenchScale x10 re-cut
+#   3. t36-1000x DensityProbe timing    — printed to the log; append the row
+#      to DENSITY.json manually after checking its embedded spins
+# A second quiet period >=45 min after the first lands one more pairing
+# window (the round wants >=2 probe-quiet windows).
+#
+# State: /tmp/quiet_watch.state (waiting|cutting <step>|done), markers in
+# /tmp/quiet_watch.d/. Log: /tmp/quiet_watch.log. Deadline:
+# WATCH_DEADLINE_SEC (default 4h). Requires two consecutive quiet probes
+# before firing so a single lucky reading can't trigger a wasted cut.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+LOG=/tmp/quiet_watch.log
+STATE=/tmp/quiet_watch.state
+MARK=/tmp/quiet_watch.d
+mkdir -p "$MARK"
+DEADLINE=$(( $(date +%s) + ${WATCH_DEADLINE_SEC:-14400} ))
+PROBE_GAP=${WATCH_PROBE_GAP_SEC:-150}
+
+log() { echo "[$(date -u +%H:%M:%S)] $*" >>"$LOG"; }
+probe_quiet() {
+  scripts/run_verify.sh x x graft.HostProbe 2>/dev/null \
+    | tail -1 | tee -a "$LOG" | grep -q '"probe_quiet":true'
+}
+
+log "watch start; deadline in ${WATCH_DEADLINE_SEC:-14400}s"
+quiet_streak=0
+while [ "$(date +%s)" -lt "$DEADLINE" ]; do
+  echo waiting >"$STATE"
+  if probe_quiet; then quiet_streak=$((quiet_streak+1)); else quiet_streak=0; fi
+  if [ "$quiet_streak" -lt 2 ]; then sleep "$PROBE_GAP"; continue; fi
+  quiet_streak=0
+
+  if [ ! -f "$MARK/pair1" ]; then
+    echo "cutting pair1" >"$STATE"; log "QUIET x2 -> pairing window 1"
+    scripts/pair_bench.sh >>"$LOG" 2>&1 && { touch "$MARK/pair1"; date +%s >"$MARK/pair1"; }
+    continue
+  fi
+  if [ ! -f "$MARK/sf1" ]; then
+    echo "cutting sf1" >"$STATE"; log "QUIET x2 -> BENCH_SF1 record cut"
+    SPARK_GRAFT_RECORD=1 SPARK_GRAFT_RECORD_TRIES=3 \
+      scripts/run_verify.sh /root/testdata/sf0.1 /tmp/sf1 graft.BenchScale 10 \
+      /root/repo/BENCH_SF1.json >>"$LOG" 2>&1 && touch "$MARK/sf1"
+    # a diverted (.flagged) cut still exits 0; only mark done on a quiet cut
+    if [ -f "$MARK/sf1" ] && ! grep -q '"probe_quiet":true' /root/repo/BENCH_SF1.json; then
+      rm -f "$MARK/sf1"; log "SF1 cut diverted (window degraded mid-run); will retry"
+    fi
+    continue
+  fi
+  if [ ! -f "$MARK/density" ]; then
+    echo "cutting density" >"$STATE"; log "QUIET x2 -> t36-1000x density probe"
+    scripts/run_verify.sh /tmp/sf100d 1000 graft.DensityProbe skip_s12 nowarm \
+      >>"$LOG" 2>&1 && touch "$MARK/density"
+    continue
+  fi
+  if [ ! -f "$MARK/pair2" ]; then
+    first=$(cat "$MARK/pair1" 2>/dev/null || echo 0)
+    if [ $(( $(date +%s) - first )) -lt 2700 ]; then sleep "$PROBE_GAP"; continue; fi
+    echo "cutting pair2" >"$STATE"; log "QUIET x2 -> pairing window 2"
+    scripts/pair_bench.sh >>"$LOG" 2>&1 && touch "$MARK/pair2"
+    continue
+  fi
+  break
+done
+echo done >"$STATE"
+log "watch exit; markers: $(ls "$MARK" 2>/dev/null | tr '\n' ' ')"

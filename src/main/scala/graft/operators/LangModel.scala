@@ -44,7 +44,22 @@ object LangModel {
     * vocab×L-sized copy instead of re-scanning the corpus; the scoring
     * join side is then chosen from the dictionary's measured entry count
     * (the t24 pattern — static estimates cannot price a derived
-    * aggregate), and the CHOICE now also picks the scoring SHAPE:
+    * aggregate), and the CHOICE now also picks the scoring SHAPE.
+    *
+    * Driver-job budget (r15): the model statistics cost exactly THREE
+    * bounded jobs before the scoring pass — one combined
+    * (count, countDistinct) aggregate over the materialized counts, one
+    * L-row per-class token-total collect from the same copy, and one
+    * L-row per-class doc-count collect (the lang column's only scan;
+    * it also yields nDocs, so the corpus is never counted separately).
+    * Priors/unseen scores are then quantized ON THE DRIVER with the
+    * same-JVM `math.log`/`math.floor` and identical operation order as
+    * the old executor-side expressions, so every integer is bit-identical
+    * to the pre-r15 form (gate-proven). Measured with t24 (untouched,
+    * same two-pass shape) as the in-window control: t35/t24 warm-min fell
+    * from 1.29 (r14 quiet suite) to 0.97 at sf0.1 and ~1.12 to 0.99 at
+    * SF10 — scheduler floor reclaimed at sf0.1, a real vocab-sized
+    * distinct-count shuffle removed at SF10:
     *
     *  - bounded dictionary (≤ `maxBroadcastTypes`, the default regime):
     *    SINGLE-PASS scoring. The dictionary is pivoted to one row per
@@ -74,33 +89,46 @@ object LangModel {
       explode(split(col("text"), " ")).as("tok"))
     val cnt = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    val nEntries = cnt.count() // vocab×L, already materialized
-    val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
-    // two bounded driver scalars, like NearDup's corpus count: the vocab
-    // size (smoothing denominator — derived from the materialized counts,
-    // not a second corpus pass) and the doc count (prior denominator)
-    val vocab = cnt.select(col("tok")).distinct().count()
-    val nDocs = docs.count()
-    def q(x: org.apache.spark.sql.Column) =
-      floor(lit(10000.0) * log(x)).cast("long")
-    val priors = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
-      .join(tot, "lang")
-      .select(col("lang").as("model_lang"),
-        q(col("nd").cast("double") / lit(nDocs).cast("double")).as("prior_q"),
-        q(lit(1.0) / (col("t") + lit(vocab)).cast("double")).as("unseen_q"))
-    val dict = cnt.join(tot, "lang")
-      .select(col("lang").as("model_lang"), col("tok"),
-        q((col("c") + lit(1L)).cast("double") /
-          (col("t") + lit(vocab)).cast("double")).as("lp_q"))
-    // the class list is L driver rows (bounded like the vocab scalar) —
-    // collected only for the single-pass shape, which needs the classes as
-    // column positions
-    val classes: Array[(String, Long, Long)] =
-      if (nEntries <= maxBroadcastTypes)
-        priors.orderBy(col("model_lang"))
-          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      else Array.empty
-    if (classes.nonEmpty) {
+    // ONE combined aggregate over the materialized counts yields both the
+    // dictionary size (branch decision) and the vocabulary scalar
+    // (smoothing denominator) — the pre-r15 separate distinct-count was a
+    // second vocab-sized shuffle for a number this job already computes
+    val statsRow = cnt.agg(count(lit(1)).as("n"),
+      countDistinct(col("tok")).as("v")).head()
+    val nEntries = statsRow.getLong(0)
+    val vocab = statsRow.getLong(1)
+    // two L-bounded collects (L = class count, bounded like NearDup's
+    // corpus scalar): per-class token totals from the materialized copy,
+    // and per-class doc counts — whose sum IS nDocs, so the lang column
+    // is the only corpus scan and the old separate docs.count() job is
+    // gone. Model classes keep the old inner-join semantics: a lang with
+    // doc rows but no token rows (unreachable — even empty text splits to
+    // one "" token) would drop from the model, not NPE.
+    val totMap: Map[String, Long] = cnt.groupBy(col("lang"))
+      .agg(sum(col("c")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langDocs: Array[(String, Long)] = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("nd")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val nDocs = langDocs.map(_._2).sum
+    // driver-side quantization: same JVM Math.log/floor and identical
+    // operation order (long add → double widen → divide → ln → ×1e4 →
+    // floor) as the old executor-side floor(1e4·log(x)) expressions, so
+    // every quantized integer is bit-identical to the pre-r15 form
+    def qd(x: Double): Long = math.floor(10000.0 * math.log(x)).toLong
+    val classes: Array[(String, Long, Long)] = langDocs
+      .filter { case (l, _) => totMap.contains(l) }
+      .map { case (l, nd) =>
+        (l, qd(nd.toDouble / nDocs.toDouble),
+          qd(1.0 / (totMap(l) + vocab).toDouble)) }
+      .sortBy(_._1)
+    // per-class smoothing denominator as a literal map: the dictionary
+    // derives from the materialized counts without re-joining the totals
+    val denom = typedlit(totMap.map { case (l, t) => l -> (t + vocab).toDouble })
+    val dict = cnt.select(col("lang").as("model_lang"), col("tok"),
+      floor(lit(10000.0) * log((col("c") + lit(1L)).cast("double") /
+        element_at(denom, col("lang")))).cast("long").as("lp_q"))
+    if (nEntries <= maxBroadcastTypes && classes.nonEmpty) {
       // single-pass shape: pivot the dictionary to (tok, v0..v{L-1}) with
       // each class's unseen_q as the per-element default, broadcast it,
       // and sum L columns per doc — one joined row per token occurrence
@@ -136,7 +164,12 @@ object LangModel {
         .agg(count(lit(1)).as("n_docs"))
     } else {
       // exploded token×L shape (also the L=0 degenerate: empty in = empty
-      // out through the same plan)
+      // out through the same plan). Priors are the L driver rows already
+      // computed above, shipped as a literal frame.
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val priors = spark.createDataset(classes.toIndexedSeq)
+        .toDF("model_lang", "prior_q", "unseen_q")
       val scored = toks.select(col("doc_id"), col("lang").as("true_lang"),
           col("tok"))
         .crossJoin(broadcast(priors))
