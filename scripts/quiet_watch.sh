@@ -59,6 +59,11 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
       >>"$LOG" 2>&1 && touch "$MARK/density"
     continue
   fi
+  if [ ! -f "$MARK/floor" ]; then
+    echo "cutting floor" >"$STATE"; log "QUIET x2 -> scheduler-floor probe"
+    scripts/run_verify.sh x x graft.FloorProbe >>"$LOG" 2>&1 && touch "$MARK/floor"
+    continue
+  fi
   if [ ! -f "$MARK/pair2" ]; then
     first=$(cat "$MARK/pair1" 2>/dev/null || echo 0)
     if [ $(( $(date +%s) - first )) -lt 2700 ]; then sleep "$PROBE_GAP"; continue; fi
