@@ -49,6 +49,37 @@ object Bench {
       finally src.close()
     } catch { case _: Exception => Seq.empty }
 
+  /** (total, idle+iowait, steal) jiffies from /proc/stat's aggregate cpu
+    * line; (-1,-1,-1) on non-Linux or read failure. */
+  private def procStat(): (Long, Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val v =
+        try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        finally src.close()
+      (v.sum, v(3) + v(4), v(7))
+    } catch { case _: Exception => (-1L, -1L, -1L) }
+
+  /** Hypervisor steal as a percentage of the NON-IDLE cpu time spanned by
+    * `body` — the cut the hypervisor took of the cycles this guest's busy
+    * cores tried to spend. Direct co-tenancy evidence with a different
+    * blind spot than the spins: steal catches cpu-time confiscation,
+    * the memory walk catches bandwidth/LLC contention that steals nothing.
+    * (r15 diagnosis of the day-long degraded mode: a single busy core
+    * measured ~30-50% steal-of-busy while the host sat at loadavg 0.1,
+    * and spin_mem read 2.0-3.8 s vs ~1.0 quiet.) -1 when /proc/stat is
+    * unavailable or the interval had no busy time. */
+  private[graft] def stealPctBusy[A](body: => A): (A, Double) = {
+    val (t0, i0, s0) = procStat()
+    val a = body
+    val (t1, i1, s1) = procStat()
+    val busy = (t1 - t0) - (i1 - i0)
+    val pct =
+      if (t0 < 0 || t1 < 0 || busy <= 0) -1.0
+      else 100.0 * (s1 - s0) / busy.toDouble
+    (a, pct)
+  }
+
   /** Effective-host-speed indexes, each a fixed single-thread workload
     * timed after one unrecorded JIT-warmup pass. Two probes with disjoint
     * blind spots, prompted by a round-14 window where bench totals on

@@ -14,11 +14,17 @@ object HostProbe {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split("\\s+").take(2).toSeq
       catch { case _: Exception => Seq("-1", "-1") }
-    val reg = Bench.cpuSpinReg()
-    val mem = Bench.cpuSpinMem()
+    // steal is measured ACROSS the two spins: they keep exactly one core
+    // busy, so steal-of-busy reads the hypervisor's cut of a core this
+    // guest is actively trying to use (r15: ~30-50% in the degraded mode
+    // at loadavg 0.1 — the smoking gun the spins could only infer)
+    val ((reg, mem), steal) = Bench.stealPctBusy {
+      (Bench.cpuSpinReg(), Bench.cpuSpinMem())
+    }
     val quiet = reg <= Bench.spinRegFlag && mem <= Bench.spinMemFlag
     println(s"""{"metric":"host_probe","loadavg_1m_5m":[${load.mkString(",")}],""" +
-      s""""spin_reg_sec":$reg,"spin_mem_sec":$mem,"probe_quiet":$quiet,""" +
+      s""""spin_reg_sec":$reg,"spin_mem_sec":$mem,""" +
+      f""""steal_pct_busy":$steal%.1f,"probe_quiet":$quiet,""" +
       s""""probe_flags":{"reg":${Bench.spinRegFlag},"mem":${Bench.spinMemFlag}}}""")
   }
 }
