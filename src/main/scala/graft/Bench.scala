@@ -206,10 +206,27 @@ object Bench {
       (if (target != path) " (PROBE-FLAGGED — not a record cut)" else ""))
   }
 
+  /** The two renderings of one bench run: `artifactJson` is the full-
+    * precision record (pass_times, noisy flags, loadavg, spin probes —
+    * everything PERF.md analysis needs) written to the rounds/ snapshot;
+    * `stdoutLine` is a compact equivalent (3-decimal times, no pass_times)
+    * whose whole point is to FIT: the round driver keeps only the last
+    * ~2000 characters of stdout and parses the JSON line from that tail,
+    * and the full line has exceeded it since round 10 (`"parsed": null`
+    * in every BENCH_r10..r14.json). Same metric/value/unit/queries keys,
+    * same per-query minima — only precision and side-channel fields
+    * differ. */
+  final case class BenchOutput(stdoutLine: String, artifactJson: String)
+
+  /** %.3f with a fixed locale: the stdout line must parse as JSON on any
+    * JVM default locale (a comma decimal separator would break it). */
+  private def f3(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
   /** Warmup + N measured passes (SPARK_GRAFT_PASSES, default 2) over the
     * bench set against `sfDir`; returns the one-line JSON report with the
     * per-query minimum and the pass count. */
-  def run(spark: SparkSession, sfDir: String): String = {
+  def run(spark: SparkSession, sfDir: String): BenchOutput = {
     // Ambient load BEFORE any engine work — the 1-min figure is pure
     // co-tenant signal, the same capture pair_bench.sh records (verdict
     // r13 #3); with it in the SCALE artifacts too, a "quiet window"
@@ -314,15 +331,36 @@ object Bench {
       math.max(spinRegStart, spinRegEnd) <= spinRegFlag &&
       math.max(spinMemStart, spinMemEnd) <= spinMemFlag
     def loadJson(l: Seq[Double]) = l.mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"pass_times":$passJson,"noisy":$noisyJson,"errors":$errJson,"skipped":$skipJson,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"spin_reg_start_sec":$spinRegStart,"spin_reg_end_sec":$spinRegEnd,"spin_mem_start_sec":$spinMemStart,"spin_mem_end_sec":$spinMemEnd,"probe_quiet":$probeQuiet,"probe_flags":{"reg":$spinRegFlag,"mem":$spinMemFlag},"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"pass_times":$passJson,"noisy":$noisyJson,"errors":$errJson,"skipped":$skipJson,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"spin_reg_start_sec":$spinRegStart,"spin_reg_end_sec":$spinRegEnd,"spin_mem_start_sec":$spinMemStart,"spin_mem_end_sec":$spinMemEnd,"probe_quiet":$probeQuiet,"probe_flags":{"reg":$spinRegFlag,"mem":$spinMemFlag},"sf":"$sfDir"}"""
+    val compact =
+      compactLine(total, passes, results, errors, skipJson, probeQuiet, sfDir)
+    BenchOutput(compact, full)
+  }
+
+  /** Compact stdout rendering: millisecond precision (the cross-window
+    * noise floor is ~50 ms, so nothing real is lost), error messages
+    * truncated to 80 chars (full 200 in the artifact), no pass_times —
+    * ~1.7 KB for the 63-query set, inside the driver's 2000-char tail
+    * even after sbt's [success] epilogue. BenchCompactSpec pins the
+    * budget against the live bench-set names. */
+  private[graft] def compactLine(total: Double, passes: Int,
+      results: Seq[(String, Double)],
+      errors: scala.collection.Map[String, String],
+      skipJson: String, probeQuiet: Boolean, sfDir: String): String = {
+    val qsC = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val errC = errors.map { case (k, v) => "\"" + k + "\":\"" + v.take(80) + "\"" }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes,"queries":$qsC,"errors":$errC,"skipped":$skipJson,"probe_quiet":$probeQuiet,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = buildSession(cpus)
-    val json = run(spark, sfDir)
-    println(json)
+    val out0 = run(spark, sfDir)
+    println(out0.stdoutLine)
     // Persist the COMPLETE result to a stable repo path in addition to
     // stdout: the driver's BENCH_rN.json keeps only stdout's tail, which
     // truncated the r13 per-query map (round-13 verdict #4). One file per
@@ -331,7 +369,7 @@ object Bench {
     val tag = new java.io.File(sfDir).getName
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"/root/repo/rounds/BENCH_full_latest_$tag.json")
-    try writeArtifact(json, out)
+    try writeArtifact(out0.artifactJson, out)
     catch { case e: Exception =>
       // best-effort: a read-only checkout must not fail the bench run
       System.err.println(s"[bench] WARNING: could not write $out: ${e.getMessage}")

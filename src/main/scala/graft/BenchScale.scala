@@ -24,12 +24,12 @@ object BenchScale {
       ScaleUp.main(Array(base, scaled, factor.toString))
     }
     val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    val json = Bench.run(spark, scaled)
-    println(json)
+    val out = Bench.run(spark, scaled)
+    println(out.stdoutLine)
     // record-gate aware: under SPARK_GRAFT_RECORD=1 a probe-flagged run is
     // diverted to jsonOut.flagged so BENCH_SF*.json only ever holds quiet
     // cuts (r14: the 71.4 s BENCH_SF1 was a degraded-window artifact)
-    Bench.writeArtifact(json, jsonOut)
+    Bench.writeArtifact(out.artifactJson, jsonOut)
     spark.stop()
   }
 }
