@@ -225,16 +225,31 @@ object LangModel {
     val c12 = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .localCheckpoint()
     val nTypes = c12.count() // dictionary-sized, already materialized
-    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val dict = c12.join(c1, "w1")
+    // The unigram total c1 = Σ_w2 c12 is a WINDOW sum over the materialized
+    // dictionary, not a groupBy + join: the join form planned as two
+    // SERIALIZED dictionary-sized single-task stages inside the broadcast
+    // build (c1 aggregate ~270 ms, then dict ⋈ broadcast(c1) ~285 ms at
+    // sf0.1 — BenchOne stage profile, r15; both grow with the dictionary
+    // at scale), where the window form is one stage over the same rows.
+    // Window sum of longs — identical integers to the joined aggregate.
+    // lp is also quantized INSIDE the dictionary — floor(1e4·ln(c12/c1))
+    // per (w1,w2) ENTRY (nTypes evaluations) instead of per corpus
+    // OCCURRENCE after the scoring join (the same hoist as SemDedup's
+    // per-member sqrt). Identical doubles → identical integers, and the
+    // dictionary row the scoring join carries narrows from two longs to
+    // one — fewer bytes through the broadcast here and through the
+    // shuffle-hash exchange in the corpus-scale branch (guide §2.3).
+    val wc1 = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val dict = c12
+      .withColumn("c1", sum(col("c12")).over(wc1))
+      .select(col("w1"), col("w2"),
+        floor(lit(10000.0) *
+          log(col("c12").cast("double") / col("c1").cast("double")))
+          .cast("long").as("lp"))
     val scored =
       if (nTypes <= maxBroadcastTypes) b.join(broadcast(dict), Seq("w1", "w2"))
       else b.join(dict.hint("shuffle_hash"), Seq("w1", "w2"))
     scored
-      .select(col("doc_id"),
-        floor(lit(10000.0) *
-          log(col("c12").cast("double") / col("c1").cast("double")))
-          .cast("long").as("lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_q"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_q"),
