@@ -364,12 +364,18 @@ object EventQueries {
     // skew, and the output is a cohorts×weeks-bounded triangle. ----
     Q("e12_retention",
       (s, dir) => {
+        // r15: the cohort week is a per-user window min over the distinct
+        // (user, week) set — the old weekly ⋈ cohort self-join recomputed
+        // the distinct subtree on both sides (two event scans, two
+        // full-distinct exchanges) to attach a value the window derives in
+        // place. One scan, map-side-deduped distinct exchange, one
+        // user-keyed window exchange of the deduped set, same rows.
         val ev = events(s, dir)
         val weekly = ev.select(col("user_id"),
           date_trunc("week", col("ts")).as("week")).distinct()
-        val cohort = weekly.groupBy(col("user_id"))
-          .agg(min(col("week")).as("cohort_week"))
-        weekly.join(cohort, Seq("user_id"))
+        val wU = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+        weekly.withColumn("cohort_week", min(col("week")).over(wU))
           .groupBy(col("cohort_week"),
             (datediff(col("week"), col("cohort_week")) / 7)
               .cast("long").as("weeks_since"))
@@ -403,31 +409,58 @@ object EventQueries {
     // the recompute is the measured floor. ----
     Q("e11_funnel",
       (s, dir) => {
+        // r15 rebuild: the per-stage DAG (v → c → p, each stage a
+        // filter + groupBy + user_id join, the three stage counts
+        // re-deriving every upstream stage) recomputed v three times and
+        // c twice — SIX event scans and ~six user-keyed exchanges per
+        // run. The funnel's per-user state is three chained scalar
+        // minima, all keyed on user_id, so ONE exchange suffices: three
+        // stacked unbounded window minima over the same user partition
+        // (t_view, then the first click strictly after it, then the
+        // first purchase strictly after that — each `when` guard
+        // reproduces the old stage's strict `ts >` filter; a user
+        // missing a stage nulls the guard and every later stage, exactly
+        // the old inner-join drop), one same-key per-user reduce (no
+        // second exchange), one global aggregate, and an inline 3-row
+        // stack. Event scans 6 → 1, exchanges ~6 → 2 (user_id + the
+        // 1-row final); the integer-microsecond delay sums are the same
+        // Σ(min-min) over the same user sets, so the hash is unchanged
+        // (empty stages keep the old null sum via sum-over-empty).
         val ev = events(s, dir)
-        val v = ev.filter(col("event_type") === "view")
-          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-        val c = ev.filter(col("event_type") === "click")
-          .join(v, Seq("user_id"))
-          .filter(col("ts") > col("t_view"))
-          .groupBy(col("user_id"), col("t_view"))
-          .agg(min(col("ts")).as("t_click"))
-        val p = ev.filter(col("event_type") === "purchase")
-          .join(c.select(col("user_id"), col("t_click")), Seq("user_id"))
-          .filter(col("ts") > col("t_click"))
-          .groupBy(col("user_id"), col("t_click"))
-          .agg(min(col("ts")).as("t_buy"))
-        val s1 = v.agg(count(lit(1)).as("n_users"))
-          .select(lit(1L).as("stage"), col("n_users"),
-            lit(0L).as("sum_delay_us"))
-        val s2 = c.agg(count(lit(1)).as("n_users"),
-            sum(unix_micros(col("t_click")) - unix_micros(col("t_view")))
-              .as("sum_delay_us"))
-          .select(lit(2L).as("stage"), col("n_users"), col("sum_delay_us"))
-        val s3 = p.agg(count(lit(1)).as("n_users"),
-            sum(unix_micros(col("t_buy")) - unix_micros(col("t_click")))
-              .as("sum_delay_us"))
-          .select(lit(3L).as("stage"), col("n_users"), col("sum_delay_us"))
-        s1.unionByName(s2).unionByName(s3)
+        val wU = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+        val perUser = ev
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .withColumn("t_view",
+            min(when(col("event_type") === "view", col("ts"))).over(wU))
+          .withColumn("t_click",
+            min(when(col("event_type") === "click" &&
+              col("ts") > col("t_view"), col("ts"))).over(wU))
+          .withColumn("t_buy",
+            min(when(col("event_type") === "purchase" &&
+              col("ts") > col("t_click"), col("ts"))).over(wU))
+          .groupBy(col("user_id"))
+          .agg(first(col("t_view")).as("t_view"),
+            first(col("t_click")).as("t_click"),
+            first(col("t_buy")).as("t_buy"))
+        perUser
+          .agg(count(col("t_view")).as("n1"),
+            count(col("t_click")).as("n2"),
+            sum(when(col("t_click").isNotNull,
+              unix_micros(col("t_click")) - unix_micros(col("t_view"))))
+              .as("d2"),
+            count(col("t_buy")).as("n3"),
+            sum(when(col("t_buy").isNotNull,
+              unix_micros(col("t_buy")) - unix_micros(col("t_click"))))
+              .as("d3"))
+          .select(explode(array(
+            struct(lit(1L).as("stage"), col("n1").as("n_users"),
+              lit(0L).as("sum_delay_us")),
+            struct(lit(2L).as("stage"), col("n2").as("n_users"),
+              col("d2").as("sum_delay_us")),
+            struct(lit(3L).as("stage"), col("n3").as("n_users"),
+              col("d3").as("sum_delay_us")))).as("r"))
+          .select(col("r.stage"), col("r.n_users"), col("r.sum_delay_us"))
       },
       Some("""WITH v AS (
           SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
