@@ -61,8 +61,14 @@ object Profile {
     def shares(df: DataFrame, side: String) = {
       val counts = df.groupBy(col(key).cast("string").as("key"))
         .agg(count(lit(1)).as(s"cnt_$side"))
+      // the scalar total is Σ cnt = count(*) of the side — taken directly
+      // from the input as a COUNT aggregate (column-pruned scan; parquet
+      // answers it from footer row counts) instead of re-deriving the
+      // whole counts subtree, whose groupBy re-scanned and re-shuffled
+      // the side a second time just to attach one number (r15). Same
+      // integer, same broadcast-crossJoin plan shape.
       counts.crossJoin(broadcast(
-          counts.agg(sum(col(s"cnt_$side")).as(s"total_$side"))))
+          df.agg(count(lit(1)).as(s"total_$side"))))
         .withColumn(s"share_${side}_ppm",
           expr(s"cnt_$side * 1000000 div total_$side"))
         .select(col("key"), col(s"share_${side}_ppm"))
@@ -86,7 +92,11 @@ object Profile {
               parallelism: Int = 32): DataFrame = {
     val counts = df.groupBy(col(key).cast("string").as("key"))
       .agg(count(lit(1)).as("cnt"))
-    val tot = counts.agg(sum(col("cnt")).as("total"))
+    // Σ cnt = count(*) of the input: a COUNT-pruned scan (parquet footer
+    // row counts) instead of re-deriving the counts subtree — the old
+    // scalar re-scanned AND re-shuffled the 100 TB fact input a second
+    // time to attach one number (r15). Same integer, same plan shape.
+    val tot = df.agg(count(lit(1)).as("total"))
     counts.crossJoin(broadcast(tot))
       .withColumn("share_ppm", expr("cnt * 1000000 div total"))
       .withColumn("rec_salt",
