@@ -129,6 +129,11 @@ object JobQueries {
               .otherwise("WHC").as("site"),
             trunc(col("o_orderdate"), "MM").as("period_start"))
           .agg((sum(cents(col("o_totalprice"))) / 100.0).as("amount"))
+          // r15: solarRemain fans its input into three branches (wks/wzs/
+          // other union) — lazy lineage re-ran the orders scan + rollup
+          // once per branch. The rollup is site×month-bounded (~48 rows),
+          // so materialize it once and let the branches read the copy.
+          .localCheckpoint()
         val wksRatio = ratioTable(s, Seq("XTRKS" -> 0.25, "WK-1" -> 0.75))
         val wzsRatio = ratioTable(s, Seq("WZ-1" -> 0.5, "WZ-2" -> 0.5))
         val mapping = Seq(("SX", "XTRKS"), ("SK", "WK-1"), ("SZ", "WZ-1"),

@@ -269,8 +269,18 @@ object MultimodalQueries {
           .select(col("doc_id").as("media_id"),
             coalesce(col("text"), lit("")).cast("binary").as("payload"))
         val fd = graft.operators.FrameDedup
-        val frames = fd.frameFingerprints(media)
-        fd.selfPairs(fd.frameSets(frames),
+        // r15: materialize the per-video frame sets ONCE and derive both
+        // selfPairs sides AND the dictionary from the copy — the lazy DAG
+        // re-ran the payload decode + per-frame md5 (the dominant scan
+        // cost) three times (sets a-side, sets b-side, dictionary). The
+        // sets frame is exactly the row the disk index stores, so the
+        // materialization point matches FrameIndex's; exploding the
+        // stored sets reproduces the distinct (media_id, frame_fp) rows
+        // the dictionary counts, bit-identically.
+        val sets = fd.frameSets(fd.frameFingerprints(media)).localCheckpoint()
+        val frames = sets.select(col("media_id"),
+          explode(col("fps")).as("frame_fp"))
+        fd.selfPairs(sets,
           fd.frameDictionary(frames, minDf = 2, maxDf = 20),
           jNum = 1, jDen = 2)
       },
