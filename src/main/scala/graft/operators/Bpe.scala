@@ -150,27 +150,92 @@ object Bpe {
     * released — each round's lineage would otherwise recompute every
     * prior round (measured 23% slower even at rounds = 3). Stops early
     * (merge table shorter than `rounds`) once no adjacent pair remains. */
+  /** One driver job per round (r15; was two): the argmax AND the round's
+    * total pair count come from a single head() over the aggregated pair
+    * histogram — min_by over the struct (-c, a, b) is exactly the old
+    * (count desc, a asc, b asc) orderBy.limit(1), and sum(c) rides the
+    * same 1-row aggregate. The symbol-count identity that retires the
+    * separate per-round n job: Σ_word syms(word)·cnt = Σ_word
+    * (pairs(word)+1)·cnt = totalPairs + Σ cnt, and Σ cnt is
+    * round-INVARIANT (merges never change word multiplicities) — so
+    * round r+1's totalPairs yields round r's n_rows_after for free, the
+    * final round paying the one explicit length-sum job the old form
+    * paid every round. Identical integers (BpeSpec pins vs the
+    * sequential reference; t33/t34 pin vs the per-occurrence oracle). */
   def trainFromCounts(wordCounts: DataFrame, rounds: Int): DataFrame = {
     val spark = wordCounts.sparkSession
-    var rows = countSyms(wordCounts)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val merges = Iterator.range(1, rounds + 1)
-      .map(r => (r, mergeRoundCounts(rows)))
-      .takeWhile(_._2.isDefined)
-      .map { case (r, m) =>
-        val (next, (a, b, c)) = m.get
-        val pinned = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val n = pinned
-          .agg(sum((length(col("syms")) -
-            length(translate(col("syms"), " ", "")) + 1L) * col("cnt")))
-          .head().getLong(0)
-        rows.unpersist(false)
-        rows = pinned
-        (r.toLong, a, b, a + b, c, n)
-      }.toVector
-    rows.unpersist(false)
+    graft.functions.TextExpressions.register(spark)
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // (a, b, pair_count, totalPairs) of the round, or None when no
+    // adjacent pair remains anywhere (every word fully merged)
+    def roundStat(rows: DataFrame): Option[(String, String, Long, Long)] = {
+      val r = rows
+        .select(explode(
+          graft.functions.TextExpressions.bpeSymPairs(col("syms"))).as("p"),
+          col("cnt"))
+        .groupBy(col("p")).agg(sum(col("cnt")).as("c"))
+        .select(col("c"), element_at(split(col("p"), " "), 1).as("a"),
+          element_at(split(col("p"), " "), 2).as("b"))
+        .agg(min_by(struct(col("a"), col("b"), col("c")),
+          struct((-col("c")).as("nc"), col("a"), col("b"))).as("best"),
+          sum(col("c")).as("tp"))
+        .head()
+      if (r.isNullAt(0)) None
+      else {
+        val best = r.getStruct(0)
+        Some((best.getString(0), best.getString(1), best.getLong(2),
+          r.getLong(1)))
+      }
+    }
+    def nOf(rows: DataFrame): Long =
+      Option(rows
+        .agg(sum((length(col("syms")) -
+          length(translate(col("syms"), " ", "")) + 1L) * col("cnt")))
+        .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    var cur = countSyms(wordCounts).persist(MEMORY_AND_DISK)
+    var prevFrame: DataFrame = null
+    // Σ cnt (round-invariant) — this job also pre-materializes the state
+    // cache the first roundStat would otherwise build
+    val sumCnt =
+      Option(cur.agg(sum(col("cnt"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long, Long)]
+    // the previous round's row, parked until this round's totalPairs
+    // supplies its n_rows_after
+    var parked: Option[(Long, String, String, String, Long)] = None
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      roundStat(cur) match {
+        case None => exhausted = true
+        case Some((a, b, c, tp)) =>
+          parked.foreach { case (pr, pa, pb, pm, pc) =>
+            merges += ((pr, pa, pb, pm, pc, tp + sumCnt))
+          }
+          // the roundStat job materialized `cur` from the previous
+          // frame's cache; only now is that previous frame releasable
+          if (prevFrame != null) prevFrame.unpersist(false)
+          parked = Some((r.toLong, a, b, a + b, c))
+          val next = cur.select(
+            graft.functions.TextExpressions.bpeMerge(col("syms"), a, b)
+              .as("syms"), col("cnt"))
+            .persist(MEMORY_AND_DISK)
+          prevFrame = cur
+          cur = next
+          r += 1
+      }
+    }
+    // the last emitted round's n has no successor totalPairs — one
+    // explicit length-sum job over its (still cached) state
+    parked.foreach { case (pr, pa, pb, pm, pc) =>
+      merges += ((pr, pa, pb, pm, pc, nOf(cur)))
+    }
+    if (prevFrame != null) prevFrame.unpersist(false)
+    cur.unpersist(false)
     import spark.implicits._
-    merges.toDF("round", "lhs", "rhs", "merged", "pair_count", "n_rows_after")
+    merges.toSeq
+      .toDF("round", "lhs", "rhs", "merged", "pair_count", "n_rows_after")
   }
 
   /** Encode the corpus with `rounds` freshly trained merges and emit

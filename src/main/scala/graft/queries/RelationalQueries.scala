@@ -1153,11 +1153,16 @@ object RelationalQueries {
         val li = T(s, dir, "lineitem")
           .select(col("l_returnflag").as("flag"), col("l_orderkey"),
             col("l_extendedprice"))
-        def slice(rem: Int) = Incremental.histPartials(
-          li.filter(pmod(col("l_orderkey"), lit(2)) === rem),
-          Seq("flag"), col("l_extendedprice"))
+        // r15: both slices' histogram states from ONE scan — the slice id
+        // rides as a group column through histPartials, and histMerge's
+        // (group, bucket) re-sum folds across it exactly as it folded the
+        // two separately-scanned states (the same monoid, the same
+        // integers). The pre-r15 form scanned lineitem once per slice.
+        val partials = Incremental.histPartials(
+          li.withColumn("slice", pmod(col("l_orderkey"), lit(2))),
+          Seq("slice", "flag"), col("l_extendedprice"))
         Incremental.finalizeQuantiles(
-          Incremental.histMerge(Seq("flag"), slice(0), slice(1)),
+          Incremental.histMerge(Seq("flag"), partials.drop("slice")),
           Seq("flag"), Seq(0.5, 0.95, 0.99))
       },
       Some(s"""WITH b AS (
