@@ -1049,13 +1049,15 @@ object RelationalQueries {
         val li = T(s, dir, "lineitem")
           .withColumn("ship_month", trunc(col("l_shipdate"), "MM"))
         val group = Seq("ship_month", "l_returnflag")
-        val history = Incremental.partials(
-          li.filter(col("l_shipdate") < lit("1997-01-01")),
-          group, col("l_extendedprice"))
-        val delta = Incremental.partials(
-          li.filter(col("l_shipdate") >= lit("1997-01-01")),
-          group, col("l_extendedprice"))
-        Incremental.finalize(Incremental.merge(group, history, delta))
+        // r15: history + delta states from ONE scan (the q47 fold) — the
+        // slice predicate rides as a group column through a single
+        // partials pass and merge's monoid re-sum folds across it,
+        // exactly as it folded the two separately-scanned states.
+        val partials = Incremental.partials(
+          li.withColumn("seg",
+            (col("l_shipdate") < lit("1997-01-01")).cast("int")),
+          "seg" +: group, col("l_extendedprice"))
+        Incremental.finalize(Incremental.merge(group, partials.drop("seg")))
       },
       Some(s"""WITH c AS (
           SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
