@@ -55,6 +55,24 @@ object SemDedup {
     m.select(col("cluster"), col("vec_id").as("b_id"),
       col("embedding").as("b_emb"), col("n2").as("b_n2"))
 
+  /** The quantized member frame (cluster, vec_id, q, s) BOTH sides of a
+    * self pair join consume — same quantizeVec / hoisted-sqrt expressions
+    * scoredPairs applies per side, computed once here so the batch forms
+    * can materialize it (r15): the lazy DAG re-ran the members join (a
+    * full embeddings scan + a vec_id exchange) and the per-member
+    * quantization once per side. Identical integers/doubles — only the
+    * evaluation point moves. */
+  private def quantizedMembers(m: DataFrame): DataFrame =
+    m.select(col("cluster"), col("vec_id"),
+      VectorExpressions.quantizeVec(col("embedding")).as("q"),
+      sqrt(col("n2").cast("double")).as("s"))
+  private def aSideQ(mq: DataFrame): DataFrame =
+    mq.select(col("cluster"), col("vec_id").as("a_id"),
+      col("q").as("a_q"), col("s").as("a_s"))
+  private def bSideQ(mq: DataFrame): DataFrame =
+    mq.select(col("cluster"), col("vec_id").as("b_id"),
+      col("q").as("b_q"), col("s").as("b_s"))
+
   /** Within-cluster ordered pairs `a_id < b_id` with cos ≥ [[TAU]]:
     * `(cluster, a_id, b_id, cos_sim)`. The join key is the cluster id, so
     * the shuffle is cluster-partitioned and the pairwise work per cluster
@@ -100,6 +118,16 @@ object SemDedup {
     val bq = b.withColumn("b_q", VectorExpressions.quantizeVec(col("b_emb")))
       .withColumn("b_s", sqrt(col("b_n2").cast("double")))
       .drop("b_emb", "b_n2")
+    scoredPairsQ(aq, bq, blocksOf, hintShuffle, tiles)
+  }
+
+  /** [[scoredPairs]] over ALREADY-quantized sides (cluster, a_id, a_q,
+    * a_s) / (cluster, b_id, b_q, b_s) — the entry the batch forms use so
+    * one materialized quantized-member frame feeds both sides. */
+  private def scoredPairsQ(aq: DataFrame, bq: DataFrame,
+                           blocksOf: Option[Column] = None,
+                           hintShuffle: Boolean = true,
+                           tiles: Option[Int] = None): DataFrame = {
     val (ak, bk, keys) = blocksOf match {
       case None => (aq, bq, Seq("cluster"))
       case Some(bCol) =>
@@ -154,10 +182,13 @@ object SemDedup {
   }
 
   /** All shadow pairs of one members frame (the batch form), uniform
-    * block factor. */
-  def shadowPairs(m: DataFrame, blocks: Int = 1): DataFrame =
-    scoredPairs(aSide(m), bSide(m),
+    * block factor. The quantized member frame is materialized once and
+    * feeds both join sides (r15 — see [[quantizedMembers]]). */
+  def shadowPairs(m: DataFrame, blocks: Int = 1): DataFrame = {
+    val mq = quantizedMembers(m).localCheckpoint()
+    scoredPairsQ(aSideQ(mq), bSideQ(mq),
       if (blocks <= 1) None else Some(lit(blocks)))
+  }
 
   /** Tile count of a per-cluster block map: Σ B_c² — the blocked join's
     * schedulable task-grid size, which [[scoredPairs]] sizes its exchange
@@ -181,8 +212,9 @@ object SemDedup {
     * VectorQueries.semDedup: Σ size_c² ≥ 2.56e8 pair-evals ≈ a
     * multi-second stage on 32 cores). */
   def shadowPairsSized(m: DataFrame, byCluster: Map[Long, Int],
-                       spreadTiles: Boolean = true): DataFrame =
-    scoredPairs(aSide(m), bSide(m),
+                       spreadTiles: Boolean = true): DataFrame = {
+    val mq = quantizedMembers(m).localCheckpoint()
+    scoredPairsQ(aSideQ(mq), bSideQ(mq),
       if (byCluster.isEmpty || byCluster.values.forall(_ <= 1)) None
       else Some(coalesce(
         element_at(typedlit(byCluster), col("cluster")), lit(1))),
@@ -190,6 +222,7 @@ object SemDedup {
         if (!spreadTiles || byCluster.isEmpty ||
             byCluster.values.forall(_ <= 1)) None
         else Some(tileCount(byCluster)))
+  }
 
   /** Shadow pairs with AT LEAST ONE side in `fresh`, each exactly once:
     * (anything × fresh) ∪ (fresh × stored) under `a_id < b_id`. The two
