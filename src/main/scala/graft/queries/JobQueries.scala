@@ -191,6 +191,11 @@ object JobQueries {
             when(col("o_orderstatus") === "F", "actual")
               .otherwise("predict").as("category"))
           .agg((sum(cents(col("o_totalprice"))) / 100.0).as("base_amount"))
+          // r15: electTotal's latest-version selection + two category
+          // slices × three ratio branches re-derive this frame ~6× —
+          // materialize the site×month×category-bounded rollup once
+          // (the j01 pattern)
+          .localCheckpoint()
         val versions = Seq((1, true), (2, true), (3, false))
           .toDF("version", "validate")
         val target = base.crossJoin(versions)
@@ -307,6 +312,10 @@ object JobQueries {
             trunc(col("o_orderdate"), "MM").as("period_start"))
           .agg((sum(cents(col("o_totalprice"))) / 100.0).as("amount"))
           .withColumn("ytm_amount", sum(col("amount")).over(w))
+          // r15: the five staging families below (and the overview/ratio
+          // branches inside solarEnergyOverview) re-derive this frame
+          // ~8× — materialize the bounded rollup+YTM once
+          .localCheckpoint()
         def scaled(factor: Double, cat: Column) = base
           .filter(col("category") === "actual")
           .select(col("site"), col("plant"), cat.as("category"),
@@ -423,6 +432,10 @@ object JobQueries {
             when(col("o_custkey") % 2 === 0, "S1").otherwise("S2").as("site"),
             year(col("o_orderdate")).as("year"))
           .agg(sum(cents(col("o_totalprice"))).cast("double").as("base_amount"))
+          // r15: the latest-version scalar subqueries + projection
+          // branches re-derive sim (and so this rollup) several times —
+          // materialize the site×year-bounded frame once
+          .localCheckpoint()
         val versions = Seq((1, 2026), (2, 2026), (2, 2025))
           .toDF("version", "version_year")
         val sim = sim0.crossJoin(versions)
@@ -514,6 +527,9 @@ object JobQueries {
           .groupBy(when(col("o_custkey") % 2 === 0, "S1")
             .otherwise("S2").as("site"))
           .agg(sum(cents(col("o_totalprice"))).cast("double").as("b"))
+          // r15: electStg + three renewStg categories re-scan this
+          // 2-row rollup's whole orders subtree 4× — materialize once
+          .localCheckpoint()
         val electStg = base.select(col("site"),
             col("b").as("amount"), col("b").as("ytm_amount"))
           .withColumn("bo", lit("ALL"))
@@ -640,6 +656,10 @@ object JobQueries {
             when(col("o_orderkey") % 3 === 0, "V10").otherwise("V2").as("version"))
           .agg(sum(cents(col("o_totalprice"))).cast("double").as("amount"))
           .select(col("site"), col("year"), col("amount"), col("version"))
+          // r15: assembleDemand's max-version scalar + the WKS/XTRKS
+          // ratio pulls re-derive this frame — materialize the bounded
+          // site×year×version rollup once
+          .localCheckpoint()
         val rawSolar = T(s, dir, "lineitem")
           .filter(year(col("l_shipdate")).between(1994, 1996))
           .groupBy(
@@ -649,6 +669,9 @@ object JobQueries {
             make_date(year(col("l_shipdate")) + 30, month(col("l_shipdate")),
               lit(1)).as("period_start"))
           .agg(sum(cents(col("l_extendedprice"))).cast("double").as("amount"))
+          // r15: same — the plant×category×month-bounded lineitem rollup
+          // feeds several assembleDemand branches
+          .localCheckpoint()
         val demand = MaccSummary.assembleDemand(demandRaw, rawSolar,
           maccPpa.toDF("year", "category", "amount"),
           maccCoef.toDF("site", "year", "amount"))
