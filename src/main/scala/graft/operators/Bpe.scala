@@ -145,12 +145,13 @@ object Bpe {
 
   /** [[train]] from a (word, cnt) histogram — the entry the incremental
     * vocab refresh uses: histograms are additive under corpus slicing, so
-    * a refresh merges counts and retrains without touching raw text. The
-    * state is re-persisted per round and the previous round's cache
-    * released — each round's lineage would otherwise recompute every
-    * prior round (measured 23% slower even at rounds = 3). Stops early
-    * (merge table shorter than `rounds`) once no adjacent pair remains. */
-  /** One driver job per round (r15; was two): the argmax AND the round's
+    * a refresh merges counts and retrains without touching raw text.
+    * Stops early (merge table shorter than `rounds`) once no adjacent
+    * pair remains. The state is re-persisted per round and the previous
+    * round's cache released — each round's lineage would otherwise
+    * recompute every prior round (measured 23% slower even at rounds = 3).
+    *
+    * One driver job per round (r15; was two): the argmax AND the round's
     * total pair count come from a single head() over the aggregated pair
     * histogram — min_by over the struct (-c, a, b) is exactly the old
     * (count desc, a asc, b asc) orderBy.limit(1), and sum(c) rides the
@@ -227,9 +228,11 @@ object Bpe {
       }
     }
     // the last emitted round's n has no successor totalPairs — one
-    // explicit length-sum job over its (still cached) state
+    // explicit length-sum job over its (still cached) state. On the
+    // EXHAUSTED exit that job is free: the stopping roundStat just proved
+    // cur has zero pairs, so n = 0 + Σ cnt = sumCnt exactly (r15 ADVICE).
     parked.foreach { case (pr, pa, pb, pm, pc) =>
-      merges += ((pr, pa, pb, pm, pc, nOf(cur)))
+      merges += ((pr, pa, pb, pm, pc, if (exhausted) sumCnt else nOf(cur)))
     }
     if (prevFrame != null) prevFrame.unpersist(false)
     cur.unpersist(false)

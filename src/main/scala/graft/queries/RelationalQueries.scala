@@ -1053,6 +1053,11 @@ object RelationalQueries {
         // slice predicate rides as a group column through a single
         // partials pass and merge's monoid re-sum folds across it,
         // exactly as it folded the two separately-scanned states.
+        // NOT NULL assumption (r15 ADVICE): a NULL l_shipdate yields seg
+        // NULL, which the old two-filter form DROPPED but this fold keeps
+        // as a third seg group that merge folds back in. Equivalent here
+        // because TPC-H l_shipdate is NOT NULL; reusing the seg fold on a
+        // nullable slice key needs an explicit null policy first.
         val partials = Incremental.partials(
           li.withColumn("seg",
             (col("l_shipdate") < lit("1997-01-01")).cast("int")),

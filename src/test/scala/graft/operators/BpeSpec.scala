@@ -85,6 +85,9 @@ class BpeSpec extends SparkSpec {
     val merges = Bpe.train(df, rounds = 5).orderBy("round").collect()
     assert(merges.length == 1)
     assert(merges(0).getString(1) == "a" && merges(0).getString(2) == "b")
+    // the exhausted exit derives n_rows_after = sumCnt without a length-sum
+    // job (r15 ADVICE): both occurrences fully merged to one symbol each
+    assert(merges(0).getLong(5) == 2L)
     // encodeStats on the same exhausted corpus must also degrade gracefully
     val stats = Bpe.encodeStats(df, rounds = 5).collect()
     assert(stats.length == 1 && stats(0).getLong(1) == 2L)
