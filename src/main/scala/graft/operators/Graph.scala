@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import scala.jdk.CollectionConverters._
@@ -606,6 +606,169 @@ object Graph {
       }
     }
 
+  /** Triangle counts over the co-occurrence graph of `items` — the fused
+    * entry q56 uses, adding a LOCAL rung BELOW the edge build itself
+    * (r16). [[coOccurrenceEdges]] → [[triangleNodeCounts]] pays two
+    * exchanges (group repartition + edge distinct), an |E| cache
+    * materialization and ~4 driver jobs before the existing local
+    * triangle rung even sees the edges; on a small item set all of that
+    * is scheduler floor. Here ONE column-pruned count sizes the item
+    * set, and under the cap the items are collected raw and the edge
+    * build (sorted-run pair emission + dedup) runs in-process feeding
+    * the same compact-forward core — the Spark side collapses to
+    * count + collect, shuffle-free. Above the cap (or on null keys /
+    * a pair-volume or wedge-work gate trip) the distributed form runs
+    * EXACTLY as before, the only delta being the one pruned count.
+    * Same canonical edge set, same counts, bit-identical output
+    * (GraphSpec pins local == distributed on random data).
+    *
+    * Gates, each falling back rather than degrading: `localItemThreshold`
+    * (driver-heap-derived, the collect bound); `localPairGate` caps the
+    * RAW per-group pair volume Σ C(k,2) computed in O(items) BEFORE any
+    * pair is materialized (quadratic-in-group-size emission must not
+    * wedge the driver on a hot group — same exposure the distributed
+    * form documents); [[localWedgeWorkGate]] inside the counting core. */
+  def coOccurrenceTriangleCounts(items: DataFrame, group: String, id: String,
+      localItemThreshold: Long = localCoOccurrenceItemCap(),
+      localPairGate: Long = -1L): DataFrame = {
+    val itemsL = items.select(col(group).cast("long").as("g"),
+      col(id).cast("long").as("i"))
+    val pairGate =
+      if (localPairGate >= 0L) localPairGate else derivedLocalEdgeCap()
+    val capI = math.max(0L,
+      math.min(localItemThreshold, (Int.MaxValue - 8).toLong)).toInt
+    // Size check and fetch in ONE bounded probe: executeTake(cap + 1)
+    // stops growing its partition waves the moment it holds cap + 1 rows,
+    // so over the cap it reads a cap-bounded PREFIX of the scan (a full
+    // count job here measured +0.4 s on the 10× surface, charged to
+    // exactly the scale that then takes the distributed path anyway) and
+    // under the cap the returned rows ARE the collect the local rung
+    // needs — no second job. Sequential waves are fine on this input
+    // (a pruned scan+filter, pennies per wave); the pageRankQ note
+    // rejecting a limit-probe was about an expensive JOIN upstream that
+    // each wave would re-run.
+    if (capI > 0) {
+      val taken = itemsL.queryExecution.executedPlan.executeTake(capI + 1)
+      if (taken.length <= capI) {
+        localCoOccurrenceTriangles(itemsL.sparkSession, taken, pairGate) match {
+          case Some(out) => return out
+          case None => () // nulls or a gate trip: distributed path below
+        }
+      }
+    }
+    triangleNodeCounts(coOccurrenceEdges(itemsL, "g", "i"))
+  }
+
+  /** Item cap for [[coOccurrenceTriangleCounts]]'s local rung. Unlike the
+    * edge-collect rungs, driver HEAP is not the binding constraint here:
+    * the local path's cost is a single-threaded linear collect + sort
+    * while the distributed build it replaces parallelizes across the
+    * cluster, so past a point the floor saving cannot repay the serial
+    * work. Measured crossover (r16 paired A/B, same window both sides):
+    * 200k items — local 0.98 s vs distributed 1.64 s; 2M items — local
+    * 3.21 s vs distributed 2.88 s. 1M sits under the measured crossover;
+    * the heap-derived edge cap stays as the second bound for small-heap
+    * drivers. (On a real cluster the per-job floor is HIGHER than local
+    * mode's, which moves the crossover up, never down — the default is
+    * conservative there.) */
+  private[graft] def localCoOccurrenceItemCap(): Long =
+    math.min(1L << 20, derivedLocalEdgeCap())
+
+  /** In-process twin of [[coOccurrenceEdges]] + the local triangle rung
+    * over already-collected (group, id) rows: sort packed (dense-group,
+    * dense-id) keys, emit each run's C(k,2) pairs (consecutive-duplicate
+    * ids skipped — the [[sortedRunPairs]] contract) into a dedup map,
+    * count triangles with [[localTriangleRows]]. None on null keys or a
+    * gate trip. */
+  private[graft] def localCoOccurrenceTriangles(
+      spark: SparkSession,
+      internal: Array[org.apache.spark.sql.catalyst.InternalRow],
+      pairGate: Long,
+      workGate: Long = localWedgeWorkGate): Option[DataFrame] = {
+    val m = internal.length
+    var i = 0
+    while (i < m) {
+      if (internal(i).isNullAt(0) || internal(i).isNullAt(1)) return None
+      i += 1
+    }
+    if (m == 0)
+      return Some(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), triSchema))
+    // dense-int encodings: groups and nodes each map to insertion-order
+    // ints, so one packed long per item row sorts runs with a primitive
+    // Arrays.sort (no comparator boxing)
+    val gMap = new LongIdMap(2 * m)
+    val nodeMap = new LongIdMap(2 * m)
+    val packed = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      val gi = gMap.getOrAdd(internal(i).getLong(0))
+      val ni = nodeMap.getOrAdd(internal(i).getLong(1))
+      packed(i) = (gi.toLong << 32) | (ni.toLong & 0xffffffffL)
+      i += 1
+    }
+    java.util.Arrays.sort(packed)
+    // raw pair volume Σ C(k,2) over distinct ids per group, gated BEFORE
+    // anything quadratic is materialized
+    var rawPairs = 0L
+    var s = 0
+    while (s < m) {
+      val g = packed(s) >>> 32
+      var k = 0L
+      var last = -1L
+      var e = s
+      while (e < m && (packed(e) >>> 32) == g) {
+        val v = packed(e) & 0xffffffffL
+        if (v != last) { k += 1; last = v }
+        e += 1
+      }
+      rawPairs += k * (k - 1) / 2
+      s = e
+    }
+    if (rawPairs > pairGate) return None
+    // emit + dedup: pair (u < v in dense order) packs into one long; the
+    // map's insertion order IS the distinct edge list. The run buffer is
+    // growable but reused (clear() keeps the backing array), so the loop
+    // allocates nothing per group.
+    val pairMap = new LongIdMap(
+      math.min(rawPairs, (Int.MaxValue / 4).toLong).toInt)
+    val run = new scala.collection.mutable.ArrayBuffer[Int](64)
+    s = 0
+    while (s < m) {
+      val g = packed(s) >>> 32
+      run.clear()
+      var last = -1L
+      var e = s
+      while (e < m && (packed(e) >>> 32) == g) {
+        val v = packed(e) & 0xffffffffL
+        if (v != last) { run += v.toInt; last = v }
+        e += 1
+      }
+      val k = run.length
+      var a = 0
+      while (a < k) {
+        var b = a + 1
+        while (b < k) {
+          pairMap.getOrAdd((run(a).toLong << 32) | (run(b).toLong & 0xffffffffL))
+          b += 1
+        }
+        a += 1
+      }
+      s = e
+    }
+    val mE = pairMap.order.length
+    val ea = new Array[Int](mE); val eb = new Array[Int](mE)
+    i = 0
+    while (i < mE) {
+      val p = pairMap.order(i)
+      ea(i) = (p >>> 32).toInt
+      eb(i) = (p & 0xffffffffL).toInt
+      i += 1
+    }
+    localTriangleRows(ea, eb, nodeMap.order.toArray, workGate)
+      .map(rows => spark.createDataFrame(rows, triSchema))
+  }
+
   /** The pre-checkpoint triangle-count plan over a PERSISTED canonical
     * edge frame `e` (columns a, b) with its materialized count `nE` —
     * split from [[triangleNodeCounts]] so PlanAuditSpec can pin the
@@ -643,13 +806,35 @@ object Graph {
       eb(i) = idMap.getOrAdd(internal(i).getLong(1))
       i += 1
     }
-    val nV = idMap.order.length
+    localTriangleRows(ea, eb, idMap.order.toArray, workGate)
+      .map(rows => e.sparkSession.createDataFrame(rows, triSchema))
+  }
+
+  private val triSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("node",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_tri",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The compact-forward counting core over DENSE int edge endpoints
+    * (`orig(u)` = original long id of dense node u — the orientation
+    * tie-break and the output key). Shared by [[localTriangleCounts]]
+    * (collected canonical edges) and [[localCoOccurrenceTriangles]]
+    * (edges derived in-process from collected items, r16). Returns the
+    * (node, n_tri) rows, or None when the O(|E|)-computed merge work
+    * exceeds `workGate` (caller falls back to the distributed plan). */
+  private def localTriangleRows(ea: Array[Int], eb: Array[Int],
+      orig: Array[Long], workGate: Long)
+      : Option[java.util.ArrayList[org.apache.spark.sql.Row]] = {
+    val m = ea.length
+    val nV = orig.length
+    var i = 0
     val deg = new Array[Int](nV)
     i = 0; while (i < m) { deg(ea(i)) += 1; deg(eb(i)) += 1; i += 1 }
     // low (deg, original id) endpoint owns the oriented edge
     def ahead(u: Int, v: Int): Boolean =
       deg(u) < deg(v) ||
-        (deg(u) == deg(v) && idMap.order(u) < idMap.order(v))
+        (deg(u) == deg(v) && orig(u) < orig(v))
     val od = new Array[Int](nV)
     i = 0
     while (i < m) {
@@ -697,15 +882,10 @@ object Graph {
     u = 0
     while (u < nV) {
       if (tri(u) > 0L)
-        rows.add(org.apache.spark.sql.Row(idMap.order(u), tri(u)))
+        rows.add(org.apache.spark.sql.Row(orig(u), tri(u)))
       u += 1
     }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("node",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("n_tri",
-        org.apache.spark.sql.types.LongType)))
-    Some(e.sparkSession.createDataFrame(rows, schema))
+    Some(rows)
   }
 
   /** Merge-work ceiling for [[localTriangleCounts]] — ~2e9 int-compares

@@ -1393,11 +1393,15 @@ object RelationalQueries {
         // but its object sort-agg churn lost in-suite, the sorted-run
         // form wins everywhere incl. 31% at sf100d). Same canonical
         // edge set, hash-identical result.
+        // r16: entered via coOccurrenceTriangleCounts, which adds a local
+        // rung BELOW the edge build — under the item cap the pair
+        // emission + dedup + counting run in-process off one collect,
+        // skipping both edge-build exchanges and the |E| cache; above it
+        // the distributed form above runs unchanged.
         val items = T(s, dir, "lineitem")
           .filter(pmod(col("l_orderkey"), lit(3)) === 0)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        val edges = graft.operators.Graph.coOccurrenceEdges(items, "o", "p")
-        graft.operators.Graph.triangleNodeCounts(edges)
+        graft.operators.Graph.coOccurrenceTriangleCounts(items, "o", "p")
           .orderBy(col("n_tri").desc, col("node").asc).limit(10)
           .select(col("node").as("part"), col("n_tri"))
       },

@@ -275,6 +275,46 @@ class GraphSpec extends SparkSpec {
       "random fixtures produced no triangles — weak test")
   }
 
+  test("coOccurrenceTriangleCounts: local items rung == distributed edge build") {
+    import spark.implicits._
+    // co-purchase-shaped fixtures: groups of varying width, duplicate
+    // (group, id) rows, duplicate ids inside a group, singleton groups,
+    // and the same pair reachable through multiple groups
+    val r = new scala.util.Random(23)
+    val items = (0L until 60L).flatMap { g =>
+      val width = 1 + r.nextInt(6)
+      (0 until width).map(_ => (g, r.nextInt(25).toLong))
+    } ++ Seq((100L, 7L), (100L, 7L), (100L, 9L)) // dup rows + dup ids
+    val df = items.toDF("o", "p")
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val local = asMap(Graph.coOccurrenceTriangleCounts(df, "o", "p"))
+    // localItemThreshold = 0 forces the distributed edge build + ladder
+    val dist = asMap(Graph.coOccurrenceTriangleCounts(df, "o", "p",
+      localItemThreshold = 0L))
+    // the pre-r16 composition is the reference of record
+    val composed = asMap(Graph.triangleNodeCounts(
+      Graph.coOccurrenceEdges(df, "o", "p")))
+    assert(local.nonEmpty, "fixture produced no triangles — weak test")
+    assert(local == composed, s"local rung diverged: $local vs $composed")
+    assert(dist == composed, s"distributed rung diverged: $dist vs $composed")
+    // pair-volume gate trip falls back to the distributed form, same answer
+    val gated = asMap(Graph.coOccurrenceTriangleCounts(df, "o", "p",
+      localPairGate = 0L))
+    assert(gated == composed, "pair-gate fallback diverged")
+    // null group/id keys: the local rung must decline, not drop rows
+    import org.apache.spark.sql.functions.{col, lit}
+    val withNull = df.unionByName(
+      Seq((Option.empty[Long], Option(1L))).toDF("o", "p"))
+      .select(col("o").as("g"), col("p").as("i"))
+    val nullLocal = Graph.localCoOccurrenceTriangles(spark,
+      withNull.queryExecution.executedPlan.executeCollect(), Long.MaxValue)
+    assert(nullLocal.isEmpty, "local rung must bail on null keys")
+    // empty input: zero rows, not a crash
+    assert(Graph.coOccurrenceTriangleCounts(
+      df.filter(lit(false)), "o", "p").count() == 0L)
+  }
+
   test("triangleNodeCounts big-graph rungs (shuffle probe, shuffle deg, forced spread) are bit-equal") {
     import spark.implicits._
     // Force every 100 TB-shape branch and assert the answer never moves:
