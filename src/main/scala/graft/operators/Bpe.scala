@@ -162,8 +162,24 @@ object Bpe {
     * round r+1's totalPairs yields round r's n_rows_after for free, the
     * final round paying the one explicit length-sum job the old form
     * paid every round. Identical integers (BpeSpec pins vs the
-    * sequential reference; t33/t34 pin vs the per-occurrence oracle). */
-  def trainFromCounts(wordCounts: DataFrame, rounds: Int): DataFrame = {
+    * sequential reference; t33/t34 pin vs the per-occurrence oracle).
+    *
+    * Size ladder (r16, the Graph.localTriangleCounts precedent): BPE's
+    * state is the distinct-word histogram, which at sf0.1 is a few
+    * thousand rows being pushed through rounds × (explode + shuffle +
+    * head + kernel-rewrite + persist) — each round pure scheduler floor.
+    * Under `localVocabThreshold` (driver-heap-derived) the histogram is
+    * collected ONCE off the same aggregate job that computes Σ cnt (the
+    * row count rides that 1-row agg, so the over-cap path pays ZERO
+    * extra work) and the merge loop runs in-process, applying the SAME
+    * compiled kernel ([[graft.functions.TextExpressions.bpeMergeApply]])
+    * per word and the same (count desc, a asc, b asc) argmax under
+    * UTF8String binary comparison — bit-identical by construction, and
+    * pinned: BpeSpec's reference corpora all take this rung, a dedicated
+    * spec forces the distributed rung on the same corpora and asserts
+    * table equality, and the t33/t34 oracle hashes are unchanged. */
+  def trainFromCounts(wordCounts: DataFrame, rounds: Int,
+      localVocabThreshold: Long = derivedLocalVocabCap()): DataFrame = {
     val spark = wordCounts.sparkSession
     graft.functions.TextExpressions.register(spark)
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -195,11 +211,22 @@ object Bpe {
         .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     var cur = countSyms(wordCounts).persist(MEMORY_AND_DISK)
     var prevFrame: DataFrame = null
-    // Σ cnt (round-invariant) — this job also pre-materializes the state
-    // cache the first roundStat would otherwise build
+    // Σ cnt (round-invariant) AND the vocab row count from ONE 1-row agg —
+    // this job also pre-materializes the state cache the first roundStat
+    // (or the local rung's collect) would otherwise build
+    val firstAgg =
+      cur.agg(sum(col("cnt")).as("s"), count(lit(1)).as("n")).head()
     val sumCnt =
-      Option(cur.agg(sum(col("cnt"))).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      Option(firstAgg.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val nVocab = firstAgg.getLong(1)
+    if (nVocab <= localVocabThreshold) {
+      // local rung: one collect replaying the cache, then the whole merge
+      // loop in-process — rounds × (shuffle + head + rewrite + persist)
+      // collapse into a driver loop over the histogram
+      val rows = cur.queryExecution.executedPlan.executeCollect()
+      cur.unpersist(false)
+      return trainLocal(spark, rows, rounds, sumCnt)
+    }
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long, Long)]
     // the previous round's row, parked until this round's totalPairs
@@ -236,6 +263,118 @@ object Bpe {
     }
     if (prevFrame != null) prevFrame.unpersist(false)
     cur.unpersist(false)
+    import spark.implicits._
+    merges.toSeq
+      .toDF("round", "lhs", "rhs", "merged", "pair_count", "n_rows_after")
+  }
+
+  /** Driver-heap-derived vocab cap for [[trainFromCounts]]'s local rung:
+    * the collected state is one (syms, cnt) pair per DISTINCT word —
+    * ~512 bytes budgeted per word covers the symbol string (which only
+    * shrinks under merges), the boxed row and map overhead — budgeted at
+    * a twentieth of the heap. ~780k words on 8 GiB; natural-language
+    * vocabularies reach that around corpus sizes whose per-round pair
+    * shuffle is real work, which is where the distributed loop should
+    * own the rounds anyway. */
+  def derivedLocalVocabCap(
+      heapBytes: Long = Runtime.getRuntime.maxMemory(),
+      bytesPerWord: Long = 512L,
+      heapFraction: Double = 0.05): Long =
+    math.max(1L << 12,
+      math.min((heapBytes * heapFraction).toLong / bytesPerWord,
+        (Int.MaxValue - 8).toLong))
+
+  /** The in-process merge loop over a collected (syms, cnt) histogram —
+    * the local rung of [[trainFromCounts]]'s size ladder. Semantics are
+    * the distributed loop's, construct for construct: pair counts are
+    * Σ cnt over the SAME adjacent-pair decomposition
+    * ([[graft.functions.TextExpressions.bpeSymPairs]]: split(" ", -1),
+    * i/i+1 windows), the argmax is (count desc, a asc, b asc) with a/b
+    * compared as UTF8String (Spark's binary string order — java.lang
+    * String order diverges on non-ASCII), and each word is rewritten by
+    * the SAME compiled kernel body
+    * ([[graft.functions.TextExpressions.bpeMergeApply]]). n_rows_after
+    * is maintained as Σ len·cnt with per-rewrite deltas — the identity
+    * the distributed loop derives from totalPairs. */
+  private def trainLocal(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.catalyst.InternalRow],
+      rounds: Int, sumCnt: Long): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = rows.length
+    val words = new Array[String](m)
+    val cnts = new Array[Long](m)
+    var totalN = 0L
+    var i = 0
+    while (i < m) {
+      words(i) = rows(i).getUTF8String(0).toString
+      cnts(i) = rows(i).getLong(1)
+      var syms = 1
+      var j = 0
+      val w = words(i)
+      while (j < w.length) { if (w.charAt(j) == ' ') syms += 1; j += 1 }
+      totalN += syms.toLong * cnts(i)
+      i += 1
+    }
+    def u8 = UTF8String.fromString _
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // global pair counts of the current state
+      val pc = new java.util.HashMap[String, Long]()
+      i = 0
+      while (i < m) {
+        val toks = words(i).split(" ", -1)
+        val c = cnts(i)
+        var j = 0
+        while (j + 1 < toks.length) {
+          pc.merge(toks(j) + " " + toks(j + 1), c, _ + _)
+          j += 1
+        }
+        i += 1
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        // argmax (count desc, a asc, b asc) under UTF8String binary order
+        var bestA: String = null; var bestB: String = null; var bestC = -1L
+        val it = pc.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val sp = e.getKey.indexOf(' ')
+          val a = e.getKey.substring(0, sp)
+          val b = e.getKey.substring(sp + 1)
+          val c = e.getValue
+          val better = c > bestC || (c == bestC && {
+            val ca = u8(a).compareTo(u8(bestA))
+            ca < 0 || (ca == 0 && u8(b).compareTo(u8(bestB)) < 0)
+          })
+          if (better) { bestA = a; bestB = b; bestC = c }
+        }
+        val pairStr = bestA + " " + bestB
+        i = 0
+        while (i < m) {
+          // substring pre-filter: "a b" appearing anywhere is a SUPERSET
+          // of true adjacency (a suffix symbol can fake it), so the exact
+          // kernel decides; absence is exact — symbols never contain ' '
+          if (words(i).contains(pairStr)) {
+            val rewritten =
+              graft.functions.TextExpressions
+                .bpeMergeApply(u8(words(i)), bestA, bestB).toString
+            if (rewritten.length != words(i).length) {
+              // each applied merge deletes exactly one ' ' (a and b chars
+              // are kept, concatenated): merges applied = chars removed
+              val removed = words(i).length - rewritten.length
+              totalN -= removed.toLong * cnts(i)
+              words(i) = rewritten
+            }
+          }
+          i += 1
+        }
+        merges += ((r.toLong, bestA, bestB, bestA + bestB, bestC, totalN))
+        r += 1
+      }
+    }
     import spark.implicits._
     merges.toSeq
       .toDF("round", "lhs", "rhs", "merged", "pair_count", "n_rows_after")

@@ -77,6 +77,28 @@ class BpeSpec extends SparkSpec {
     check(Seq("abababab ab abab", "ababab"), rounds = 3)
   }
 
+  test("trainFromCounts: distributed rung == local rung (r16 size ladder)") {
+    import spark.implicits._
+    // every reference corpus above takes the LOCAL rung by default (tiny
+    // vocab); localVocabThreshold = 0 forces the distributed loop on the
+    // same histograms — the full merge tables must match column for column
+    val corpora = Seq(
+      Seq("aaaa aaa aa", "aa aaaa"),
+      Seq("the cat sat on the mat", "the bat and the rat chat",
+        "that hat is the fat cat hat", "banana bandana banana"),
+      Seq("abababab ab abab", "ababab"),
+      Seq("ab ab")) // exhausts after one round
+    for (texts <- corpora) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val wc = Bpe.wordCounts(df)
+      val local = Bpe.trainFromCounts(wc, 4).orderBy("round").collect().toSeq
+      val dist = Bpe.trainFromCounts(wc, 4, localVocabThreshold = 0L)
+        .orderBy("round").collect().toSeq
+      assert(local == dist, s"rungs diverged on $texts: $local vs $dist")
+    }
+  }
+
   test("train stops early when the corpus runs out of mergeable pairs") {
     import spark.implicits._
     // "ab ab" has exactly 1 mergeable depth; asking for 5 rounds must
