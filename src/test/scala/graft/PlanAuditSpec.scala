@@ -392,22 +392,28 @@ class PlanAuditSpec extends SparkSpec {
   test("s13 frozen-centroid assignment is literal-embedded, never a join") {
     // the incremental-ingest shape's scale contract: the frozen centroids
     // reach the plan as LITERAL arrays inside the nearest-centroid kernel
-    // (a map-only pass), so the whole query carries exactly three joins —
-    // the members id-join (instantiated once per pair-join side) and the
-    // cluster-keyed pair join — and none funnels through one reducer or
-    // degenerates to a cross join. A fourth join would mean the centroid
-    // frame started shuffling against the corpus, which is the regression
-    // this pin exists to catch.
+    // (a map-only pass), and since r15 the quantized member frame is
+    // checkpointed ONCE (the members id-join runs at construction, not
+    // once per pair-join side), so the executed plan carries exactly ONE
+    // join — the cluster-keyed pair join over the materialized member
+    // scans — and none funnels through one reducer or degenerates to a
+    // cross join. A second join would mean either the centroid frame or
+    // the members frame started shuffling against the corpus again,
+    // which is the regression this pin exists to catch. (The pre-r15 pin
+    // expected 3 joins; c4f0b28 changed the shape without re-pinning —
+    // caught and fixed r16.)
     val df = SparkEntry.queries("s13_semdedup_frozen")(spark, sfSmoke)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"),
       s"s13 has a single-reducer stage:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
       s"s13 degenerated to a cross join:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"s13 pair join no longer reads the materialized member frame:\n$plan")
     val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
       .findAllMatchIn(plan).size
-    assert(joins == 3,
-      s"expected 3 joins (members ×2 sides + pairs), got $joins:\n$plan")
+    assert(joins == 1,
+      s"expected 1 join (pairs over the checkpointed members), got $joins:\n$plan")
   }
 
   test("t33 merge application is map-only; e11 funnel never cross-joins") {
